@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py <outDir> <sfDir>
+  <outDir> must contain <name>/ parquet dirs written by graft.Verify
+  plus oracle_sql.json. Each oracle SQL is run in DuckDB against views
+  named after the tables in <sfDir>; results are compared to the Spark
+  parquet by (schema-insensitive) column-name-sorted value hash.
+
+This file is developer tooling only — it is NOT part of the shipped
+Scala library and never runs on the cluster.
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: ints → int64 where possible, floats stay, decimals → float
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: str(v) if v is not None else None)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    out = Path(out_dir)
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    failures = 0
+    for name in sorted(oracle):
+        spark_path = out / name
+        if not spark_path.exists():
+            print(f"[MISS] {name}: no spark output")
+            failures += 1
+            continue
+        try:
+            got = canon(con.execute(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df())
+            want = canon(con.execute(oracle[name]).df())
+        except Exception as e:  # noqa: BLE001
+            print(f"[ERR ] {name}: {e}")
+            failures += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"[COLS] {name}: spark={list(got.columns)} duck={list(want.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(want):
+            print(f"[ROWS] {name}: spark={len(got)} duck={len(want)}")
+            failures += 1
+            continue
+        # value compare with float tolerance-free equality (we round in-query)
+        eq = got.equals(want)
+        if not eq:
+            diff = (got != want) & ~(got.isna() & want.isna())
+            ndiff = int(diff.values.sum())
+            if ndiff == 0:
+                eq = True  # only NaN-vs-NaN mismatches
+        if eq:
+            print(f"[ OK ] {name}: {len(got)} rows")
+        else:
+            print(f"[HASH] {name}: {ndiff} differing cells")
+            bad = diff.any(axis=1)
+            print(pd.concat({"spark": got[bad].head(3), "duck": want[bad].head(3)}, axis=1))
+            failures += 1
+    # queries without oracle: rows-only
+    for d in sorted(out.iterdir()):
+        if d.is_dir() and d.name not in oracle:
+            n = con.execute(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            print(f"[ROWS-ONLY] {d.name}: {n} rows")
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
