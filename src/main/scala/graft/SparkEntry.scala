@@ -13,14 +13,26 @@ object SparkEntry {
     Queries.q1Agg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Queries.q1Agg _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q1_agg" -> (Queries.q1Agg _)) ++
+      operators.SearchOps.queries ++
+      operators.GeoOps.queries ++
+      operators.FuzzyOps.queries ++
+      operators.ClassifyOps.queries ++
+      operators.CoreOps.queries ++
+      operators.CdcOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    operators.SearchOps.oracle ++
+    operators.GeoOps.oracle ++
+    operators.FuzzyOps.oracle ++
+    operators.ClassifyOps.oracle ++
+    operators.CoreOps.oracle ++
+    operators.CdcOps.oracle ++
+    Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -26,9 +26,19 @@ object Text {
   def cleanName(c: Column): Column = {
     val lowered   = lower(c)
     val noSuffix  = regexp_replace(lowered, "\\b(pte|ltd|private|limited|sdn|bhd)\\b", "")
-    val noPunct   = regexp_replace(noSuffix, "[^a-z0-9 ]", " ")
+    val noStall   = regexp_replace(noSuffix, "\\b(stall|unit)\\s*[0-9]+[a-z]?\\b|#[0-9]+(-[0-9]+)?", "")
+    val noPunct   = regexp_replace(noStall, "[^a-z0-9 ]", " ")
     trim(regexp_replace(noPunct, " +", " "))
   }
+
+  /** DuckDB SQL mirror of [[cleanName]] (note the 'g' flags — DuckDB
+    * replaces only the first match by default).
+    */
+  def sqlCleanName(e: String): String =
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"lower($e), '\\b(pte|ltd|private|limited|sdn|bhd)\\b', '', 'g')," +
+      " '\\b(stall|unit)\\s*[0-9]+[a-z]?\\b|#[0-9]+(-[0-9]+)?', '', 'g')," +
+      " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** Cleaned, non-empty word tokens. */
   def tokens(c: Column): Column =

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** §2.F — CDC-style batch compaction over the events feed, from the
+  * reference's snapshot-refresh loop (src/services/dataManager.ts:
+  * 132-187: nightly full refresh + cache-validity windows). The
+  * streaming twins live in graft.streaming.CdcStream.
+  *
+  * Event time is exact integer nanoseconds (`ts_ns`, see
+  * Tables.events); all time arithmetic is integral, so ordering and
+  * bucketing are engine-portable bit-for-bit.
+  *
+  * Scale: every query here is one shuffle keyed on the entity key
+  * (user_id) — the canonical "max_by compaction" shape. No driver-side
+  * state, no collect.
+  */
+object CdcOps {
+
+  private val NsPerSec  = 1000000000L
+  private val NsPerHour = 3600L * NsPerSec
+
+  /** Latest-state-per-key upsert compaction: the newest event per
+    * user_id wins (ties broken by event_id, i.e. the CDC sequence
+    * number).
+    */
+  def cdcLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"),
+        expr(s"ts_ns DIV $NsPerSec").as("last_epoch_s"))
+      .orderBy("user_id")
+  }
+
+  /** Gap-based sessionization: a >30-minute silence starts a new
+    * session. lag + running sum over one shuffle on user_id.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > 1800L * NsPerSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    e.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(expr(s"ts_ns DIV $NsPerSec")).as("start_s"),
+        max(expr(s"ts_ns DIV $NsPerSec")).as("end_s"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Tumbling-window aggregation per event type (hourly buckets). */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        (expr(s"ts_ns DIV $NsPerHour") * 3600L).as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour_s", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_latest" -> (cdcLatest _),
+    "q_sessionize" -> (sessionize _),
+    "q_window_agg" -> (windowAgg _))
+
+  val oracle: Map[String, String] = Map(
+    "q_cdc_latest" ->
+      """SELECT user_id,
+        |  event_id AS last_event_id,
+        |  event_type AS last_type,
+        |  round(value, 2) AS last_value,
+        |  epoch_ns(ts) // 1000000000 AS last_epoch_s
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         epoch_ns(ts) AS ts_ns,
+        |         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), g AS (
+        |  SELECT *, CAST(sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_ns // 1000000000) AS start_s,
+        |       max(ts_ns // 1000000000) AS end_s,
+        |       round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_window_agg" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_s, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY hour_s, event_type ORDER BY hour_s, event_type""".stripMargin)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** §2.E — core SQL analytics: star joins, windowed top-N, JSON
+  * extraction, CSV round-trip (the reference's dataManager.ts
+  * export/import, src/services/dataManager.ts:190-240).
+  */
+object CoreOps {
+
+  /** Star join: revenue per nation. Dimensions (nation) are broadcast;
+    * the two fact tables join on their natural keys so Catalyst plans
+    * shuffled hash/sort-merge joins keyed on custkey/orderkey, and the
+    * final rollup is a partial-agg + single shuffle on n_name.
+    */
+  def joinAggNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val n = Tables.nation(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Top-N per group via a single window (one shuffle on the group
+    * key): 3 priciest orders per priority class.
+    */
+  def groupTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** JSON field extraction + aggregation over events.props. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("k")).as("sum_k"),
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy("event_type")
+
+  /** dataManager.ts:190-240 — CSV export/import round-trip with quoted
+    * values; proves the codec preserves the data exactly.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    Tables.nation(spark, dir)
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").option("quoteAll", "true")
+      .csv(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.option("header", "true").schema(schema).csv(tmp)
+      .orderBy("n_nationkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_agg_nation" -> (joinAggNation _),
+    "q_group_topn" -> (groupTopN _),
+    "q_json_extract" -> (jsonExtract _),
+    "q_csv_roundtrip" -> (csvRoundtrip _))
+
+  val oracle: Map[String, String] = Map(
+    "q_join_agg_nation" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_group_topn" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+        |FROM orders QUALIFY rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** §2.C — fuzzy entity resolution, from the reference's
+  * src/services/halalService.ts.
+  *
+  * The reference resolves each merchant against the halal register with
+  * a tier ladder: exact cleaned-name (+postal confirmation) first, then
+  * a word-overlap similarity match with postal-preference tie-breaking
+  * (halalService.ts:103-177). Here the two "registers" are derived
+  * decorations of the part table so the join has genuine dup groups.
+  *
+  * Scale design: candidate pairs are ONLY generated through a
+  * token-blocked inverted-index join (explode distinct tokens → equi
+  * join on token) — never a cross join — so the shuffle is keyed by
+  * token and the pair space stays proportional to real overlap.
+  */
+object FuzzyOps {
+
+  private def tokensOf(c: Column): Column = array_distinct(split(c, " "))
+
+  /** halalService.ts:249-257 — name normalization over decorated names. */
+  def cleanNameQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        concat(col("p_name"),
+          when(col("p_partkey") % 2 === 0, lit(" Pte. Ltd. Stall 12"))
+            .otherwise(lit(" #03-21 (Unit 4B)"))).as("raw"))
+      .withColumn("cleaned", Text.cleanName(col("raw")))
+      .orderBy("p_partkey")
+
+  /** halalService.ts:107-116 — exact tier: equal cleaned names across
+    * two differently-decorated sides.
+    */
+  def fuzzyJoinExact(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val a = p.select(col("p_partkey").as("k1"),
+      Text.cleanName(concat(col("p_name"), lit(" Pte Ltd"))).as("cn"))
+    val b = p.select(col("p_partkey").as("k2"),
+      Text.cleanName(concat(col("p_name"), lit(" #01-77"))).as("cn"))
+    a.join(b, Seq("cn")).filter(col("k1") < col("k2"))
+      .select(col("k1"), col("k2"), col("cn")).orderBy("k1", "k2")
+  }
+
+  /** halalService.ts:119-164 — word-overlap (Jaccard) similarity join,
+    * token-blocked. Pairs of distinct parts whose name token sets
+    * overlap at ≥ 0.3.
+    */
+  def tokenJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.part(spark, dir)
+      .select(col("p_partkey").as("k"), explode(tokensOf(lower(col("p_name")))).as("t"))
+    val sz = tok.groupBy("k").agg(count(lit(1)).as("n"))
+    val pairs = tok.as("a").join(tok.as("b"),
+        col("a.t") === col("b.t") && col("a.k") < col("b.k"))
+      .groupBy(col("a.k").as("k1"), col("b.k").as("k2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.as("s1"), col("k1") === col("s1.k"))
+      .join(sz.as("s2"), col("k2") === col("s2.k"))
+      .withColumn("jac", col("inter") / (col("s1.n") + col("s2.n") - col("inter")))
+      .filter(col("jac") >= 0.3)
+      .select(col("k1"), col("k2"), round(col("jac"), 6).as("jac"))
+      .orderBy("k1", "k2")
+  }
+
+  /** halalService.ts:194-247 — per-word edit-distance similarity over
+    * the (small, broadcastable) name vocabulary.
+    */
+  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.part(spark, dir)
+      .select(explode(split(lower(col("p_name")), " ")).as("t"))
+      .distinct()
+    val j = vocab.as("a").crossJoin(broadcast(vocab.as("b")))
+      .filter(col("a.t") < col("b.t"))
+      .withColumn("maxlen", greatest(length(col("a.t")), length(col("b.t"))))
+      .withColumn("sim",
+        (col("maxlen") - levenshtein(col("a.t"), col("b.t"))) / col("maxlen").cast("double"))
+      .filter(col("sim") >= 0.4)
+    j.select(col("a.t").as("t1"), col("b.t").as("t2"), round(col("sim"), 6).as("sim"))
+      .orderBy("t1", "t2")
+  }
+
+  /** halalService.ts:103-177 — the full tiered resolve: for each left
+    * entity pick the single best right match by
+    * (tier, postal-analog confirmation, similarity, key) preference.
+    * Tier 1 = exact clean name + size match ("postal" confirmation),
+    * tier 2 = exact clean name, tier 3 = Jaccard ≥ 0.5.
+    */
+  def fuzzyResolve(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val left = p.select(col("p_partkey").as("lk"), col("p_size").as("lsize"),
+      Text.cleanName(concat(col("p_name"), lit(" Pte Ltd"))).as("lcn"))
+      .withColumn("ltoks", tokensOf(col("lcn")))
+    val right = p.select(col("p_partkey").as("rk"), col("p_size").as("rsize"),
+      Text.cleanName(concat(col("p_name"), lit(" "), lower(col("p_type")))).as("rcn"))
+      .withColumn("rtoks", tokensOf(col("rcn")))
+
+    // token-blocked candidates
+    val lt = left.select(col("lk"), explode(col("ltoks")).as("t"))
+    val rt = right.select(col("rk"), explode(col("rtoks")).as("t"))
+    val cand = lt.join(rt, "t").select("lk", "rk").distinct()
+
+    val scored = cand
+      .join(left, "lk").join(right, "rk")
+      .withColumn("inter", size(array_intersect(col("ltoks"), col("rtoks"))))
+      .withColumn("uni", size(array_union(col("ltoks"), col("rtoks"))))
+      .withColumn("jac", col("inter") / col("uni").cast("double"))
+      .withColumn("size_match", (col("lsize") === col("rsize")).cast("int"))
+      .withColumn("tier",
+        when(col("lcn") === col("rcn") && col("size_match") === 1, 1)
+          .when(col("lcn") === col("rcn"), 2)
+          .when(col("jac") >= 0.5, 3))
+      .filter(col("tier").isNotNull)
+
+    val w = Window.partitionBy(col("lk"))
+      .orderBy(col("tier"), col("size_match").desc, col("jac").desc, col("rk"))
+    scored
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") === 1)
+      .select(col("lk"), col("rk"), col("tier"), col("size_match"), round(col("jac"), 6).as("jac"))
+      .orderBy("lk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clean_name" -> (cleanNameQ _),
+    "q_fuzzy_join_exact" -> (fuzzyJoinExact _),
+    "q_token_jaccard_join" -> (tokenJaccardJoin _),
+    "q_levenshtein_pairs" -> (levenshteinPairs _),
+    "q_fuzzy_resolve" -> (fuzzyResolve _))
+
+  private val cn = Text.sqlCleanName _
+
+  val oracle: Map[String, String] = Map(
+    "q_clean_name" ->
+      s"""WITH d AS (
+         |  SELECT p_partkey,
+         |         p_name || CASE WHEN p_partkey % 2 = 0 THEN ' Pte. Ltd. Stall 12'
+         |                        ELSE ' #03-21 (Unit 4B)' END AS raw
+         |  FROM part
+         |)
+         |SELECT p_partkey, raw, ${cn("raw")} AS cleaned FROM d ORDER BY p_partkey""".stripMargin,
+    "q_fuzzy_join_exact" ->
+      s"""WITH a AS (SELECT p_partkey k1, ${cn("p_name || ' Pte Ltd'")} cn FROM part),
+         |     b AS (SELECT p_partkey k2, ${cn("p_name || ' #01-77'")} cn FROM part)
+         |SELECT k1, k2, a.cn AS cn FROM a JOIN b USING (cn) WHERE k1 < k2 ORDER BY k1, k2""".stripMargin,
+    "q_token_jaccard_join" ->
+      """WITH tok AS (
+        |  SELECT p_partkey k, unnest(list_distinct(string_split(lower(p_name), ' '))) t FROM part
+        |), sz AS (SELECT k, count(*) n FROM tok GROUP BY k),
+        |pairs AS (
+        |  SELECT a.k k1, b.k k2, count(*) inter FROM tok a JOIN tok b ON a.t = b.t AND a.k < b.k
+        |  GROUP BY 1, 2
+        |)
+        |SELECT k1, k2, round(inter / (s1.n + s2.n - inter), 6) jac
+        |FROM pairs JOIN sz s1 ON s1.k = k1 JOIN sz s2 ON s2.k = k2
+        |WHERE inter / (s1.n + s2.n - inter) >= 0.3
+        |ORDER BY k1, k2""".stripMargin,
+    "q_levenshtein_pairs" ->
+      """WITH vocab AS (SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) t FROM part)
+        |SELECT a.t t1, b.t t2,
+        |       round((greatest(length(a.t), length(b.t)) - levenshtein(a.t, b.t))
+        |             / greatest(length(a.t), length(b.t))::DOUBLE, 6) sim
+        |FROM vocab a JOIN vocab b ON a.t < b.t
+        |WHERE (greatest(length(a.t), length(b.t)) - levenshtein(a.t, b.t))
+        |      / greatest(length(a.t), length(b.t))::DOUBLE >= 0.4
+        |ORDER BY t1, t2""".stripMargin,
+    "q_fuzzy_resolve" ->
+      s"""WITH l AS (
+         |  SELECT p_partkey lk, p_size lsize, ${cn("p_name || ' Pte Ltd'")} lcn FROM part
+         |), lt AS (SELECT lk, lsize, lcn, list_distinct(string_split(lcn, ' ')) ltoks FROM l),
+         |r AS (
+         |  SELECT p_partkey rk, p_size rsize, ${cn("p_name || ' ' || lower(p_type)")} rcn FROM part
+         |), rt AS (SELECT rk, rsize, rcn, list_distinct(string_split(rcn, ' ')) rtoks FROM r),
+         |cand AS (
+         |  SELECT DISTINCT a.lk, b.rk
+         |  FROM (SELECT lk, unnest(ltoks) t FROM lt) a
+         |  JOIN (SELECT rk, unnest(rtoks) t FROM rt) b USING (t)
+         |), scored AS (
+         |  SELECT lk, rk,
+         |         len(list_intersect(ltoks, rtoks)) inter,
+         |         len(list_distinct(list_concat(ltoks, rtoks))) uni,
+         |         len(list_intersect(ltoks, rtoks)) / len(list_distinct(list_concat(ltoks, rtoks)))::DOUBLE jac,
+         |         CASE WHEN lsize = rsize THEN 1 ELSE 0 END size_match,
+         |         CASE WHEN lcn = rcn AND lsize = rsize THEN 1
+         |              WHEN lcn = rcn THEN 2
+         |              WHEN len(list_intersect(ltoks, rtoks)) / len(list_distinct(list_concat(ltoks, rtoks)))::DOUBLE >= 0.5 THEN 3
+         |         END tier
+         |  FROM cand JOIN lt USING (lk) JOIN rt USING (rk)
+         |)
+         |SELECT lk, rk, tier, size_match, round(jac, 6) jac
+         |FROM scored
+         |WHERE tier IS NOT NULL
+         |QUALIFY row_number() OVER (PARTITION BY lk ORDER BY tier, size_match DESC, jac DESC, rk) = 1
+         |ORDER BY lk""".stripMargin)
+}

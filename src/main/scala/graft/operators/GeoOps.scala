@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Geo
+import graft.sources.Tables
+
+/** §2.B — geo distance search, from the reference's
+  * src/utils/locationUtils.ts (haversine + radius filter + distance
+  * sort + kNN).
+  *
+  * Entities get deterministic synthetic coordinates from their keys
+  * (integer arithmetic, reproducible in the oracle). Distances are
+  * rounded before they appear in output or ordering, so ranking is
+  * identical across engines.
+  */
+object GeoOps {
+  /** Singapore center fallback, locationUtils.ts:73. */
+  private val ProbeLat = 1.3521
+  private val ProbeLon = 103.8198
+
+  /** locationUtils.ts:143-154 — all customers within 10 km of the probe
+    * point, nearest first.
+    */
+  def geoRadius(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        Geo.synthLat(col("c_custkey")).as("lat"),
+        Geo.synthLon(col("c_custkey")).as("lon"))
+    c.withColumn("dist_km",
+        round(Geo.haversineKm(lit(ProbeLat), lit(ProbeLon), col("lat"), col("lon")), 3))
+      .filter(col("dist_km") <= 10.0)
+      .select(col("c_custkey"), round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"), col("dist_km"))
+      .orderBy(col("dist_km"), col("c_custkey"))
+  }
+
+  /** locationUtils.ts:129-141 — k nearest customers per supplier probe
+    * point. The supplier side is tiny and broadcast; ranking runs in
+    * one window per probe after a single shuffle on s_suppkey.
+    */
+  def geoKnn(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"),
+        Geo.synthLat(col("s_suppkey") + 7L).as("s_lat"),
+        Geo.synthLon(col("s_suppkey") + 7L).as("s_lon"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        Geo.synthLat(col("c_custkey")).as("c_lat"),
+        Geo.synthLon(col("c_custkey")).as("c_lon"))
+    val joined = c.crossJoin(broadcast(s))
+      .withColumn("dist_km",
+        round(Geo.haversineKm(col("s_lat"), col("s_lon"), col("c_lat"), col("c_lon")), 3))
+    val w = Window.partitionBy(col("s_suppkey")).orderBy(col("dist_km"), col("c_custkey"))
+    joined
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("s_suppkey"), col("c_custkey"), col("dist_km"), col("rnk"))
+      .orderBy(col("s_suppkey"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_radius" -> (geoRadius _),
+    "q_geo_knn" -> (geoKnn _))
+
+  /** Shared SQL fragments mirroring functions/Geo.scala. */
+  private def sqlLat(key: String) = s"(1.25 + (($key * 40503) % 1000) / 1000.0 * 0.2)"
+  private def sqlLon(key: String) = s"(103.6 + (($key * 69427) % 1000) / 1000.0 * 0.4)"
+  private def sqlHav(lat1: String, lon1: String, lat2: String, lon2: String) =
+    s"""(2.0 * 6371.0 * asin(sqrt(
+       |  pow(sin(radians($lat2 - $lat1) / 2), 2) +
+       |  cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2)
+       |)))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_geo_radius" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey, ${sqlLat("c_custkey")} AS lat, ${sqlLon("c_custkey")} AS lon
+         |  FROM customer
+         |), d AS (
+         |  SELECT c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon,
+         |         round(${sqlHav("1.3521", "103.8198", "lat", "lon")}, 3) AS dist_km
+         |  FROM c
+         |)
+         |SELECT c_custkey, lat, lon, dist_km FROM d
+         |WHERE dist_km <= 10.0 ORDER BY dist_km, c_custkey""".stripMargin,
+    "q_geo_knn" ->
+      s"""WITH s AS (
+         |  SELECT s_suppkey, ${sqlLat("(s_suppkey + 7)")} AS s_lat, ${sqlLon("(s_suppkey + 7)")} AS s_lon
+         |  FROM supplier
+         |), c AS (
+         |  SELECT c_custkey, ${sqlLat("c_custkey")} AS c_lat, ${sqlLon("c_custkey")} AS c_lon
+         |  FROM customer
+         |), j AS (
+         |  SELECT s_suppkey, c_custkey,
+         |         round(${sqlHav("s_lat", "s_lon", "c_lat", "c_lon")}, 3) AS dist_km
+         |  FROM c CROSS JOIN s
+         |)
+         |SELECT s_suppkey, c_custkey, dist_km,
+         |       row_number() OVER (PARTITION BY s_suppkey ORDER BY dist_km, c_custkey) AS rnk
+         |FROM j
+         |QUALIFY rnk <= 5
+         |ORDER BY s_suppkey, rnk""".stripMargin)
+}

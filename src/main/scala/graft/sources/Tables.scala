@@ -24,7 +24,16 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * map to its µs TimestampType. Read the raw INT64 nanos instead
+    * (exact, no truncation) and expose it as `ts_ns`; downstream time
+    * arithmetic is integer ns — portable bit-for-bit to the oracle
+    * (DuckDB `epoch_ns`).
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, d, "events").withColumnRenamed("ts", "ts_ns")
+  }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }
