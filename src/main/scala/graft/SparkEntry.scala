@@ -20,7 +20,11 @@ object SparkEntry {
       operators.FuzzyOps.queries ++
       operators.ClassifyOps.queries ++
       operators.CoreOps.queries ++
-      operators.CdcOps.queries
+      operators.CdcOps.queries ++
+      operators.DedupOps.queries ++
+      operators.AnnOps.queries ++
+      operators.TextOps.queries ++
+      operators.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,6 +36,10 @@ object SparkEntry {
     operators.ClassifyOps.oracle ++
     operators.CoreOps.oracle ++
     operators.CdcOps.oracle ++
+    operators.DedupOps.oracle ++
+    operators.AnnOps.oracle ++
+    operators.TextOps.oracle ++
+    operators.MultimodalOps.oracle ++
     Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

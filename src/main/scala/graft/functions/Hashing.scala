@@ -21,9 +21,11 @@ object Hashing {
     * joined by single spaces.
     */
   def shingles(toks: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(k))))
+    // guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
 
   /** MinHash signature value for one "permutation": the minimum md5 hex
     * string of (seed ‖ shingle). Lexicographic min over hex strings is

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** §2.H — similarity search over the embedding column.
+  *
+  * `annTopK` is the exact baseline: a small probe set broadcast against
+  * the corpus, ranked per probe — correct at any corpus size because
+  * the probe side is tiny and the corpus streams through one pass.
+  *
+  * `annLsh` is the 100 TB path: random-hyperplane LSH buckets corpus
+  * vectors so each probe only scores its bucket cohort; candidates are
+  * verified with exact cosine before ranking (LSH prunes, never
+  * invents). Recall is tunable via bands × bits.
+  */
+object AnnOps {
+  private val K = 5
+  private val NProbes = 10
+
+  /** Exact brute-force top-k cosine per probe vector. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(Vectors.cosine(col("probe_emb"), col("embedding")), 6))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** LSH-bucketed ANN: corpus vectors hashed into sign-bit band
+    * buckets; probes scored only against bucket cohorts. Driver checks
+    * rows-only (probabilistic recall — no exact SQL oracle).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = 8
+    val bitsPerBand = 8
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def banded(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), col("embedding"),
+        posexplode(array((0 until bands).map(b =>
+          Vectors.bandSignature(col("embedding"), b * bitsPerBand, bitsPerBand)): _*))
+          .as(Seq("band", "sig")))
+    val corpus = banded(e, "vec_id")
+    val probes = banded(
+      e.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding")), "probe_id")
+      .select(col("probe_id"), col("embedding").as("probe_emb"), col("band"), col("sig"))
+    val cand = corpus.join(probes, Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("probe_emb"), col("embedding"))
+      .distinct()
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("cos", round(Vectors.cosine(col("probe_emb"), col("embedding")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_topk" -> (annTopK _),
+    "q_ann_lsh" -> (annLsh _))
+
+  /** q_ann_lsh is intentionally absent: probabilistic recall → driver
+    * records the weaker rows-only check for it.
+    */
+  val oracle: Map[String, String] = Map(
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id probe_id, embedding probe_emb FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(p.probe_emb) + 1),
+        |               i -> p.probe_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(range(1, len(p.probe_emb) + 1),
+        |               i -> p.probe_emb[i]::DOUBLE * p.probe_emb[i]::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |               i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) cos
+        |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id
+        |)
+        |SELECT probe_id, vec_id, cos,
+        |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+        |FROM scored QUALIFY rnk <= 5 ORDER BY probe_id, rnk""".stripMargin)
+}

@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** §2.G — the deduplication suite over `documents` / `embeddings`.
+  *
+  * Design rules for 100 TB:
+  *   - Pair generation is always *blocked* (shingle inverted index, LSH
+  *     band buckets, simhash band buckets) — never an unblocked cross
+  *     join over the corpus.
+  *   - All signatures are built on md5 (identical hex in Spark and
+  *     DuckDB), so even the probabilistic pipelines (MinHash-LSH,
+  *     SimHash) are *bit-for-bit reproducible* in the oracle: the SQL
+  *     mirrors the algorithm, not just its intent.
+  *   - Candidates found by LSH are verified with the exact measure
+  *     before output, so LSH only prunes, never invents.
+  */
+object DedupOps {
+
+  private val ShingleK = 3
+  private val JaccardThreshold = 0.6
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  private def shingleSet(c: Column): Column =
+    array_distinct(Hashing.shingles(toks(c), ShingleK))
+
+  /** Exact dedup: md5 content key, keep the lowest doc_id per group. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Hashing.contentKey(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("h"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram (3-token shingle) Jaccard near-dup pairs via an
+    * inverted-index (shingle-blocked) join.
+    */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val ex = d.select(col("doc_id").as("k"), explode(col("sh")).as("s"))
+    val sz = d.select(col("doc_id").as("k"), size(col("sh")).as("n"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.k") < col("b.k"))
+      .groupBy(col("a.k").as("d1"), col("b.k").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.as("s1"), col("d1") === col("s1.k"))
+      .join(sz.as("s2"), col("d2") === col("s2.k"))
+      .withColumn("jac", col("inter") / (col("s1.n") + col("s2.n") - col("inter")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  private val Bands = 4
+  private val Rows = 2
+
+  /** MinHash + LSH banding: md5-string minhashes → band keys → bucket
+    * join for candidates → exact-Jaccard verification. The oracle SQL
+    * reproduces the identical signatures, so this probabilistic
+    * pipeline is still hash-checked end to end.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val withBands = d.select(
+      col("doc_id"), col("sh"),
+      array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), Hashing.bandKey(col("sh"), b, Rows).as("key"))): _*).as("bands"))
+    val bandRows = withBands.select(col("doc_id"), explode(col("bands")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(d.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("jac",
+        size(array_intersect(col("sh1"), col("sh2"))) /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  /** 16-bit SimHash over the 3-token shingle set (token-level simhash
+    * degenerates on shared-vocabulary corpora); candidate pairs from
+    * 4-bit band blocking (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 band equal),
+    * verified by exact hamming ≤ 1.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val harr = transform(shingleSet(col("text")),
+      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+    val sig = (0 until 16).map { b =>
+      val votes = aggregate(col("harr"), lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1L) * 2L - 1L))
+      when(votes >= 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), harr.as("harr"))
+      .select(col("doc_id"), sig.as("sig"))
+    val banded = d.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"), shiftright(col("sig"), 4 * i).bitwiseAND(15L).as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .filter(col("hamming") <= 1)
+      .orderBy("d1", "d2")
+  }
+
+  /** Embedding cosine near-dup pairs, exact. The all-pairs form is the
+    * correctness baseline; AnnOps.lshCandidates is the linear-cost
+    * 100 TB path (same verify step).
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("cos") >= 0.5)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("cos"))
+      .orderBy("v1", "v2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_embedding" -> (dedupEmbedding _))
+
+  /** SQL fragment: distinct 3-token shingle list of `text`. */
+  private val sqlShingles =
+    """list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+      |                             i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin
+
+  private def mh(j: Int) = s"list_min(list_transform(sh, s -> md5('$j:' || s)))"
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS h FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlShingles sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+         |), ex AS (SELECT doc_id k, unnest(sh) s FROM t),
+         |sz AS (SELECT doc_id k, len(sh) n FROM t),
+         |pairs AS (
+         |  SELECT a.k d1, b.k d2, count(*) inter FROM ex a JOIN ex b ON a.s = b.s AND a.k < b.k
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2, round(inter / (s1.n + s2.n - inter), 6) jac
+         |FROM pairs JOIN sz s1 ON s1.k = d1 JOIN sz s2 ON s2.k = d2
+         |WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold
+         |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlShingles sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+         |), m AS (
+         |  SELECT doc_id, sh,
+         |         md5(${mh(0)} || '|' || ${mh(1)}) b0,
+         |         md5(${mh(2)} || '|' || ${mh(3)}) b1,
+         |         md5(${mh(4)} || '|' || ${mh(5)}) b2,
+         |         md5(${mh(6)} || '|' || ${mh(7)}) b3
+         |  FROM t WHERE len(sh) > 0
+         |), bands AS (
+         |  SELECT doc_id, 0 band, b0 bkey FROM m UNION ALL
+         |  SELECT doc_id, 1, b1 FROM m UNION ALL
+         |  SELECT doc_id, 2, b2 FROM m UNION ALL
+         |  SELECT doc_id, 3, b3 FROM m
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |)
+         |SELECT d1, d2,
+         |       round(len(list_intersect(t1.sh, t2.sh))
+         |             / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE, 6) jac
+         |FROM cand JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
+         |WHERE len(list_intersect(t1.sh, t2.sh))
+         |      / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
+         |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH tt AS (
+        |  SELECT doc_id, string_split(text, ' ') toks FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |         list_transform($sqlShingles,
+        |                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) harr
+        |  FROM tt
+        |), s AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 0) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 1) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 2) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 3) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 8 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 4) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 16 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 5) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 32 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 6) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 64 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 7) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 128 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 8) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 256 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 9) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 512 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 10) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 1024 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 11) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 2048 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 12) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 4096 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 13) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 8192 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 14) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 16384 ELSE 0 END
+        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 15) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 32768 ELSE 0 END
+        |    )::BIGINT sig
+        |  FROM h
+        |), banded AS (
+        |  SELECT doc_id, sig, band, (sig >> (4 * band)) & 15 bv
+        |  FROM s, (VALUES (0), (1), (2), (3)) bands(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id d1, b.doc_id d2, a.sig sig1, b.sig sig2
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |)
+        |SELECT d1, d2, sig1, sig2, CAST(bit_count(xor(sig1, sig2)) AS INT) hamming
+        |FROM cand WHERE bit_count(xor(sig1, sig2)) <= 1
+        |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH p AS (
+        |  SELECT a.vec_id v1, b.vec_id v2,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |               i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |               i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |)
+        |SELECT v1, v2, cos FROM p WHERE cos >= 0.5 ORDER BY v1, v2""".stripMargin)
+}

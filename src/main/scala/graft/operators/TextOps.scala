@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, Text}
+import graft.sources.Tables
+
+/** §2.I — text-analysis suite over `documents`: quality scoring,
+  * heuristic language ID, token counting, content fingerprinting.
+  * All single-pass projections (no shuffle beyond the final sort),
+  * built from codegen'd builtins.
+  */
+object TextOps {
+
+  private val Stopwords = Seq("the", "a")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * word length → one blended score. Mirrors the reference's
+    * rule-based filters (merchantUtils keyword heuristics) generalized
+    * to corpus curation.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val stopRatio = size(filter(toks, t => t.isInCollection(Stopwords))) /
+      greatest(size(toks), lit(1)).cast("double")
+    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")) /
+      greatest(length(col("text")), lit(1)).cast("double")
+    val lenScore = least(lit(1.0), length(col("text")) / lit(400.0))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        round(punct, 6).as("punct_ratio"),
+        round(stopRatio, 6).as("stop_ratio"),
+        Text.avgWordLen(col("text")).as("avg_word_len"),
+        round(lit(0.5) * lenScore + lit(0.25) * stopRatio + lit(0.25) * (lit(1.0) - punct), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-token language ID: count stopword-profile hits per
+    * language, argmax with a fixed preference order. (The corpus text
+    * is synthetic; the operator semantics are the deliverable.)
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def score(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isInCollection(markers)))
+    val sEn = score(Seq("the", "a"))
+    val sEs = score(Seq("el", "los"))
+    val sFr = score(Seq("le", "les"))
+    val sDe = score(Seq("der", "das"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        sEn.as("s_en"), sEs.as("s_es"), sFr.as("s_fr"), sDe.as("s_de"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+          .when(col("s_fr") >= col("s_de"), "fr")
+          .otherwise("de"))
+      .withColumn("correct", col("predicted") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language token-count rollup: whitespace tokens, BPE-ish regex
+    * tokens, chars/4 estimate.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        Text.wsTokenCount(col("text")).as("ws"),
+        Text.regexTokenCount(col("text")).as("re"),
+        Text.approxLlmTokens(col("text")).cast("long").as("est"),
+        col("n_chars"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("sum_ws_tokens"),
+        sum(col("re")).as("sum_regex_tokens"),
+        sum(col("est")).as("sum_est_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy("lang")
+
+  /** Content fingerprint: lexicographic min md5 over 4-token shingles
+    * (a 1-permutation MinHash / winnowing-style signature).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_min(transform(
+          array_distinct(Hashing.shingles(split(col("text"), " "), 4)),
+          s => md5(s.cast("binary")))).as("fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_quality" -> (textQuality _),
+    "q_lang_id" -> (langId _),
+    "q_token_count" -> (tokenCount _),
+    "q_fingerprint" -> (fingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "q_text_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars, text,
+        |    string_split_regex(trim(text), '\s+') toks,
+        |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+        |      / greatest(length(text), 1)::DOUBLE punct,
+        |    least(1.0, length(text) / 400.0) len_score
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_chars, punct, len_score,
+        |    len(list_filter(toks, t -> t IN ('the', 'a'))) / greatest(len(toks), 1)::DOUBLE stop_ratio,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+        |      / greatest(len(toks), 1)::DOUBLE awl
+        |  FROM b
+        |)
+        |SELECT doc_id, n_chars, round(punct, 6) punct_ratio, round(stop_ratio, 6) stop_ratio,
+        |       round(awl, 6) avg_word_len,
+        |       round(0.5 * len_score + 0.25 * stop_ratio + 0.25 * (1.0 - punct), 6) quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) s_en,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los'))) s_es,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('le', 'les'))) s_fr,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('der', 'das'))) s_de
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, s_en, s_es, s_fr, s_de,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |       WHEN s_fr >= s_de THEN 'fr'
+        |       ELSE 'de' END predicted,
+        |  (CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |        WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |        WHEN s_fr >= s_de THEN 'fr'
+        |        ELSE 'de' END) = lang AS correct
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT lang, count(*) n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) sum_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ ]'))) AS BIGINT) sum_regex_tokens,
+        |  CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) sum_est_tokens,
+        |  round(avg(n_chars), 4) avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+        |SELECT doc_id,
+        |  list_min(list_transform(
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+        |                                 i -> array_to_string(toks[i:i+3], ' '))),
+        |    s -> md5(s))) fp
+        |FROM t ORDER BY doc_id""".stripMargin)
+}
