@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.F (streaming twins) — Structured Streaming CDC pipeline.
+  *
+  * The reference's nightly snapshot refresh (src/services/
+  * dataManager.ts:132-187) becomes a continuous upsert stream:
+  * `readStream` over the CDC feed → keyed latest-state via
+  * `flatMapGroupsWithState` → sink. Windowed rollups use watermarked
+  * event-time windows, so late events are bounded and state is
+  * evictable — the properties that make the pipeline runnable
+  * indefinitely at cluster scale.
+  */
+object CdcStream {
+
+  /** One CDC record (mirrors the events table; ts_ns = commit time). */
+  case class Event(event_id: Long, ts_ns: Long, user_id: Long, event_type: String, value: Double)
+
+  /** Compacted per-entity state (the "merchant row" analog). */
+  case class UserState(
+      user_id: Long, last_event_id: Long, last_type: String,
+      last_value: Double, last_ts_ns: Long, n_events: Long)
+
+  /** Keyed latest-state compaction: emits the updated state for every
+    * key touched in a micro-batch. (ts_ns, event_id) ordering matches
+    * the batch CdcOps.cdcLatest semantics.
+    */
+  def latestState(spark: SparkSession, events: Dataset[Event]): Dataset[UserState] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) => {
+          val prev = state.getOption
+          val all = batch.foldLeft(prev) { (acc, e) =>
+            val newer = acc.forall(s =>
+              e.ts_ns > s.last_ts_ns ||
+                (e.ts_ns == s.last_ts_ns && e.event_id > s.last_event_id))
+            val n = acc.map(_.n_events).getOrElse(0L) + 1
+            if (newer) Some(UserState(userId, e.event_id, e.event_type, e.value, e.ts_ns, n))
+            else acc.map(_.copy(n_events = n))
+          }
+          all.foreach(state.update)
+          all.iterator
+        })
+  }
+
+  /** Watermarked tumbling-window counts per event type. Late data
+    * beyond the watermark is dropped; window state is evicted — the
+    * unbounded-stream-safe version of CdcOps.windowAgg.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** File-source variant: continuously ingest event parquet dropped
+    * into `dir` (the deployment shape: CDC connector lands files, this
+    * stream compacts them).
+    */
+  def fileSourceEvents(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id BIGINT, ts_ns BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    spark.readStream.schema(schema).parquet(dir).as[Event]
+  }
+}
