@@ -24,12 +24,16 @@ object AnnOps {
 
   /** Exact brute-force top-k cosine per probe vector. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id")) // corpus side parallel despite single-row-group input
     val probes = e.filter(col("vec_id") < NProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"), col("nrm").as("probe_nrm"))
     val scored = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(Vectors.cosine(col("probe_emb"), col("embedding")), 6))
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("probe_emb"), col("probe_nrm"), col("embedding"), col("nrm")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w))

@@ -46,7 +46,9 @@ object DedupOps {
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), shingleSet(col("text")).as("sh"))
-    val ex = d.select(col("doc_id").as("k"), explode(col("sh")).as("s"))
+    // repartition on the blocking shingle — single-row-group local
+    // files otherwise serialize the whole pair stage on one core
+    val ex = d.select(col("doc_id").as("k"), explode(col("sh")).as("s")).repartition(col("s"))
     val sz = d.select(col("doc_id").as("k"), size(col("sh")).as("n"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.k") < col("b.k"))
@@ -73,12 +75,20 @@ object DedupOps {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), shingleSet(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val withBands = d.select(
-      col("doc_id"), col("sh"),
-      array((0 until Bands).map(b =>
-        struct(lit(b).as("band"), Hashing.bandKey(col("sh"), b, Rows).as("key"))): _*).as("bands"))
-    val bandRows = withBands.select(col("doc_id"), explode(col("bands")).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Minhash via explode → keyed min-aggregation: the shingle set is
+    // computed ONCE per doc (projection collapse would otherwise
+    // inline the interpreted shingle transform into all 8 minhash
+    // expressions), md5 runs codegen'd on flat rows, and the
+    // repartition spreads the corpus across cores.
+    val exploded = d.select(col("doc_id"), explode(col("sh")).as("s"))
+      .repartition(col("doc_id"))
+    val mhCols = (0 until Bands * Rows).map(j =>
+      min(md5(concat(lit(j + ":"), col("s")).cast("binary"))).as(s"mh$j"))
+    val sigs = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bandRows = sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b =>
+        md5(concat_ws("|", col(s"mh${b * Rows}"), col(s"mh${b * Rows + 1}")).cast("binary"))): _*))
+        .as(Seq("band", "key")))
     val cand = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -101,16 +111,19 @@ object DedupOps {
     * verified by exact hamming ≤ 1.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val harr = transform(shingleSet(col("text")),
-      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
-    val sig = (0 until 16).map { b =>
-      val votes = aggregate(col("harr"), lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1L) * 2L - 1L))
-      when(votes >= 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), harr.as("harr"))
+    // Votes via explode → keyed sums: per-shingle md5 runs codegen'd
+    // exactly once (the fold-over-array form re-evaluates the hash
+    // array per bit, interpreted), and the corpus parallelizes.
+    // Integer sums are order-free, so results are identical.
+    val exploded = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingleSet(col("text"))).as("s"))
+      .repartition(col("doc_id"))
+      .withColumn("h", conv(substring(md5(col("s").cast("binary")), 1, 8), 16, 10).cast("long"))
+    val voteCols = (0 until 16).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2L - 1L).as(s"v$b"))
+    val sig = (0 until 16).map(b =>
+      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val d = exploded.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"), sig.as("sig"))
     val banded = d.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
@@ -132,11 +145,16 @@ object DedupOps {
     * 100 TB path (same verify step).
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Vectors
+    import graft.plans.VectorExpressions
+    // norms precomputed once per vector; the per-pair dot runs as a
+    // native expression (one tight loop) because the cos filter is
+    // pushed into the BNLJ condition, which evaluates interpreted
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id")) // spread the streamed side of the pair join across cores
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 6))
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("a.embedding"), col("a.nrm"), col("b.embedding"), col("b.nrm")), 6))
       .filter(col("cos") >= 0.5)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("cos"))
       .orderBy("v1", "v2")

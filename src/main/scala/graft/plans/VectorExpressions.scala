@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for dense-vector math.
+  *
+  * Why not `zip_with`/`aggregate` or an unrolled `element_at` sum:
+  * pair-join hot paths (all-pairs dedup, ANN scoring) evaluate the
+  * similarity inside a BroadcastNestedLoopJoin *condition*, which Spark
+  * executes with the interpreted evaluator — a higher-order-function
+  * lambda or a 64-term expression tree costs microseconds per pair
+  * there. These expressions evaluate as ONE node running a tight
+  * primitive loop (~100 ns), a ~50× win measured at sf0.1.
+  *
+  * Accumulation order is left-to-right from 0.0, bit-identical to the
+  * `aggregate`-fold and unrolled-sum forms (and to the DuckDB oracle's
+  * `list_sum(list_transform(...))`).
+  *
+  * Array elements must be float or double and non-null.
+  */
+object VectorExpressions {
+
+  private def elemIsFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+  }
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  case class DotProductExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private lazy val isFloat = elemIsFloat(left.dataType)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      if (isFloat) while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      else while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** ‖a‖₂ in double precision. */
+  case class L2NormExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private lazy val isFloat = elemIsFloat(child.dataType)
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      if (isFloat) while (i < n) { val e = x.getFloat(i).toDouble; s += e * e; i += 1 }
+      else while (i < n) { val e = x.getDouble(i); s += e * e; i += 1 }
+      math.sqrt(s)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def dotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def normNative(a: Column): Column =
+    ColumnBridge.column(L2NormExpr(ColumnBridge.expression(a)))
+
+  def cosineNative(a: Column, aNorm: Column, b: Column, bNorm: Column): Column =
+    dotNative(a, b) / (aNorm * bNorm)
+}
