@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
-import graft.sources.Tables
+import graft.sources.{Codecs, Tables}
 
 /** §2.E — core SQL analytics: star joins, windowed top-N, JSON
   * extraction, CSV round-trip (the reference's dataManager.ts
@@ -66,23 +66,32 @@ object CoreOps {
     */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft_csv").toString
-    Tables.nation(spark, dir)
-      .coalesce(1)
-      .write.mode("overwrite").option("header", "true").option("quoteAll", "true")
-      .csv(tmp)
+    Codecs.exportCsv(Tables.nation(spark, dir), tmp, singleFile = true)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
       StructField("n_regionkey", IntegerType)))
-    spark.read.option("header", "true").schema(schema).csv(tmp)
-      .orderBy("n_nationkey")
+    Codecs.importCsv(spark, tmp, schema).orderBy("n_nationkey")
+  }
+
+  /** dataManager.ts:303-305 — JSON export/import round-trip. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_json").toString
+    Codecs.exportJson(Tables.region(spark, dir), tmp, singleFile = true)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    Codecs.importJson(spark, tmp, schema)
+      .select("r_regionkey", "r_name")
+      .orderBy("r_regionkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_agg_nation" -> (joinAggNation _),
     "q_group_topn" -> (groupTopN _),
     "q_json_extract" -> (jsonExtract _),
-    "q_csv_roundtrip" -> (csvRoundtrip _))
+    "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_json_roundtrip" -> (jsonRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "q_join_agg_nation" ->
@@ -106,5 +115,7 @@ object CoreOps {
         |  round(avg(value), 4) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_csv_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_json_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
 }
