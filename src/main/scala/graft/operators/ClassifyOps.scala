@@ -68,10 +68,28 @@ object ClassifyOps {
         upper(col("source")).as("source_uc"))
       .orderBy("doc_id")
 
+  /** externalData.ts:124-186 estimateHoursFromCategory — rule-based
+    * enrichment: category keyword → operating-hours profile, as a CASE
+    * ladder over the market segment.
+    */
+  def hoursRules(spark: SparkSession, dir: String): DataFrame = {
+    val seg = lower(col("c_mktsegment"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        when(seg.contains("food") || seg.contains("household"), 11)
+          .when(seg.contains("machinery") || seg.contains("automobile"), 8)
+          .otherwise(9).as("open_hour"),
+        when(seg.contains("food") || seg.contains("household"), 22)
+          .when(seg.contains("machinery") || seg.contains("automobile"), 17)
+          .otherwise(18).as("close_hour"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keyword_classify" -> (keywordClassify _),
     "q_flag_exclusion" -> (flagExclusion _),
-    "q_enrich" -> (enrich _))
+    "q_enrich" -> (enrich _),
+    "q_hours_rules" -> (hoursRules _))
 
   private def sqlValues: String =
     keywordMap.map { case (c, k) => s"('$c','$k')" }.mkString(", ")
@@ -96,5 +114,14 @@ object ClassifyOps {
         |        / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
         |  contains(text, 'spark') AS has_spark,
         |  upper(source) AS source_uc
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_hours_rules" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN contains(lower(c_mktsegment), 'food') OR contains(lower(c_mktsegment), 'household') THEN 11
+        |       WHEN contains(lower(c_mktsegment), 'machinery') OR contains(lower(c_mktsegment), 'automobile') THEN 8
+        |       ELSE 9 END AS open_hour,
+        |  CASE WHEN contains(lower(c_mktsegment), 'food') OR contains(lower(c_mktsegment), 'household') THEN 22
+        |       WHEN contains(lower(c_mktsegment), 'machinery') OR contains(lower(c_mktsegment), 'automobile') THEN 17
+        |       ELSE 18 END AS close_hour
+        |FROM customer ORDER BY c_custkey""".stripMargin)
 }

@@ -153,11 +153,43 @@ object FuzzyOps {
       .orderBy("lk")
   }
 
+  /** halalService.ts:194-227 isWordSimilar — abbreviation dictionary
+    * first, edit-distance fallback. Evaluated over the (tiny,
+    * broadcast) name vocabulary, labeled by which sim_rule matched.
+    */
+  def wordSimilar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dict = Seq(
+      ("restaurant", "rest"), ("restaurant", "resto"), ("kitchen", "kitch"),
+      ("house", "hse"), ("corner", "cnr"), ("centre", "ctr"),
+      ("international", "intl"), ("company", "co"), ("private", "pte"),
+      ("limited", "ltd")).toDF("full", "abbrev")
+    val vocab = Tables.part(spark, dir)
+      .select(explode(split(lower(col("p_name")), " ")).as("t"))
+      .distinct()
+    val pairs = vocab.as("a").crossJoin(broadcast(vocab.as("b")))
+      .filter(col("a.t") < col("b.t"))
+      .withColumn("maxlen", greatest(length(col("a.t")), length(col("b.t"))))
+      .withColumn("editsim",
+        (col("maxlen") - levenshtein(col("a.t"), col("b.t"))) / col("maxlen").cast("double"))
+    pairs
+      .join(broadcast(dict),
+        (col("a.t") === col("abbrev") && col("b.t") === col("full")) ||
+          (col("a.t") === col("full") && col("b.t") === col("abbrev")), "left")
+      .withColumn("sim_rule",
+        when(col("full").isNotNull, "abbrev").when(col("editsim") >= 0.6, "edit"))
+      .filter(col("sim_rule").isNotNull)
+      .select(col("a.t").as("t1"), col("b.t").as("t2"), col("sim_rule"),
+        round(col("editsim"), 6).as("editsim"))
+      .orderBy("t1", "t2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_clean_name" -> (cleanNameQ _),
     "q_fuzzy_join_exact" -> (fuzzyJoinExact _),
     "q_token_jaccard_join" -> (tokenJaccardJoin _),
     "q_levenshtein_pairs" -> (levenshteinPairs _),
+    "q_word_similar" -> (wordSimilar _),
     "q_fuzzy_resolve" -> (fuzzyResolve _))
 
   private val cn = Text.sqlCleanName _
@@ -198,6 +230,28 @@ object FuzzyOps {
         |WHERE (greatest(length(a.t), length(b.t)) - levenshtein(a.t, b.t))
         |      / greatest(length(a.t), length(b.t))::DOUBLE >= 0.4
         |ORDER BY t1, t2""".stripMargin,
+    "q_word_similar" ->
+      """WITH vocab AS (SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) t FROM part),
+        |dict(yfull, yabbrev) AS (VALUES
+        |  ('restaurant','rest'), ('restaurant','resto'), ('kitchen','kitch'),
+        |  ('house','hse'), ('corner','cnr'), ('centre','ctr'),
+        |  ('international','intl'), ('company','co'), ('private','pte'),
+        |  ('limited','ltd')),
+        |pairs AS (
+        |  SELECT a.t t1, b.t t2,
+        |         (greatest(length(a.t), length(b.t)) - levenshtein(a.t, b.t))
+        |           / greatest(length(a.t), length(b.t))::DOUBLE editsim
+        |  FROM vocab a JOIN vocab b ON a.t < b.t
+        |), lab AS (
+        |  SELECT t1, t2, editsim,
+        |         CASE WHEN EXISTS (SELECT 1 FROM dict
+        |                           WHERE (t1 = yabbrev AND t2 = yfull)
+        |                              OR (t1 = yfull AND t2 = yabbrev)) THEN 'abbrev'
+        |              WHEN editsim >= 0.6 THEN 'edit' END sim_rule
+        |  FROM pairs
+        |)
+        |SELECT t1, t2, sim_rule, round(editsim, 6) editsim FROM lab
+        |WHERE sim_rule IS NOT NULL ORDER BY t1, t2""".stripMargin,
     "q_fuzzy_resolve" ->
       s"""WITH l AS (
          |  SELECT p_partkey lk, p_size lsize, ${cn("p_name || ' Pte Ltd'")} lcn FROM part

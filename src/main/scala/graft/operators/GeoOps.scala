@@ -63,9 +63,22 @@ object GeoOps {
       .orderBy(col("s_suppkey"), col("rnk"))
   }
 
+  /** locationUtils.ts:157-163 — human-readable distance formatting:
+    * "<1 km → Nm", otherwise "X.Ykm", over the radius search output.
+    */
+  def formatDistance(spark: SparkSession, dir: String): DataFrame =
+    geoRadius(spark, dir)
+      .withColumn("pretty",
+        when(col("dist_km") < 1.0,
+          concat(round(col("dist_km") * 1000, 0).cast("int").cast("string"), lit("m")))
+          .otherwise(concat(round(col("dist_km"), 1).cast("string"), lit("km"))))
+      .select(col("c_custkey"), col("dist_km"), col("pretty"))
+      .orderBy(col("dist_km"), col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_radius" -> (geoRadius _),
-    "q_geo_knn" -> (geoKnn _))
+    "q_geo_knn" -> (geoKnn _),
+    "q_format_distance" -> (formatDistance _))
 
   /** Shared SQL fragments mirroring functions/Geo.scala. */
   private def sqlLat(key: String) = s"(1.25 + (($key * 40503) % 1000) / 1000.0 * 0.2)"
@@ -104,5 +117,19 @@ object GeoOps {
          |       row_number() OVER (PARTITION BY s_suppkey ORDER BY dist_km, c_custkey) AS rnk
          |FROM j
          |QUALIFY rnk <= 5
-         |ORDER BY s_suppkey, rnk""".stripMargin)
+         |ORDER BY s_suppkey, rnk""".stripMargin,
+    "q_format_distance" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey, ${sqlLat("c_custkey")} AS lat, ${sqlLon("c_custkey")} AS lon
+         |  FROM customer
+         |), d AS (
+         |  SELECT c_custkey,
+         |         round(${sqlHav("1.3521", "103.8198", "lat", "lon")}, 3) AS dist_km
+         |  FROM c
+         |)
+         |SELECT c_custkey, dist_km,
+         |  CASE WHEN dist_km < 1.0
+         |       THEN CAST(CAST(round(dist_km * 1000, 0) AS INT) AS VARCHAR) || 'm'
+         |       ELSE CAST(round(dist_km, 1) AS VARCHAR) || 'km' END AS pretty
+         |FROM d WHERE dist_km <= 10.0 ORDER BY dist_km, c_custkey""".stripMargin)
 }
