@@ -67,7 +67,9 @@ object CdcStream {
   def fileSourceEvents(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts_ns BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
-    spark.readStream.schema(schema).parquet(dir).as[Event]
+    // the feed files carry the nanosecond commit time as `ts`
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumnRenamed("ts", "ts_ns").as[Event]
   }
 }
