@@ -73,9 +73,25 @@ object AnnOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Per-dimension embedding statistics per label — the vector-corpus
+    * profiling pass (centroids, spread) a curation pipeline runs before
+    * clustering. One posexplode + one keyed aggregation.
+    */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("v").cast("double")), 6).as("mean"),
+        round(min(col("v").cast("double")), 6).as("mn"),
+        round(max(col("v").cast("double")), 6).as("mx"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk" -> (annTopK _),
-    "q_ann_lsh" -> (annLsh _))
+    "q_ann_lsh" -> (annLsh _),
+    "q_embedding_stats" -> (embeddingStats _))
 
   /** q_ann_lsh is intentionally absent: probabilistic recall → driver
     * records the weaker rows-only check for it.
@@ -97,5 +113,12 @@ object AnnOps {
         |)
         |SELECT probe_id, vec_id, cos,
         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
-        |FROM scored QUALIFY rnk <= 5 ORDER BY probe_id, rnk""".stripMargin)
+        |FROM scored QUALIFY rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    "q_embedding_stats" ->
+      """SELECT label, CAST(t.i AS INT) dim, count(*) n,
+        |  round(avg(embedding[t.i + 1]::DOUBLE), 6) mean,
+        |  round(min(embedding[t.i + 1]::DOUBLE), 6) mn,
+        |  round(max(embedding[t.i + 1]::DOUBLE), 6) mx
+        |FROM embeddings, range(0, 64) t(i)
+        |GROUP BY label, t.i ORDER BY label, dim""".stripMargin)
 }

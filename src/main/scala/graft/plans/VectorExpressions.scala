@@ -1,9 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -34,7 +33,7 @@ object VectorExpressions {
 
   /** Σ aᵢ·bᵢ in double precision. */
   case class DotProductExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     private lazy val isFloat = elemIsFloat(left.dataType)
 
@@ -49,12 +48,27 @@ object VectorExpressions {
       s
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val get = if (isFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |${ev.value} = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value} += (double) $a.$get($i) * (double) $b.$get($i);
+           |}
+         """.stripMargin
+      })
+    }
+
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
 
   /** ‖a‖₂ in double precision. */
-  case class L2NormExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class L2NormExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     private lazy val isFloat = elemIsFloat(child.dataType)
 
@@ -66,6 +80,25 @@ object VectorExpressions {
       if (isFloat) while (i < n) { val e = x.getFloat(i).toDouble; s += e * e; i += 1 }
       else while (i < n) { val e = x.getDouble(i); s += e * e; i += 1 }
       math.sqrt(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val get = if (isFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val e = ctx.freshName("e")
+        s"""
+           |int $n = $a.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $e = (double) $a.$get($i);
+           |  $s += $e * $e;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($s);
+         """.stripMargin
+      })
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
