@@ -75,10 +75,50 @@ object GeoOps {
       .select(col("c_custkey"), col("dist_km"), col("pretty"))
       .orderBy(col("dist_km"), col("c_custkey"))
 
+  /** locationUtils.ts:56-74 getCoordinatesFromPostalCode — hierarchical
+    * fallback geocoding: exact postal-code lookup, else same-area
+    * (3-digit-prefix) lookup, else the Singapore-center default. Two
+    * broadcast left joins + coalesce; the lookup table is a derived
+    * dimension (one synthetic postal per nation).
+    */
+  def geoFallback(spark: SparkSession, dir: String): DataFrame = {
+    // lookup dimension: 25 known postal codes with coordinates
+    val lookup = Tables.nation(spark, dir)
+      .select(
+        lpad((col("n_nationkey") * 37231L % 1000000L).cast("string"), 6, "0").as("postal"),
+        Geo.synthLat(col("n_nationkey") + 3L).as("lat"),
+        Geo.synthLon(col("n_nationkey") + 3L).as("lon"))
+    // deterministic area representative: lowest postal per 3-digit prefix
+    val prefixRep = lookup
+      .withColumn("prefix", substring(col("postal"), 1, 3))
+      .groupBy("prefix")
+      .agg(min(col("postal")).as("rep_postal"))
+      .join(lookup.withColumnRenamed("postal", "rep_postal"), "rep_postal")
+      .select(col("prefix"), col("lat").as("plat"), col("lon").as("plon"))
+
+    val probes = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        lpad((col("c_custkey") * 7919L % 1000000L).cast("string"), 6, "0").as("postal"))
+    probes
+      .join(broadcast(lookup.withColumnRenamed("postal", "epostal")
+        .withColumnRenamed("lat", "elat").withColumnRenamed("lon", "elon")),
+        col("postal") === col("epostal"), "left")
+      .join(broadcast(prefixRep), substring(col("postal"), 1, 3) === col("prefix"), "left")
+      .select(
+        col("c_custkey"), col("postal"),
+        round(coalesce(col("elat"), col("plat"), lit(1.3521)), 6).as("lat"),
+        round(coalesce(col("elon"), col("plon"), lit(103.8198)), 6).as("lon"),
+        when(col("elat").isNotNull, "exact")
+          .when(col("plat").isNotNull, "area_prefix")
+          .otherwise("default").as("match_kind"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_radius" -> (geoRadius _),
     "q_geo_knn" -> (geoKnn _),
-    "q_format_distance" -> (formatDistance _))
+    "q_format_distance" -> (formatDistance _),
+    "q_geo_fallback" -> (geoFallback _))
 
   /** Shared SQL fragments mirroring functions/Geo.scala. */
   private def sqlLat(key: String) = s"(1.25 + (($key * 40503) % 1000) / 1000.0 * 0.2)"
@@ -131,5 +171,30 @@ object GeoOps {
          |  CASE WHEN dist_km < 1.0
          |       THEN CAST(CAST(round(dist_km * 1000, 0) AS INT) AS VARCHAR) || 'm'
          |       ELSE CAST(round(dist_km, 1) AS VARCHAR) || 'km' END AS pretty
-         |FROM d WHERE dist_km <= 10.0 ORDER BY dist_km, c_custkey""".stripMargin)
+         |FROM d WHERE dist_km <= 10.0 ORDER BY dist_km, c_custkey""".stripMargin,
+    "q_geo_fallback" ->
+      s"""WITH lookup AS (
+         |  SELECT lpad(CAST(n_nationkey * 37231 % 1000000 AS VARCHAR), 6, '0') postal,
+         |         ${sqlLat("(n_nationkey + 3)")} lat, ${sqlLon("(n_nationkey + 3)")} lon
+         |  FROM nation
+         |), rep AS (
+         |  SELECT substr(postal, 1, 3) prefix, min(postal) rep_postal
+         |  FROM lookup GROUP BY 1
+         |), prefix_rep AS (
+         |  SELECT prefix, lat plat, lon plon
+         |  FROM rep JOIN lookup ON lookup.postal = rep.rep_postal
+         |), probes AS (
+         |  SELECT c_custkey, lpad(CAST(c_custkey * 7919 % 1000000 AS VARCHAR), 6, '0') postal
+         |  FROM customer
+         |)
+         |SELECT c_custkey, probes.postal,
+         |  round(coalesce(l.lat, pr.plat, 1.3521), 6) lat,
+         |  round(coalesce(l.lon, pr.plon, 103.8198), 6) lon,
+         |  CASE WHEN l.lat IS NOT NULL THEN 'exact'
+         |       WHEN pr.plat IS NOT NULL THEN 'area_prefix'
+         |       ELSE 'default' END match_kind
+         |FROM probes
+         |LEFT JOIN lookup l ON probes.postal = l.postal
+         |LEFT JOIN prefix_rep pr ON substr(probes.postal, 1, 3) = pr.prefix
+         |ORDER BY c_custkey""".stripMargin)
 }
