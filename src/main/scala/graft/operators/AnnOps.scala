@@ -38,7 +38,7 @@ object AnnOps {
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
-      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
       .orderBy("probe_id", "rnk")
   }
 

@@ -60,8 +60,8 @@ object ClassifyOps {
         col("doc_id"),
         col("lang"),
         col("n_chars"),
-        Text.wsTokenCount(col("text")).as("ws_tokens"),
-        Text.regexTokenCount(col("text")).as("regex_tokens"),
+        Text.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        Text.regexTokenCount(col("text")).cast("long").as("regex_tokens"),
         Text.approxLlmTokens(col("text")).cast("long").as("est_llm_tokens"),
         Text.punctRatio(col("text")).as("punct_ratio"),
         col("text").contains("spark").as("has_spark"),

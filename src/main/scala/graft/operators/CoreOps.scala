@@ -43,7 +43,7 @@ object CoreOps {
       .orderBy(col("price").desc, col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .orderBy("o_orderpriority", "rn")
   }

@@ -59,7 +59,7 @@ object GeoOps {
     joined
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("s_suppkey"), col("c_custkey"), col("dist_km"), col("rnk"))
+      .select(col("s_suppkey"), col("c_custkey"), col("dist_km"), col("rnk").cast("long").as("rnk"))
       .orderBy(col("s_suppkey"), col("rnk"))
   }
 

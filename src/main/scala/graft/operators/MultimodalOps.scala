@@ -27,7 +27,7 @@ object MultimodalOps {
         col("source"))
       .select(
         col("doc_id"),
-        length(col("blob")).as("n_bytes"),
+        length(col("blob")).cast("long").as("n_bytes"),
         substring(md5(col("blob")), 1, 8).as("sig8"),
         ascii(substring(col("blob").cast("string"), 1, 1)).as("first_byte"),
         ascii(expr("substring(cast(blob as string), (length(blob) + 1) DIV 2, 1)")).as("mid_byte"),

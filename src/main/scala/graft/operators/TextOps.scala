@@ -46,7 +46,7 @@ object TextOps {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     def score(markers: Seq[String]): Column =
-      size(filter(toks, t => t.isInCollection(markers)))
+      size(filter(toks, t => t.isInCollection(markers))).cast("long")
     val sEn = score(Seq("the", "a"))
     val sEs = score(Seq("el", "los"))
     val sFr = score(Seq("le", "les"))

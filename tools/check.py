@@ -61,6 +61,12 @@ def main(out_dir: str, sf_dir: str) -> int:
             print(f"[ROWS] {name}: spark={len(got)} duck={len(want)}")
             failures += 1
             continue
+        dt_bad = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+                  if str(got[c].dtype) != str(want[c].dtype)]
+        if dt_bad:
+            print(f"[DTYPE] {name}: {dt_bad}")
+            failures += 1
+            continue
         # value compare with float tolerance-free equality (we round in-query)
         eq = got.equals(want)
         if not eq:
