@@ -38,7 +38,7 @@ class OperatorsSpec extends AnyFunSuite {
     val rows = GeoOps.geoKnn(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
       assert(g.length == 5)
-      val byRank = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val byRank = g.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
     }
   }
@@ -47,7 +47,7 @@ class OperatorsSpec extends AnyFunSuite {
     val rows = AnnOps.annTopK(spark, sf).collect()
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.000001))
     rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
-      val byRank = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val byRank = g.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
