@@ -24,7 +24,8 @@ object SparkEntry {
       operators.DedupOps.queries ++
       operators.AnnOps.queries ++
       operators.TextOps.queries ++
-      operators.MultimodalOps.queries
+      operators.MultimodalOps.queries ++
+      operators.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,6 +41,7 @@ object SparkEntry {
     operators.AnnOps.oracle ++
     operators.TextOps.oracle ++
     operators.MultimodalOps.oracle ++
+    operators.CorpusOps.oracle ++
     Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

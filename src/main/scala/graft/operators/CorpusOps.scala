@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** §2.K — corpus-curation operators beyond the reference's surface:
+  * the sampling/splitting/profiling passes a training-data pipeline
+  * runs over a 100 TB document store.
+  *
+  * All bucketing decisions hash with md5 (content-derived,
+  * engine-portable, reshuffle-stable): the same document lands in the
+  * same split on any engine, any partitioning, any run — the property
+  * that makes corpus splits reproducible.
+  */
+object CorpusOps {
+
+  /** Stable 32-bit content bucket from md5. */
+  private def bucket(c: org.apache.spark.sql.Column, mod: Int) =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long") % mod
+
+  /** Deterministic stratified sampling: ~30% per language stratum,
+    * selected by content hash (not rand()) so the sample is
+    * reproducible and join-stable.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(bucket(col("text"), 10) < 3)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test split assignment (80/10/10) by
+    * content hash; emits the assignment, not a sampled subset.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(bucket(col("text"), 10) < 8, "train")
+          .when(bucket(col("text"), 10) < 9, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** Document-length histogram per language: fixed-width 100-char
+    * buckets — the profile pass before length filtering.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), (floor(col("n_chars") / 100) * 100).as("bucket_lo"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy("lang", "bucket_lo")
+
+  /** Exact dedup after text normalization (lowercase + whitespace
+    * collapse): catches trivially-reformatted duplicates that byte
+    * dedup misses; representative = lowest doc_id.
+    */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(norm.cast("binary")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("h"))
+      .orderBy("doc_id")
+  }
+
+  /** Label-distribution profile of the embedding corpus. */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val total = e.count()
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(count(lit(1)) / lit(total.toDouble), 6).as("frac"))
+      .orderBy("label")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_train_test_split" -> (trainTestSplit _),
+    "q_length_histogram" -> (lengthHistogram _),
+    "q_dedup_normalized" -> (dedupNormalized _),
+    "q_class_balance" -> (classBalance _))
+
+  private val sqlBucket = "('0x' || substr(md5(text), 1, 8))::BIGINT % 10"
+
+  val oracle: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE $sqlBucket < 3 ORDER BY doc_id""".stripMargin,
+    "q_train_test_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $sqlBucket < 8 THEN 'train'
+         |       WHEN $sqlBucket < 9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_length_histogram" ->
+      """SELECT lang, CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+        |  count(*) n, round(avg(n_chars), 4) avg_chars
+        |FROM documents GROUP BY lang, bucket_lo ORDER BY lang, bucket_lo""".stripMargin,
+    "q_dedup_normalized" ->
+      """WITH n AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) h
+        |  FROM documents
+        |)
+        |SELECT doc_id, h FROM n
+        |QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_class_balance" ->
+      """SELECT label, count(*) n,
+        |  round(count(*) / (SELECT count(*) FROM embeddings)::DOUBLE, 6) frac
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+}
