@@ -86,12 +86,58 @@ object CoreOps {
       .orderBy("r_regionkey")
   }
 
+  /** Hierarchical totals via ROLLUP (subtotals + grand total). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Pivoted event counts: one column per event type per user cohort. */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, dir)
+      .select((col("user_id") % 10).as("cohort"), col("event_type"))
+      .groupBy("cohort")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("cohort")
+  }
+
+  /** Per-user running value total in event order — the cumulative
+    * metric window every event-analytics surface ships.
+    */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 2).as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Exact interpolated quantiles of event value per type. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_agg_nation" -> (joinAggNation _),
     "q_group_topn" -> (groupTopN _),
     "q_json_extract" -> (jsonExtract _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
-    "q_json_roundtrip" -> (jsonRoundtrip _))
+    "q_json_roundtrip" -> (jsonRoundtrip _),
+    "q_rollup" -> (rollupAgg _),
+    "q_pivot" -> (pivotEvents _),
+    "q_running_total" -> (runningTotal _),
+    "q_quantiles" -> (quantiles _))
 
   val oracle: Map[String, String] = Map(
     "q_join_agg_nation" ->
@@ -117,5 +163,31 @@ object CoreOps {
     "q_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_json_roundtrip" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "q_running_total" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -93,11 +93,23 @@ object TextOps {
           s => md5(s.cast("binary")))).as("fp"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary profile: the 20 most frequent tokens with
+    * deterministic tie-breaking — the stopword-discovery pass.
+    */
+  def topTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_token_count" -> (tokenCount _),
-    "q_fingerprint" -> (fingerprint _))
+    "q_fingerprint" -> (fingerprint _),
+    "q_top_tokens" -> (topTokens _))
 
   val oracle: Map[String, String] = Map(
     "q_text_quality" ->
@@ -152,5 +164,9 @@ object TextOps {
         |    list_distinct(list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
         |                                 i -> array_to_string(toks[i:i+3], ' '))),
         |    s -> md5(s))) fp
-        |FROM t ORDER BY doc_id""".stripMargin)
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_top_tokens" ->
+      """SELECT t, count(*) n
+        |FROM (SELECT unnest(string_split(text, ' ')) t FROM documents)
+        |GROUP BY t ORDER BY n DESC, t LIMIT 20""".stripMargin)
 }
