@@ -160,12 +160,42 @@ object DedupOps {
       .orderBy("v1", "v2")
   }
 
+  /** Duplicate-cluster resolution: connected components over the
+    * near-dup pair graph, labeled by the component's minimum doc_id —
+    * the canonicalization step that turns pairwise dedup output into
+    * keep/drop decisions. Iterative min-label propagation (the
+    * standard distributed CC algorithm); lineage is truncated per
+    * round via localCheckpoint so the loop scales to deep graphs.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgram(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("a", "b").cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges.join(labels, col("a") === col("id"))
+        .select(col("b").as("id"), col("lab"))
+      val next = labels.union(prop).groupBy("id").agg(min("lab").as("lab"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
+        .filter(col("lab") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id")).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
-    "q_dedup_embedding" -> (dedupEmbedding _))
+    "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_dedup_clusters" -> (dedupClusters _))
 
   /** SQL fragment: distinct 3-token shingle list of `text`. */
   private val sqlShingles =
@@ -220,6 +250,27 @@ object DedupOps {
          |WHERE len(list_intersect(t1.sh, t2.sh))
          |      / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
          |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $sqlShingles sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+         |), ex AS (SELECT doc_id k, unnest(sh) s FROM t),
+         |sz AS (SELECT doc_id k, len(sh) n FROM t),
+         |p0 AS (
+         |  SELECT a.k d1, b.k d2, count(*) inter FROM ex a JOIN ex b ON a.s = b.s AND a.k < b.k
+         |  GROUP BY 1, 2
+         |), dup AS (
+         |  SELECT d1, d2 FROM p0 JOIN sz s1 ON s1.k = d1 JOIN sz s2 ON s2.k = d2
+         |  WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold
+         |), ed AS (
+         |  SELECT d1 a, d2 b FROM dup UNION ALL SELECT d2, d1 FROM dup
+         |), verts AS (SELECT DISTINCT a id FROM ed),
+         |reach AS (
+         |  SELECT id src, id dst FROM verts
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
+         |)
+         |SELECT src doc_id, min(dst) cluster_id FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH tt AS (
         |  SELECT doc_id, string_split(text, ' ') toks FROM documents
