@@ -73,10 +73,53 @@ object CdcOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy("hour_s", "event_type")
 
+  /** As-of (attribution) join within the event stream: each purchase
+    * is attributed to the same user's most recent prior click. One
+    * window shuffle on the entity key — the backward as-of join
+    * expressed with last-ignore-nulls carry-forward, no range join
+    * explosion.
+    */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts_ns")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("click_id").as("attributed_click_id"),
+        expr(s"(ts_ns - click_ts) DIV $NsPerSec").as("gap_s"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** Funnel analysis: per user, first time reaching each stage and
+    * whether the signup→click→purchase sequence completed in order.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", expr(s"ts_ns DIV $NsPerSec"))).as("first_signup_s"),
+        min(when(col("event_type") === "click", expr(s"ts_ns DIV $NsPerSec"))).as("first_click_s"),
+        min(when(col("event_type") === "purchase", expr(s"ts_ns DIV $NsPerSec"))).as("first_purchase_s"))
+      .withColumn("completed_in_order",
+        col("first_signup_s").isNotNull && col("first_click_s").isNotNull &&
+          col("first_purchase_s").isNotNull &&
+          col("first_signup_s") <= col("first_click_s") &&
+          col("first_click_s") <= col("first_purchase_s"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_latest" -> (cdcLatest _),
     "q_sessionize" -> (sessionize _),
-    "q_window_agg" -> (windowAgg _))
+    "q_window_agg" -> (windowAgg _),
+    "q_asof_attribution" -> (asofAttribution _),
+    "q_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
     "q_cdc_latest" ->
@@ -111,5 +154,35 @@ object CdcOps {
     "q_window_agg" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_s, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY hour_s, event_type ORDER BY hour_s, event_type""".stripMargin)
+        |FROM events GROUP BY hour_s, event_type ORDER BY hour_s, event_type""".stripMargin,
+    "q_asof_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) ts_ns,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) click_ts
+        |  FROM events
+        |)
+        |SELECT user_id, event_id AS purchase_id, click_id AS attributed_click_id,
+        |       (ts_ns - click_ts) // 1000000000 AS gap_s
+        |FROM e WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
+    "q_funnel" ->
+      """SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000000000 END) AS first_signup_s,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000000000 END) AS first_click_s,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000000000 END) AS first_purchase_s,
+        |  coalesce(
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000000000 END) IS NOT NULL
+        |    AND min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000000000 END) IS NOT NULL
+        |    AND min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000000000 END) IS NOT NULL
+        |    AND min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000000000 END)
+        |        <= min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000000000 END)
+        |    AND min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000000000 END)
+        |        <= min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000000000 END),
+        |    false) AS completed_in_order
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
