@@ -128,7 +128,43 @@ object CoreOps {
         round(expr("percentile(value, 0.95)"), 4).as("p95"))
       .orderBy("event_type")
 
+  /** Semi join: customers that have at least one order (EXISTS). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Anti join: customers with no event activity (NOT EXISTS) — the
+    * inactive-entity report.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.events(spark, dir).select("user_id"),
+        col("c_custkey") === col("user_id"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Correlated-aggregate semantics: customers above their nation's
+    * average balance — expressed as a window (one shuffle) rather than
+    * a per-row correlated subquery.
+    */
+  def aboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+    Tables.customer(spark, dir)
+      .withColumn("nation_avg", avg(col("c_acctbal")).over(w))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        round(col("nation_avg"), 4).as("nation_avg"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semi_join" -> (semiJoin _),
+    "q_anti_join" -> (antiJoin _),
+    "q_above_nation_avg" -> (aboveNationAvg _),
     "q_join_agg_nation" -> (joinAggNation _),
     "q_group_topn" -> (groupTopN _),
     "q_json_extract" -> (jsonExtract _),
@@ -140,6 +176,23 @@ object CoreOps {
     "q_quantiles" -> (quantiles _))
 
   val oracle: Map[String, String] = Map(
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_above_nation_avg" ->
+      """WITH w AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         avg(c_acctbal) OVER (PARTITION BY c_nationkey) nation_avg
+        |  FROM customer
+        |)
+        |SELECT c_custkey, c_nationkey, round(c_acctbal, 2) acctbal,
+        |       round(nation_avg, 4) nation_avg
+        |FROM w WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin,
     "q_join_agg_nation" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
