@@ -50,6 +50,33 @@ object Text {
   def significantTokens(c: Column, minLen: Int = 2): Column =
     filter(split(cleanName(c), " "), t => length(t) > minLen)
 
+  /** `{w}` ∪ all single-character deletions of `w`. */
+  def delNbh1(w: Column): Column =
+    when(length(w) === 0, array(w)).otherwise(concat(
+      array(w),
+      transform(sequence(lit(1), length(w)),
+        i => concat(w.substr(lit(1), i - lit(1)), w.substr(i + lit(1), length(w))))))
+
+  /** Distinct deletion neighborhood of radius ≤ 2 — FastSS/SymSpell
+    * signatures for edit-distance blocking: ANY pair of strings within
+    * Levenshtein distance 2 shares at least one signature (each edit
+    * op of an optimal alignment is neutralized by deleting ≤ 1 char
+    * per side), so an equi-join on exploded signatures is a LOSSLESS
+    * block for `lev ≤ 2` verification. A word of length L yields
+    * ~1 + L + L²/2 keys — linear index growth, no vocab² pair scan.
+    */
+  def delNbh2(w: Column): Column =
+    array_distinct(flatten(transform(delNbh1(w), x => delNbh1(x))))
+
+  /** DuckDB SQL mirror of [[delNbh1]]. */
+  def sqlDelNbh1(e: String): String =
+    s"list_prepend($e, list_transform(range(1, length($e) + 1), " +
+      s"i -> substr($e, 1, i - 1) || substr($e, i + 1, length($e))))"
+
+  /** DuckDB SQL mirror of [[delNbh2]]. */
+  def sqlDelNbh2(e: String): String =
+    s"list_distinct(flatten(list_transform(${sqlDelNbh1(e)}, x -> ${sqlDelNbh1("x")})))"
+
   /** Whitespace token count. */
   def wsTokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
 

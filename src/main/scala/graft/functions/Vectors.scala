@@ -42,27 +42,48 @@ object Vectors {
       val e = element_at(a, i).cast("double"); e * e
     }.reduce(_ + _))
 
-  /** Sign bit of the projection of `v` onto a deterministic pseudo-random
-    * hyperplane (index `seed`): the building block of random-hyperplane
-    * LSH for angular distance. The hyperplane's components are derived
-    * per-dimension from a splitmix-style integer mix of (seed, dim) so
-    * they need no stored model and rebuild identically everywhere.
+  /** Integer components of `nPlanes` deterministic pseudo-random
+    * hyperplanes for random-hyperplane (angular) LSH: component
+    * `(seed, i)` is `md5("seed:i")`'s first 8 hex chars as an unsigned
+    * int, mod 100000, shifted to [-50000, 49999]. md5-derived so the
+    * DuckDB oracle rebuilds the identical planes from SQL alone
+    * (`sqlHyperplaneCte` below); integer-valued so band bits come from
+    * the sign of an INTEGER dot product with the floor-quantized
+    * vector — bit-for-bit portable, no FP accumulation-order hazard.
     */
-  def hyperplaneBit(v: Column, seed: Int): Column = {
-    // component(seed, i) in [-1, 1): deterministic integer mix → double
-    val proj = aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {
-        val mixed = pmod(hash(lit(seed), i) cast "long", lit(100000L)).cast("double")
-        x.cast("double") * (mixed / 50000.0 - 1.0)
-      }),
-      lit(0.0),
-      (acc, x) => acc + x)
-    (proj >= 0).cast("int")
-  }
+  def hyperplaneWeights(nPlanes: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(nPlanes) { seed =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { i =>
+        val h = md.digest(s"$seed:$i".getBytes("UTF-8"))
+        val u32 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        u32 % 100000L - 50000L
+      }
+    }
 
-  /** Pack `nBits` hyperplane sign bits starting at `seedBase` into one
-    * long — an LSH band signature.
+  /** DuckDB CTE mirroring [[hyperplaneWeights]] +
+    * [[graft.plans.VectorExpressions.HyperplaneSigsExpr]]: emits
+    * `sigs(vec_id, band, sig)` for table alias `src`(vec_id, embedding)
+    * with `bands × bitsPerBand` planes over `dim` dimensions.
     */
-  def bandSignature(v: Column, seedBase: Int, nBits: Int): Column =
-    (0 until nBits).map(i => hyperplaneBit(v, seedBase + i) * (1L << i)).reduce(_ + _)
+  def sqlHyperplaneSigsCte(src: String, bands: Int, bitsPerBand: Int, dim: Int): String =
+    s"""qv AS (
+       |  SELECT vec_id, list_transform(range(0, $dim),
+       |           i -> CAST(floor(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT)) q
+       |  FROM $src
+       |), planes AS (
+       |  SELECT t.seed, list_transform(range(0, $dim),
+       |           i -> (('0x' || substr(md5(t.seed || ':' || i), 1, 8))::BIGINT % 100000) - 50000) w
+       |  FROM range(0, ${bands * bitsPerBand}) t(seed)
+       |), pbits AS (
+       |  SELECT qv.vec_id, p.seed,
+       |         CASE WHEN CAST(list_sum(list_transform(range(0, $dim),
+       |                    i -> qv.q[i + 1] * p.w[i + 1])) AS BIGINT) >= 0 THEN 1 ELSE 0 END bt
+       |  FROM qv CROSS JOIN planes p
+       |), sigs AS (
+       |  SELECT vec_id, seed // $bitsPerBand band,
+       |         CAST(sum(bt << (seed % $bitsPerBand)) AS BIGINT) sig
+       |  FROM pbits GROUP BY 1, 2
+       |)""".stripMargin
 }

@@ -21,6 +21,9 @@ import graft.sources.Tables
 object AnnOps {
   private val K = 5
   private val NProbes = 10
+  private[operators] val Dim = 64
+  private val LshBands = 8
+  private val LshBits = 8
 
   /** Exact brute-force top-k cosine per probe vector. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -42,34 +45,39 @@ object AnnOps {
       .orderBy("probe_id", "rnk")
   }
 
-  /** LSH-bucketed ANN: corpus vectors hashed into sign-bit band
-    * buckets; probes scored only against bucket cohorts. Driver checks
-    * rows-only (probabilistic recall — no exact SQL oracle).
+  /** LSH-bucketed ANN: corpus vectors hashed into md5-derived
+    * hyperplane band buckets; probes scored only against bucket
+    * cohorts, exact-cosine verified. The banding is bit-for-bit
+    * reproducible in SQL (integer quantization + integer planes — see
+    * [[graft.plans.VectorExpressions.HyperplaneSigsExpr]]), so even
+    * this probabilistic pipeline is hash-checked against the oracle.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = 8
-    val bitsPerBand = 8
+    import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    def banded(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), col("embedding"),
-        posexplode(array((0 until bands).map(b =>
-          Vectors.bandSignature(col("embedding"), b * bitsPerBand, bitsPerBand)): _*))
-          .as(Seq("band", "sig")))
-    val corpus = banded(e, "vec_id")
-    val probes = banded(
-      e.filter(col("vec_id") < NProbes)
-        .select(col("vec_id").as("probe_id"), col("embedding")), "probe_id")
-      .select(col("probe_id"), col("embedding").as("probe_emb"), col("band"), col("sig"))
-    val cand = corpus.join(probes, Seq("band", "sig"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+    val banded = e.select(col("vec_id"),
+      posexplode(VectorExpressions.hyperplaneSigsNative(col("embedding"), LshBands, LshBits, Dim))
+        .as(Seq("band", "sig")))
+    val probeBanded = banded.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("band"), col("sig"))
+    // candidate ids only through the bucket join; embeddings re-attach
+    // after distinct so vectors never travel with the (band, sig) keys
+    val cand = banded.join(probeBanded, Seq("band", "sig"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), col("probe_emb"), col("embedding"))
+      .select(col("probe_id"), col("vec_id"))
       .distinct()
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     cand
-      .withColumn("cos", round(Vectors.cosine(col("probe_emb"), col("embedding")), 6))
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .join(broadcast(e.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"), col("nrm").as("probe_nrm"))), "probe_id")
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("probe_emb"), col("probe_nrm"), col("embedding"), col("nrm")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
-      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
       .orderBy("probe_id", "rnk")
   }
 
@@ -93,10 +101,29 @@ object AnnOps {
     "q_ann_lsh" -> (annLsh _),
     "q_embedding_stats" -> (embeddingStats _))
 
-  /** q_ann_lsh is intentionally absent: probabilistic recall → driver
-    * records the weaker rows-only check for it.
-    */
   val oracle: Map[String, String] = Map(
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |${Vectors.sqlHyperplaneSigsCte("e", LshBands, LshBits, Dim)},
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id probe_id, c.vec_id
+         |  FROM sigs c JOIN sigs p ON c.band = p.band AND c.sig = p.sig
+         |  WHERE p.vec_id < $NProbes AND c.vec_id <> p.vec_id
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(pe.embedding) + 1),
+         |               i -> pe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE))
+         |      / (sqrt(list_sum(list_transform(range(1, len(pe.embedding) + 1),
+         |               i -> pe.embedding[i]::DOUBLE * pe.embedding[i]::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(range(1, len(ce.embedding) + 1),
+         |               i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |)
+         |SELECT probe_id, vec_id, cos,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+         |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT vec_id probe_id, embedding probe_emb FROM e WHERE vec_id < 10),

@@ -13,50 +13,56 @@ import graft.functions.Text
   * Tier ladder (lower wins), mirroring the reference:
   *   1. exact cleaned-name match + auxiliary-key confirmation (postal)
   *   2. exact cleaned-name match
-  *   3. token-set Jaccard ≥ `threshold` (requires ≥ 2 shared tokens —
-  *      the reference's matchingWords rule — which makes sorted
-  *      token-bigram blocking lossless)
+  *   3. token-set Jaccard ≥ `threshold`
   * One best match per left row, preferring lower tier, then aux-key
   * confirmation, then similarity, then lowest right key.
   *
-  * Scale shape: candidates only from a bigram-blocked inverted-index
-  * join; the exact intersection size is recovered from the
-  * shared-bigram count (c = C(inter,2)) so no token arrays travel with
-  * candidate pairs. Works unchanged on a 1000-executor cluster.
+  * Scale shape: candidates come from a df-capped sorted-bigram
+  * inverted-index join UNIONED with a cleaned-name equi-join, so exact
+  * tiers (1/2) are found even for names that clean to a single token
+  * (which have no bigram). Tier-3 matches are guaranteed only when
+  * both names have ≥ 2 distinct tokens — the reference's
+  * ≥ 2-matching-words rule (halalService.ts:138,151) — and when at
+  * least one shared bigram survives the hot-key cap. Similarity is
+  * verified exactly on the full token sets, so the cap and blocking
+  * never distort the measure of a found pair. Works unchanged on a
+  * 1000-executor cluster.
   */
 object FuzzyJoin {
 
   /** @param left      entities to resolve; `leftKey` must be unique
     * @param right     register to resolve against
-    * @param threshold tier-3 Jaccard threshold (≥ 0.5 keeps bigram blocking lossless)
+    * @param threshold tier-3 Jaccard threshold (≥ 0.5 implies ≥ 2
+    *                  shared tokens on ≥ 2-token names, which bigram
+    *                  blocking covers)
+    * @param dfCap     blocking keys hotter than this are dropped from
+    *                  candidate generation (bounds the worst key at
+    *                  ~cap²/2 pairs)
     */
   def resolve(
       left: DataFrame, leftKey: String, leftName: Column, leftAux: Column,
       right: DataFrame, rightKey: String, rightName: Column, rightAux: Column,
-      threshold: Double = 0.5): DataFrame = {
-    require(threshold >= 0.5, "bigram blocking is only lossless for threshold >= 0.5")
+      threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+    require(threshold >= 0.5, "bigram blocking only covers tier 3 for threshold >= 0.5")
 
     val l = left.select(col(leftKey).as("lk"), Text.cleanName(leftName).as("lcn"), leftAux.as("laux"))
-      .withColumn("ln", size(array_distinct(split(col("lcn"), " "))))
+      .withColumn("ltoks", array_distinct(split(col("lcn"), " ")))
     val r = right.select(col(rightKey).as("rk"), Text.cleanName(rightName).as("rcn"), rightAux.as("raux"))
-      .withColumn("rn", size(array_distinct(split(col("rcn"), " "))))
+      .withColumn("rtoks", array_distinct(split(col("rcn"), " ")))
 
-    def combos(df: DataFrame, key: String, cn: String): DataFrame = {
-      val tok = df.select(col(key), explode(array_distinct(split(col(cn), " "))).as("t"))
-      tok.as("x").join(tok.as("y"),
-          col(s"x.$key") === col(s"y.$key") && col("x.t") < col("y.t"))
-        .select(col(s"x.$key").as(key), concat_ws(" ", col("x.t"), col("y.t")).as("c"))
-    }
-
-    val cand = combos(l, "lk", "lcn").repartition(col("c"))
-      .join(combos(r, "rk", "rcn").repartition(col("c")), "c")
-      .groupBy("lk", "rk")
-      .agg(count(lit(1)).as("nc"))
-      .withColumn("inter", round((lit(1) + sqrt(lit(1) + lit(8) * col("nc"))) / 2, 0).cast("long"))
+    val cand = FuzzyOps.bigramCands(
+        l.select(col("lk"), col("ltoks").as("toks")), "lk",
+        r.select(col("rk"), col("rtoks").as("toks")), "rk", dfCap)
+      .union(l.select(col("lk"), col("lcn"))
+        .join(r.select(col("rk"), col("rcn")), col("lcn") === col("rcn"))
+        .select(col("lk"), col("rk")))
+      .distinct()
 
     val scored = cand
       .join(l, "lk").join(r, "rk")
-      .withColumn("jac", col("inter") / (col("ln") + col("rn") - col("inter")).cast("double"))
+      .withColumn("inter", size(array_intersect(col("ltoks"), col("rtoks"))))
+      .withColumn("jac",
+        col("inter") / size(array_union(col("ltoks"), col("rtoks"))).cast("double"))
       .withColumn("aux_match", (col("laux") === col("raux")).cast("int"))
       .withColumn("tier",
         when(col("lcn") === col("rcn") && col("aux_match") === 1, 1)

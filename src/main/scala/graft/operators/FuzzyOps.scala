@@ -16,14 +16,71 @@ import graft.sources.Tables
   * (halalService.ts:103-177). Here the two "registers" are derived
   * decorations of the part table so the join has genuine dup groups.
   *
-  * Scale design: candidate pairs are ONLY generated through a
-  * token-blocked inverted-index join (explode distinct tokens → equi
-  * join on token) — never a cross join — so the shuffle is keyed by
-  * token and the pair space stays proportional to real overlap.
+  * Scale design, uniform across the suite:
+  *   - Candidate pairs come ONLY from keyed equi-joins: sorted
+  *     token-bigram inverted index for similarity tiers, cleaned-name
+  *     equality for exact tiers, deletion-neighborhood signatures for
+  *     edit-distance vocab joins. Never a cross join.
+  *   - Hot blocking keys are df-capped ([[BigramDfCap]]): a key shared
+  *     by d rows yields d²/2 candidates, so one stop-phrase bigram in
+  *     a web-scale corpus would otherwise go quadratic. The cap is
+  *     mirrored in the oracle SQL and only prunes candidate
+  *     generation — similarity is always verified on the full token
+  *     sets, so found pairs carry exact measures.
+  *   - Exact tiers are additionally fed by a cleaned-name equi-join,
+  *     so single-token names (which have no bigram) can never be
+  *     dropped. Tier-3 pairs are only guaranteed when both names have
+  *     ≥ 2 distinct tokens (the reference's ≥ 2-matching-words rule).
   */
 object FuzzyOps {
 
+  /** Blocking keys (bigrams / deletion signatures) with more total
+    * occurrences than this are dropped from candidate generation.
+    * Never binds on testdata; bounds the worst key at ~cap²/2 pairs.
+    */
+  private[operators] val BigramDfCap = 1000
+
   private def tokensOf(c: Column): Column = array_distinct(split(c, " "))
+
+  /** Sorted token-bigram keys (k, c) for a keyed token-array frame. */
+  private def combos(df: DataFrame, key: String): DataFrame = {
+    val tok = df.select(col(key), explode(col("toks")).as("t"))
+    tok.as("x").join(tok.as("y"),
+        col(s"x.$key") === col(s"y.$key") && col("x.t") < col("y.t"))
+      .select(col(s"x.$key").as(key), concat_ws(" ", col("x.t"), col("y.t")).as("c"))
+  }
+
+  /** Distinct candidate pairs between two keyed token-array frames
+    * `l(lk, toks)` / `r(rk, toks)` that share at least one bigram key
+    * whose total df (both sides) is ≤ `cap`. The hot-key set is tiny
+    * after aggregation, so the exclusions are broadcast anti-joins.
+    */
+  private[operators] def bigramCands(
+      l: DataFrame, lk: String, r: DataFrame, rk: String, cap: Int): DataFrame = {
+    val lc = combos(l, lk).repartition(col("c"))
+    val rc = combos(r, rk).repartition(col("c"))
+    val hot = lc.select(col("c")).union(rc.select(col("c")))
+      .groupBy("c").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("c")
+    lc.join(hot, Seq("c"), "left_anti")
+      .join(rc.join(hot, Seq("c"), "left_anti"), "c")
+      .select(col(lk), col(rk))
+      .distinct()
+  }
+
+  /** Self-join variant of [[bigramCands]]: pairs (k1 < k2) within one
+    * keyed token-array frame.
+    */
+  private[operators] def bigramCandsSelf(d: DataFrame, key: String, cap: Int): DataFrame = {
+    val c = combos(d, key).repartition(col("c"))
+    val kept = c.withColumn("df", count(lit(1)).over(Window.partitionBy(col("c"))))
+      .filter(col("df") <= cap)
+      .select(col(key), col("c"))
+    kept.as("a").join(kept.as("b"),
+        col("a.c") === col("b.c") && col(s"a.$key") < col(s"b.$key"))
+      .select(col(s"a.$key").as("k1"), col(s"b.$key").as("k2"))
+      .distinct()
+  }
 
   /** halalService.ts:249-257 — name normalization over decorated names. */
   def cleanNameQ(spark: SparkSession, dir: String): DataFrame =
@@ -49,52 +106,95 @@ object FuzzyOps {
   }
 
   /** halalService.ts:119-164 — word-overlap (Jaccard) similarity join
-    * over name+type token sets at ≥ 0.5. The reference requires ≥ 2
-    * matching words (halalService.ts:138,151), which makes sorted
-    * token-BIGRAM blocking lossless: any pair at the threshold shares
-    * ≥ 2 tokens, hence ≥ 1 bigram. Single-token blocking on hot tokens
-    * (df in the thousands) would generate ~25× the candidate pairs.
-    * The shared-bigram count c = C(inter,2) recovers the exact
-    * intersection arithmetically.
+    * over name+type token sets: ≥ 2 shared tokens (the reference's
+    * matching-words rule, halalService.ts:138,151) AND Jaccard ≥ 0.5.
+    * Candidates from df-capped sorted-bigram blocking — lossless for
+    * the inter ≥ 2 contract (any qualifying pair shares a bigram) up
+    * to the documented hot-key cap; similarity verified exactly on the
+    * full token sets.
     */
   def tokenJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.part(spark, dir)
+    val base = Tables.part(spark, dir)
       .select(col("p_partkey").as("k"),
-        explode(tokensOf(concat(lower(col("p_name")), lit(" "), lower(col("p_type"))))).as("t"))
-    val sz = tok.groupBy("k").agg(count(lit(1)).as("n"))
-    val combos = tok.as("x").join(tok.as("y"),
-        col("x.k") === col("y.k") && col("x.t") < col("y.t"))
-      .select(col("x.k").as("k"), concat_ws(" ", col("x.t"), col("y.t")).as("c"))
-      .repartition(col("c"))
-    val pairs = combos.as("a").join(combos.as("b"),
-        col("a.c") === col("b.c") && col("a.k") < col("b.k"))
-      .groupBy(col("a.k").as("k1"), col("b.k").as("k2"))
-      .agg(count(lit(1)).as("nc"))
-      .withColumn("inter",
-        round((lit(1) + sqrt(lit(1) + lit(8) * col("nc"))) / 2, 0).cast("long"))
-    pairs
-      .join(sz.as("s1"), col("k1") === col("s1.k"))
-      .join(sz.as("s2"), col("k2") === col("s2.k"))
-      .withColumn("jac", col("inter") / (col("s1.n") + col("s2.n") - col("inter")))
-      .filter(col("jac") >= 0.5)
+        tokensOf(concat(lower(col("p_name")), lit(" "), lower(col("p_type")))).as("toks"))
+    val cand = bigramCandsSelf(base, "k", BigramDfCap)
+    cand
+      .join(base.select(col("k").as("k1"), col("toks").as("toks1")), "k1")
+      .join(base.select(col("k").as("k2"), col("toks").as("toks2")), "k2")
+      .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
+      .withColumn("jac", col("inter") / size(array_union(col("toks1"), col("toks2"))).cast("double"))
+      .filter(col("inter") >= 2 && col("jac") >= 0.5)
       .select(col("k1"), col("k2"), round(col("jac"), 6).as("jac"))
       .orderBy("k1", "k2")
   }
 
   /** halalService.ts:194-247 — per-word edit-distance similarity over
-    * the (small, broadcastable) name vocabulary.
+    * the name vocabulary. Contract: `lev ≤ 2 AND sim ≥ 0.6` — the
+    * explicit distance bound is what makes deletion-neighborhood
+    * blocking ([[Text.delNbh2]]) LOSSLESS: signature index grows
+    * linearly with the vocab (≈ L²/2 keys per word), no vocab² scan.
     */
   def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = Tables.part(spark, dir)
+    val cand = editCands(vocabOf(spark, dir))
+    cand
+      .withColumn("maxlen", greatest(length(col("t1")), length(col("t2"))))
+      .withColumn("lev", levenshtein(col("t1"), col("t2")))
+      .withColumn("sim", (col("maxlen") - col("lev")) / col("maxlen").cast("double"))
+      .filter(col("lev") <= 2 && col("sim") >= 0.6)
+      .select(col("t1"), col("t2"), round(col("sim"), 6).as("sim"))
+      .orderBy("t1", "t2")
+  }
+
+  private def vocabOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
       .select(explode(split(lower(col("p_name")), " ")).as("t"))
       .distinct()
-    val j = vocab.as("a").crossJoin(broadcast(vocab.as("b")))
-      .filter(col("a.t") < col("b.t"))
-      .withColumn("maxlen", greatest(length(col("a.t")), length(col("b.t"))))
-      .withColumn("sim",
-        (col("maxlen") - levenshtein(col("a.t"), col("b.t"))) / col("maxlen").cast("double"))
-      .filter(col("sim") >= 0.4)
-    j.select(col("a.t").as("t1"), col("b.t").as("t2"), round(col("sim"), 6).as("sim"))
+
+  /** Distinct vocab pairs (t1 < t2) sharing a ≤2-deletion signature —
+    * a superset of all pairs within Levenshtein distance 2. Signature
+    * keys are df-capped like every other blocking key.
+    */
+  private def editCands(vocab: DataFrame): DataFrame = {
+    val sigs = vocab.select(col("t"), explode(Text.delNbh2(col("t"))).as("sig"))
+      .repartition(col("sig"))
+    val kept = sigs.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sig"))))
+      .filter(col("df") <= BigramDfCap)
+      .select(col("t"), col("sig"))
+    kept.as("a").join(kept.as("b"),
+        col("a.sig") === col("b.sig") && col("a.t") < col("b.t"))
+      .select(col("a.t").as("t1"), col("b.t").as("t2"))
+      .distinct()
+  }
+
+  /** halalService.ts:194-227 isWordSimilar — abbreviation dictionary
+    * first (broadcast equi-join), edit-distance fallback
+    * (deletion-signature blocked, `editsim ≥ 0.6 AND lev ≤ 2`).
+    */
+  def wordSimilar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dict = Seq(
+      ("restaurant", "rest"), ("restaurant", "resto"), ("kitchen", "kitch"),
+      ("house", "hse"), ("corner", "cnr"), ("centre", "ctr"),
+      ("international", "intl"), ("company", "co"), ("private", "pte"),
+      ("limited", "ltd")).toDF("full", "abbrev")
+    val vocab = vocabOf(spark, dir)
+    val candAbbrev = broadcast(dict)
+      .join(vocab.as("v1"), col("v1.t") === col("full"))
+      .join(vocab.as("v2"), col("v2.t") === col("abbrev"))
+      .select(least(col("full"), col("abbrev")).as("t1"),
+        greatest(col("full"), col("abbrev")).as("t2"))
+      .distinct()
+    val cand = editCands(vocab).union(candAbbrev).distinct()
+    cand
+      .join(candAbbrev.withColumn("is_abbrev", lit(1)), Seq("t1", "t2"), "left")
+      .withColumn("maxlen", greatest(length(col("t1")), length(col("t2"))))
+      .withColumn("lev", levenshtein(col("t1"), col("t2")))
+      .withColumn("editsim", (col("maxlen") - col("lev")) / col("maxlen").cast("double"))
+      .withColumn("sim_rule",
+        when(col("is_abbrev") === 1, "abbrev")
+          .when(col("editsim") >= 0.6 && col("lev") <= 2, "edit"))
+      .filter(col("sim_rule").isNotNull)
+      .select(col("t1"), col("t2"), col("sim_rule"), round(col("editsim"), 6).as("editsim"))
       .orderBy("t1", "t2")
   }
 
@@ -103,39 +203,33 @@ object FuzzyOps {
     * (tier, postal-analog confirmation, similarity, key) preference.
     * Tier 1 = exact clean name + size match ("postal" confirmation),
     * tier 2 = exact clean name, tier 3 = Jaccard ≥ 0.5.
+    * Candidates = df-capped bigram blocking ∪ cleaned-name equi-join
+    * (so exact tiers survive single-token names); similarity verified
+    * exactly on the full token sets.
     */
   def fuzzyResolve(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val left = p.select(col("p_partkey").as("lk"), col("p_size").as("lsize"),
       Text.cleanName(concat(col("p_name"), lit(" Pte Ltd"))).as("lcn"))
-      .withColumn("ln", size(tokensOf(col("lcn"))))
+      .withColumn("ltoks", tokensOf(col("lcn")))
+      .withColumn("ln", size(col("ltoks")))
     val right = p.select(col("p_partkey").as("rk"), col("p_size").as("rsize"),
       Text.cleanName(concat(col("p_name"), lit(" "), lower(col("p_type")))).as("rcn"))
-      .withColumn("rn", size(tokensOf(col("rcn"))))
+      .withColumn("rtoks", tokensOf(col("rcn")))
+      .withColumn("rn", size(col("rtoks")))
 
-    // Token-BIGRAM blocking: jaccard ≥ 0.5 over 2-3 token names forces
-    // every true pair to share ≥ 2 tokens, so blocking on sorted token
-    // pairs is lossless here and cuts the candidate blowup ~25× vs
-    // single-token blocking (hot single tokens have df in the
-    // thousands; bigrams in the hundreds). The shared-bigram count c
-    // per pair equals C(inter, 2), so the exact intersection size is
-    // recovered arithmetically — no token arrays ever travel with
-    // candidate pairs.
-    def combos(tok: DataFrame, key: String): DataFrame =
-      tok.as("x").join(tok.as("y"),
-          col(s"x.$key") === col(s"y.$key") && col("x.t") < col("y.t"))
-        .select(col(s"x.$key").as(key), concat_ws(" ", col("x.t"), col("y.t")).as("c"))
-    val lt = left.select(col("lk"), explode(tokensOf(col("lcn"))).as("t"))
-    val rt = right.select(col("rk"), explode(tokensOf(col("rcn"))).as("t"))
-    val cand = combos(lt, "lk").repartition(col("c"))
-      .join(combos(rt, "rk").repartition(col("c")), "c")
-      .groupBy("lk", "rk")
-      .agg(count(lit(1)).as("nc"))
-      .withColumn("inter", round((lit(1) + sqrt(lit(1) + lit(8) * col("nc"))) / 2, 0).cast("long"))
+    val cand = bigramCands(
+        left.select(col("lk"), col("ltoks").as("toks")), "lk",
+        right.select(col("rk"), col("rtoks").as("toks")), "rk", BigramDfCap)
+      .union(left.select(col("lk"), col("lcn"))
+        .join(right.select(col("rk"), col("rcn")), col("lcn") === col("rcn"))
+        .select(col("lk"), col("rk")))
+      .distinct()
 
     val scored = cand
       .join(left, "lk").join(right, "rk")
-      .withColumn("uni", col("ln") + col("rn") - col("inter"))
+      .withColumn("inter", size(array_intersect(col("ltoks"), col("rtoks"))))
+      .withColumn("uni", size(array_union(col("ltoks"), col("rtoks"))))
       .withColumn("jac", col("inter") / col("uni").cast("double"))
       .withColumn("size_match", (col("lsize") === col("rsize")).cast("int"))
       .withColumn("tier",
@@ -153,35 +247,89 @@ object FuzzyOps {
       .orderBy("lk")
   }
 
-  /** halalService.ts:194-227 isWordSimilar — abbreviation dictionary
-    * first, edit-distance fallback. Evaluated over the (tiny,
-    * broadcast) name vocabulary, labeled by which sim_rule matched.
+  /** The reference's word-matching dictionary, halalService.ts:205-216:
+    * full ↔ abbreviation plus abbreviation ↔ abbreviation of the same
+    * entry. Materialized as "a|b" strings in both orders so membership
+    * is one array_contains.
     */
-  def wordSimilar(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val dict = Seq(
-      ("restaurant", "rest"), ("restaurant", "resto"), ("kitchen", "kitch"),
-      ("house", "hse"), ("corner", "cnr"), ("centre", "ctr"),
-      ("international", "intl"), ("company", "co"), ("private", "pte"),
-      ("limited", "ltd")).toDF("full", "abbrev")
-    val vocab = Tables.part(spark, dir)
-      .select(explode(split(lower(col("p_name")), " ")).as("t"))
+  private[operators] val WordDict: Seq[(String, Seq[String])] = Seq(
+    "restaurant" -> Seq("rest", "resto"), "kitchen" -> Seq("kitchn", "kitch"),
+    "food" -> Seq("fd"), "house" -> Seq("hse"), "corner" -> Seq("cnr"),
+    "centre" -> Seq("center", "ctr"), "international" -> Seq("intl"),
+    "company" -> Seq("co"), "private" -> Seq("pte", "pvt"), "limited" -> Seq("ltd"))
+
+  private val DictPairs: Seq[String] = WordDict.flatMap { case (full, abbrevs) =>
+    val grp = full +: abbrevs
+    for (a <- grp; b <- grp if a != b) yield s"$a|$b"
+  }.distinct
+
+  /** halalService.ts:227-240 genericWords — words that cannot carry a
+    * match on their own.
+    */
+  private val GenericWords: Seq[String] = Seq(
+    "western", "food", "kitchen", "restaurant", "cafe", "stall", "house", "corner",
+    "snack", "delight", "express", "garden", "center", "place", "shop", "store",
+    "pte", "ltd", "private", "limited", "trading", "enterprise", "company")
+
+  /** halalService.ts:119-147 — the similar tier with the reference's
+    * FUZZY matching-word count: a left word matches if some right word
+    * contains it, is contained by it, is its dictionary
+    * abbreviation/variant, or is within 80% edit similarity
+    * (isWordSimilar). Accepts the reference's strict bar:
+    * sim ≥ 0.95 ∧ matching ≥ 3 ∧ ≥ 2 non-generic matches; prefers
+    * postal-analog confirmation then similarity (halalService.ts:146).
+    * Words are the reference's "significant" tokens (length > 2,
+    * halalService.ts:119). Candidates still come from the exact-token
+    * bigram index — fuzzy matching widens the overlap COUNT, not the
+    * candidate set (a qualifying pair at sim ≥ 0.95 shares nearly all
+    * words, hence many exact bigrams).
+    */
+  def fuzzyResolveWorded(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val sigToks = (c: Column) => filter(tokensOf(c), t => length(t) > 2)
+    val left = p.select(col("p_partkey").as("lk"), col("p_size").as("lsize"),
+      Text.cleanName(concat(col("p_name"), lit(" Centre Pte Ltd"))).as("lcn"))
+      .withColumn("ltoks", sigToks(col("lcn")))
+      .withColumn("ln", size(col("ltoks")))
+    val right = p.select(col("p_partkey").as("rk"), col("p_size").as("rsize"),
+      Text.cleanName(concat(col("p_name"), lit(" Center #01-77"))).as("rcn"))
+      .withColumn("rtoks", sigToks(col("rcn")))
+      .withColumn("rn", size(col("rtoks")))
+
+    val cand = bigramCands(
+        left.select(col("lk"), col("ltoks").as("toks")), "lk",
+        right.select(col("rk"), col("rtoks").as("toks")), "rk", BigramDfCap)
+      .union(left.select(col("lk"), col("lcn"))
+        .join(right.select(col("rk"), col("rcn")), col("lcn") === col("rcn"))
+        .select(col("lk"), col("rk")))
       .distinct()
-    val pairs = vocab.as("a").crossJoin(broadcast(vocab.as("b")))
-      .filter(col("a.t") < col("b.t"))
-      .withColumn("maxlen", greatest(length(col("a.t")), length(col("b.t"))))
-      .withColumn("editsim",
-        (col("maxlen") - levenshtein(col("a.t"), col("b.t"))) / col("maxlen").cast("double"))
-    pairs
-      .join(broadcast(dict),
-        (col("a.t") === col("abbrev") && col("b.t") === col("full")) ||
-          (col("a.t") === col("full") && col("b.t") === col("abbrev")), "left")
-      .withColumn("sim_rule",
-        when(col("full").isNotNull, "abbrev").when(col("editsim") >= 0.6, "edit"))
-      .filter(col("sim_rule").isNotNull)
-      .select(col("a.t").as("t1"), col("b.t").as("t2"), col("sim_rule"),
-        round(col("editsim"), 6).as("editsim"))
-      .orderBy("t1", "t2")
+
+    val dictLit = lit(DictPairs.toArray)
+    val genericLit = lit(GenericWords.toArray)
+    val editSim = (w: Column, h: Column) =>
+      (greatest(length(w), length(h)) - levenshtein(w, h)) /
+        greatest(length(w), length(h)).cast("double")
+    val scored = cand
+      .join(left, "lk").join(right, "rk")
+      .withColumn("matched", filter(col("ltoks"), w =>
+        exists(col("rtoks"), h =>
+          h.contains(w) || w.contains(h) ||
+            array_contains(dictLit, concat(w, lit("|"), h)) ||
+            editSim(w, h) >= 0.8)))
+      .withColumn("wm", size(col("matched")).cast("long"))
+      .withColumn("nspecific",
+        size(filter(col("matched"), w => !array_contains(genericLit, w))).cast("long"))
+      .withColumn("sim", round(col("wm") / greatest(col("ln"), col("rn")).cast("double"), 6))
+      .withColumn("size_match", (col("lsize") === col("rsize")).cast("int"))
+      .filter(col("sim") >= 0.95 && col("wm") >= 3 && col("nspecific") >= 2)
+
+    val w = Window.partitionBy(col("lk"))
+      .orderBy(col("size_match").desc, col("sim").desc, col("rk"))
+    scored
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") === 1)
+      .select(col("lk"), col("rk"), col("wm"), col("nspecific"), col("sim"), col("size_match"))
+      .orderBy("lk")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -190,9 +338,50 @@ object FuzzyOps {
     "q_token_jaccard_join" -> (tokenJaccardJoin _),
     "q_levenshtein_pairs" -> (levenshteinPairs _),
     "q_word_similar" -> (wordSimilar _),
-    "q_fuzzy_resolve" -> (fuzzyResolve _))
+    "q_fuzzy_resolve" -> (fuzzyResolve _),
+    "q_fuzzy_resolve_worded" -> (fuzzyResolveWorded _))
 
   private val cn = Text.sqlCleanName _
+
+  private val sqlDictList = DictPairs.map(s => s"'$s'").mkString("[", ", ", "]")
+  private val sqlGenericList = GenericWords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Shared SQL: capped-bigram candidates within one side. Expects
+    * `base(k, toks)` in scope; emits tok/cmb/kept/cand CTE bodies.
+    */
+  private def sqlSelfCands(cap: Int): String =
+    s"""tok AS (SELECT k, unnest(toks) t FROM base),
+       |cmb AS (SELECT a.k, a.t || ' ' || b.t c FROM tok a JOIN tok b ON a.k = b.k AND a.t < b.t),
+       |kept AS (SELECT k, c FROM cmb QUALIFY count(*) OVER (PARTITION BY c) <= $cap),
+       |cand AS (SELECT DISTINCT a.k k1, b.k k2 FROM kept a JOIN kept b ON a.c = b.c AND a.k < b.k)""".stripMargin
+
+  /** Shared SQL: two-sided capped-bigram ∪ exact-cleaned-name
+    * candidates. Expects `lt(lk, lcn, ltoks)` / `rt(rk, rcn, rtoks)`.
+    */
+  private def sqlTwoSideCands(cap: Int): String =
+    s"""ltok AS (SELECT lk, unnest(ltoks) t FROM lt),
+       |lcmb AS (SELECT a.lk, a.t || ' ' || b.t c FROM ltok a JOIN ltok b ON a.lk = b.lk AND a.t < b.t),
+       |rtok AS (SELECT rk, unnest(rtoks) t FROM rt),
+       |rcmb AS (SELECT a.rk, a.t || ' ' || b.t c FROM rtok a JOIN rtok b ON a.rk = b.rk AND a.t < b.t),
+       |hot AS (
+       |  SELECT c FROM (SELECT c FROM lcmb UNION ALL SELECT c FROM rcmb)
+       |  GROUP BY c HAVING count(*) > $cap
+       |), cand AS (
+       |  SELECT DISTINCT lk, rk FROM (
+       |    SELECT a.lk, b.rk FROM lcmb a JOIN rcmb b USING (c)
+       |    WHERE c NOT IN (SELECT c FROM hot)
+       |    UNION
+       |    SELECT lk, rk FROM lt JOIN rt ON lcn = rcn
+       |  )
+       |)""".stripMargin
+
+  /** SQL: deletion-signature edit candidates. Expects `vocab(t)`;
+    * emits sigs/skept/ecand.
+    */
+  private def sqlEditCands(cap: Int): String =
+    s"""sigs AS (SELECT t, unnest(${Text.sqlDelNbh2("t")}) sig FROM vocab),
+       |skept AS (SELECT t, sig FROM sigs QUALIFY count(*) OVER (PARTITION BY sig) <= $cap),
+       |ecand AS (SELECT DISTINCT a.t t1, b.t t2 FROM skept a JOIN skept b ON a.sig = b.sig AND a.t < b.t)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_clean_name" ->
@@ -208,50 +397,59 @@ object FuzzyOps {
          |     b AS (SELECT p_partkey k2, ${cn("p_name || ' #01-77'")} cn FROM part)
          |SELECT k1, k2, a.cn AS cn FROM a JOIN b USING (cn) WHERE k1 < k2 ORDER BY k1, k2""".stripMargin,
     "q_token_jaccard_join" ->
-      """WITH tok AS (
-        |  SELECT p_partkey k,
-        |         unnest(list_distinct(string_split(lower(p_name) || ' ' || lower(p_type), ' '))) t
-        |  FROM part
-        |), sz AS (SELECT k, count(*) n FROM tok GROUP BY k),
-        |pairs AS (
-        |  SELECT a.k k1, b.k k2, count(*) inter FROM tok a JOIN tok b ON a.t = b.t AND a.k < b.k
-        |  GROUP BY 1, 2
-        |)
-        |SELECT k1, k2, round(inter / (s1.n + s2.n - inter), 6) jac
-        |FROM pairs JOIN sz s1 ON s1.k = k1 JOIN sz s2 ON s2.k = k2
-        |WHERE inter / (s1.n + s2.n - inter) >= 0.5
-        |ORDER BY k1, k2""".stripMargin,
+      s"""WITH base AS (
+         |  SELECT p_partkey k,
+         |         list_distinct(string_split(lower(p_name) || ' ' || lower(p_type), ' ')) toks
+         |  FROM part
+         |), ${sqlSelfCands(BigramDfCap)},
+         |v AS (
+         |  SELECT k1, k2,
+         |         len(list_intersect(b1.toks, b2.toks)) inter,
+         |         len(list_intersect(b1.toks, b2.toks))
+         |           / len(list_distinct(list_concat(b1.toks, b2.toks)))::DOUBLE jac
+         |  FROM cand JOIN base b1 ON b1.k = k1 JOIN base b2 ON b2.k = k2
+         |)
+         |SELECT k1, k2, round(jac, 6) jac FROM v
+         |WHERE inter >= 2 AND jac >= 0.5
+         |ORDER BY k1, k2""".stripMargin,
     "q_levenshtein_pairs" ->
-      """WITH vocab AS (SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) t FROM part)
-        |SELECT a.t t1, b.t t2,
-        |       round((greatest(length(a.t), length(b.t)) - levenshtein(a.t, b.t))
-        |             / greatest(length(a.t), length(b.t))::DOUBLE, 6) sim
-        |FROM vocab a JOIN vocab b ON a.t < b.t
-        |WHERE (greatest(length(a.t), length(b.t)) - levenshtein(a.t, b.t))
-        |      / greatest(length(a.t), length(b.t))::DOUBLE >= 0.4
-        |ORDER BY t1, t2""".stripMargin,
+      s"""WITH vocab AS (SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) t FROM part),
+         |${sqlEditCands(BigramDfCap)}
+         |SELECT t1, t2,
+         |       round((greatest(length(t1), length(t2)) - levenshtein(t1, t2))
+         |             / greatest(length(t1), length(t2))::DOUBLE, 6) sim
+         |FROM ecand
+         |WHERE levenshtein(t1, t2) <= 2
+         |  AND (greatest(length(t1), length(t2)) - levenshtein(t1, t2))
+         |      / greatest(length(t1), length(t2))::DOUBLE >= 0.6
+         |ORDER BY t1, t2""".stripMargin,
     "q_word_similar" ->
-      """WITH vocab AS (SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) t FROM part),
-        |dict(yfull, yabbrev) AS (VALUES
-        |  ('restaurant','rest'), ('restaurant','resto'), ('kitchen','kitch'),
-        |  ('house','hse'), ('corner','cnr'), ('centre','ctr'),
-        |  ('international','intl'), ('company','co'), ('private','pte'),
-        |  ('limited','ltd')),
-        |pairs AS (
-        |  SELECT a.t t1, b.t t2,
-        |         (greatest(length(a.t), length(b.t)) - levenshtein(a.t, b.t))
-        |           / greatest(length(a.t), length(b.t))::DOUBLE editsim
-        |  FROM vocab a JOIN vocab b ON a.t < b.t
-        |), lab AS (
-        |  SELECT t1, t2, editsim,
-        |         CASE WHEN EXISTS (SELECT 1 FROM dict
-        |                           WHERE (t1 = yabbrev AND t2 = yfull)
-        |                              OR (t1 = yfull AND t2 = yabbrev)) THEN 'abbrev'
-        |              WHEN editsim >= 0.6 THEN 'edit' END sim_rule
-        |  FROM pairs
-        |)
-        |SELECT t1, t2, sim_rule, round(editsim, 6) editsim FROM lab
-        |WHERE sim_rule IS NOT NULL ORDER BY t1, t2""".stripMargin,
+      s"""WITH vocab AS (SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) t FROM part),
+         |${sqlEditCands(BigramDfCap)},
+         |dict(yfull, yabbrev) AS (VALUES
+         |  ('restaurant','rest'), ('restaurant','resto'), ('kitchen','kitch'),
+         |  ('house','hse'), ('corner','cnr'), ('centre','ctr'),
+         |  ('international','intl'), ('company','co'), ('private','pte'),
+         |  ('limited','ltd')),
+         |acand AS (
+         |  SELECT DISTINCT least(yfull, yabbrev) t1, greatest(yfull, yabbrev) t2
+         |  FROM dict JOIN vocab v1 ON v1.t = yfull JOIN vocab v2 ON v2.t = yabbrev
+         |), allc AS (SELECT t1, t2 FROM ecand UNION SELECT t1, t2 FROM acand),
+         |lab AS (
+         |  SELECT c.t1, c.t2,
+         |         (greatest(length(c.t1), length(c.t2)) - levenshtein(c.t1, c.t2))
+         |           / greatest(length(c.t1), length(c.t2))::DOUBLE editsim,
+         |         levenshtein(c.t1, c.t2) lev,
+         |         a.t1 IS NOT NULL isab
+         |  FROM allc c LEFT JOIN acand a ON a.t1 = c.t1 AND a.t2 = c.t2
+         |)
+         |SELECT t1, t2,
+         |       CASE WHEN isab THEN 'abbrev'
+         |            WHEN editsim >= 0.6 AND lev <= 2 THEN 'edit' END sim_rule,
+         |       round(editsim, 6) editsim
+         |FROM lab
+         |WHERE isab OR (editsim >= 0.6 AND lev <= 2)
+         |ORDER BY t1, t2""".stripMargin,
     "q_fuzzy_resolve" ->
       s"""WITH l AS (
          |  SELECT p_partkey lk, p_size lsize, ${cn("p_name || ' Pte Ltd'")} lcn FROM part
@@ -259,11 +457,8 @@ object FuzzyOps {
          |r AS (
          |  SELECT p_partkey rk, p_size rsize, ${cn("p_name || ' ' || lower(p_type)")} rcn FROM part
          |), rt AS (SELECT rk, rsize, rcn, list_distinct(string_split(rcn, ' ')) rtoks FROM r),
-         |cand AS (
-         |  SELECT DISTINCT a.lk, b.rk
-         |  FROM (SELECT lk, unnest(ltoks) t FROM lt) a
-         |  JOIN (SELECT rk, unnest(rtoks) t FROM rt) b USING (t)
-         |), scored AS (
+         |${sqlTwoSideCands(BigramDfCap)},
+         |scored AS (
          |  SELECT lk, rk,
          |         len(list_intersect(ltoks, rtoks)) inter,
          |         len(list_distinct(list_concat(ltoks, rtoks))) uni,
@@ -279,5 +474,40 @@ object FuzzyOps {
          |FROM scored
          |WHERE tier IS NOT NULL
          |QUALIFY row_number() OVER (PARTITION BY lk ORDER BY tier, size_match DESC, jac DESC, rk) = 1
+         |ORDER BY lk""".stripMargin,
+    "q_fuzzy_resolve_worded" ->
+      s"""WITH l AS (
+         |  SELECT p_partkey lk, p_size lsize, ${cn("p_name || ' Centre Pte Ltd'")} lcn FROM part
+         |), lt AS (SELECT lk, lsize, lcn,
+         |            list_filter(list_distinct(string_split(lcn, ' ')), t -> length(t) > 2) ltoks
+         |          FROM l),
+         |r AS (
+         |  SELECT p_partkey rk, p_size rsize, ${cn("p_name || ' Center #01-77'")} rcn FROM part
+         |), rt AS (SELECT rk, rsize, rcn,
+         |            list_filter(list_distinct(string_split(rcn, ' ')), t -> length(t) > 2) rtoks
+         |          FROM r),
+         |${sqlTwoSideCands(BigramDfCap)},
+         |scored AS (
+         |  SELECT lk, rk,
+         |         list_filter(ltoks, w -> len(list_filter(rtoks, h ->
+         |           contains(h, w) OR contains(w, h)
+         |           OR list_contains($sqlDictList, w || '|' || h)
+         |           OR (greatest(length(w), length(h)) - levenshtein(w, h))
+         |              / greatest(length(w), length(h))::DOUBLE >= 0.8)) > 0) matched,
+         |         len(ltoks) ln, len(rtoks) rn,
+         |         CASE WHEN lsize = rsize THEN 1 ELSE 0 END size_match
+         |  FROM cand JOIN lt USING (lk) JOIN rt USING (rk)
+         |), m AS (
+         |  SELECT lk, rk,
+         |         CAST(len(matched) AS BIGINT) wm,
+         |         CAST(len(list_filter(matched, w -> NOT list_contains($sqlGenericList, w))) AS BIGINT) nspecific,
+         |         round(len(matched) / greatest(ln, rn)::DOUBLE, 6) sim,
+         |         size_match
+         |  FROM scored
+         |)
+         |SELECT lk, rk, wm, nspecific, sim, size_match
+         |FROM m
+         |WHERE sim >= 0.95 AND wm >= 3 AND nspecific >= 2
+         |QUALIFY row_number() OVER (PARTITION BY lk ORDER BY size_match DESC, sim DESC, rk) = 1
          |ORDER BY lk""".stripMargin)
 }

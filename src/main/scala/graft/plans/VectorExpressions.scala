@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for dense-vector math.
   *
@@ -31,16 +32,43 @@ object VectorExpressions {
     case other => throw new IllegalArgumentException(s"expected array<float|double>, got $other")
   }
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  private def vectorTypeCheck(name: String, types: DataType*): TypeCheckResult = {
+    val bad = types.collectFirst {
+      case t if !t.isInstanceOf[ArrayType] ||
+        (t.asInstanceOf[ArrayType].elementType != FloatType &&
+          t.asInstanceOf[ArrayType].elementType != DoubleType) => t
+    }
+    bad match {
+      case Some(t) =>
+        TypeCheckResult.TypeCheckFailure(s"$name expects array<float> or array<double>, got $t")
+      case None if types.distinct.lengthCompare(1) > 0 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name expects both arguments to have the same element type, got ${types.mkString(" vs ")}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  private def lengthMismatch(name: String, n1: Int, n2: Int): Nothing =
+    throw new IllegalArgumentException(s"$name: vector length mismatch ($n1 vs $n2)")
+
+  /** Σ aᵢ·bᵢ in double precision. Both inputs must be arrays of the
+    * same float/double element type and equal length (analysis-time
+    * type check; runtime length check) — the SQL-facing `graft_dot`
+    * would otherwise silently read garbage on mixed inputs.
+    */
   case class DotProductExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     private lazy val isFloat = elemIsFloat(left.dataType)
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      vectorTypeCheck("graft_dot", left.dataType, right.dataType)
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n) lengthMismatch("graft_dot", n, y.numElements())
       var s = 0.0
       var i = 0
       if (isFloat) while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -54,7 +82,11 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  throw new IllegalArgumentException(
+           |    "graft_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
            |${ev.value} = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  ${ev.value} += (double) $a.$get($i) * (double) $b.$get($i);
@@ -71,6 +103,9 @@ object VectorExpressions {
   case class L2NormExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     private lazy val isFloat = elemIsFloat(child.dataType)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      vectorTypeCheck("graft_l2norm", child.dataType)
 
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -104,8 +139,108 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All random-hyperplane LSH band signatures of a float vector, in
+    * one pass: `array<long>` of `weights.length / bitsPerBand` band
+    * values, where bit `j` of band `b` is the sign of the projection
+    * onto hyperplane `b*bitsPerBand + j`.
+    *
+    * The arithmetic is EXACTLY portable to the DuckDB oracle: the
+    * vector is floor-quantized to integers (`floor(v*1e6)`), the
+    * hyperplane components are integers derived from md5 (see
+    * [[graft.functions.Vectors.hyperplaneWeights]]), and the sign is
+    * taken on an integer sum — no floating-point accumulation order
+    * can ever flip a bit between engines.
+    */
+  case class HyperplaneSigsExpr(child: Expression, weights: Array[Array[Long]], bitsPerBand: Int)
+      extends UnaryExpression {
+    require(weights.nonEmpty && weights.length % bitsPerBand == 0,
+      s"plane count ${weights.length} must be a positive multiple of bitsPerBand=$bitsPerBand")
+    private val bands = weights.length / bitsPerBand
+    private val dim = weights(0).length
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_hyperplane_sigs expects array<float>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      if (x.numElements() != dim) lengthMismatch("graft_hyperplane_sigs", dim, x.numElements())
+      val q = new Array[Long](dim)
+      var i = 0
+      while (i < dim) { q(i) = math.floor(x.getFloat(i).toDouble * 1e6).toLong; i += 1 }
+      val sigs = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var sig = 0L
+        var j = 0
+        while (j < bitsPerBand) {
+          val w = weights(b * bitsPerBand + j)
+          var s = 0L
+          var k = 0
+          while (k < dim) { s += q(k) * w(k); k += 1 }
+          if (s >= 0) sig |= 1L << j
+          j += 1
+        }
+        sigs(b) = sig
+        b += 1
+      }
+      new GenericArrayData(sigs)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("planeWeights", weights, "long[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val q = ctx.freshName("q")
+        val sigs = ctx.freshName("sigs")
+        val sig = ctx.freshName("sig")
+        val b = ctx.freshName("b")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val s = ctx.freshName("s")
+        val w = ctx.freshName("w")
+        s"""
+           |if ($a.numElements() != $dim) {
+           |  throw new IllegalArgumentException(
+           |    "graft_hyperplane_sigs: vector length mismatch ($dim vs " + $a.numElements() + ")");
+           |}
+           |long[] $q = new long[$dim];
+           |for (int $k = 0; $k < $dim; $k++) {
+           |  $q[$k] = (long) java.lang.Math.floor((double) $a.getFloat($k) * 1.0E6);
+           |}
+           |long[] $sigs = new long[$bands];
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $sig = 0L;
+           |  for (int $j = 0; $j < $bitsPerBand; $j++) {
+           |    long[] $w = $wRef[$b * $bitsPerBand + $j];
+           |    long $s = 0L;
+           |    for (int $k = 0; $k < $dim; $k++) { $s += $q[$k] * $w[$k]; }
+           |    if ($s >= 0L) $sig |= 1L << $j;
+           |  }
+           |  $sigs[$b] = $sig;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Band signatures for `bands × bitsPerBand` md5-derived hyperplanes
+    * over a `dim`-dimensional float vector (plane seeds start at 0).
+    */
+  def hyperplaneSigsNative(v: Column, bands: Int, bitsPerBand: Int, dim: Int): Column =
+    ColumnBridge.column(HyperplaneSigsExpr(
+      ColumnBridge.expression(v),
+      graft.functions.Vectors.hyperplaneWeights(bands * bitsPerBand, dim),
+      bitsPerBand))
 
   def normNative(a: Column): Column =
     ColumnBridge.column(L2NormExpr(ColumnBridge.expression(a)))
