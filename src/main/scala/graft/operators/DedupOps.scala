@@ -63,10 +63,14 @@ object DedupOps {
     * prunes candidate generation, never distorts the measure.
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    dedupNgramCapped(spark, dir, DfCap)
+    dedupNgramFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")), DfCap)
 
-  private[operators] def dedupNgramCapped(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), shingleSet(col("text")).as("sh"))
+  /** Frame-based core of [[dedupNgram]]: `docs` must carry
+    * (doc_id, text). Exposed within the package so specs can feed
+    * synthetic hot-key corpora.
+    */
+  private[operators] def dedupNgramFrame(docs: DataFrame, dfCap: Int): DataFrame = {
+    val d = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
     // repartition on the blocking shingle — single-row-group local
     // files otherwise serialize the whole pair stage on one core; the
     // df-cap window then reuses that partitioning (no extra shuffle)
@@ -259,14 +263,16 @@ object DedupOps {
     while (changed > 0 && rounds < maxRounds) {
       val prop = edges.join(labels, col("ea") === col("id"))
         .select(col("eb").as("id"), col("lab"))
+      // checkpoint before the self-join: truncates lineage AND gives
+      // the two join sides clean, distinct attribute sets
       val merged = labels.union(prop).groupBy("id").agg(min("lab").as("lab"))
+        .localCheckpoint(true)
       // pointer jump: lab ← lab(lab); labels always contain every
       // vertex id, and lab is always some vertex id, so the inner
       // self-join is total
-      val next = merged.as("m")
-        .join(merged.select(col("id").as("jid"), col("lab").as("jlab")).as("j"),
-          col("m.lab") === col("j.jid"))
-        .select(col("m.id").as("id"), col("j.jlab").as("lab"))
+      val next = merged
+        .join(merged.toDF("jid", "jlab"), col("lab") === col("jid"))
+        .select(col("id"), col("jlab").as("lab"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
         .filter(col("lab") =!= col("old")).count()

@@ -154,7 +154,7 @@ object FuzzyOps {
     * a superset of all pairs within Levenshtein distance 2. Signature
     * keys are df-capped like every other blocking key.
     */
-  private def editCands(vocab: DataFrame): DataFrame = {
+  private[operators] def editCands(vocab: DataFrame): DataFrame = {
     val sigs = vocab.select(col("t"), explode(Text.delNbh2(col("t"))).as("sig"))
       .repartition(col("sig"))
     val kept = sigs.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sig"))))

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Guards for the scale-critical behaviors of round 2: LSH recall vs
+  * the exact baseline, df-capped blocking on hot keys, connected-
+  * component convergence on deep chains, and single-token-name safety
+  * in the fuzzy resolver.
+  */
+class ScaleGuardsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf01 = "/root/testdata/sf0.01"
+
+  // --- LSH prefilter recall ------------------------------------------------
+
+  test("embedding LSH dedup equals the all-pairs baseline at sf0.01 (candidates ⊇ truth)") {
+    val lsh = DedupOps.dedupEmbedding(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = DedupOps.dedupEmbeddingAllPairs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty, "baseline should find at least one pair at sf0.01")
+    assert(lsh === full)
+  }
+
+  // --- df-capped blocking --------------------------------------------------
+
+  /** 40 docs that all share one boilerplate sentence (a hot shingle
+    * with df 40) plus two genuine near-dup pairs that share distinctive
+    * content. With the cap the hot shingle is dropped from blocking:
+    * the boilerplate-only pairs disappear while true dups survive via
+    * their cold shingles.
+    */
+  test("df-cap drops hot blocking keys but keeps true dups reachable via cold shingles") {
+    import spark.implicits._
+    val boiler = "all rights reserved worldwide"
+    val docs = (0 until 40).map { i =>
+      val body =
+        if (i == 0 || i == 1) s"unique alpha beta gamma delta epsilon zeta eta theta $boiler"
+        else if (i == 2 || i == 3) s"other kappa lambda mu nu xi omicron pi rho $boiler"
+        else s"filler${i}a filler${i}b filler${i}c filler${i}d $boiler"
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+
+    val capped = DedupOps.dedupNgramFrame(docs, dfCap = 10)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // true dups (0,1) and (2,3) share 6+ cold shingles each → survive
+    assert(capped.contains((0L, 1L)) && capped.contains((2L, 3L)))
+    // filler docs share ONLY boilerplate shingles (df 40 > cap) → no
+    // candidate blowup: none of the 36×35/2 filler pairs appear
+    assert(capped.forall { case (a, b) => a <= 3 && b <= 3 })
+
+    val uncapped = DedupOps.dedupNgramFrame(docs, dfCap = Int.MaxValue)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+  }
+
+  // --- connected components ------------------------------------------------
+
+  test("connected components labels a 60-node chain correctly (diameter >> round cap)") {
+    import spark.implicits._
+    // path 100-101-...-159 plus a separate triangle 500-501-502
+    val chain = (100L until 159L).map(i => (i, i + 1))
+    val tri = Seq((500L, 501L), (501L, 502L), (500L, 502L))
+    val labels = DedupOps.connectedComponents((chain ++ tri).toDF("d1", "d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((100L to 159L).forall(labels(_) == 100L))
+    assert((500L to 502L).forall(labels(_) == 500L))
+  }
+
+  test("connected components fails loudly when the round cap is too low") {
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    assertThrows[IllegalStateException] {
+      DedupOps.connectedComponents(chain, maxRounds = 2).collect()
+    }
+  }
+
+  // --- single-token names in the fuzzy resolver ----------------------------
+
+  test("resolve matches exact tiers for names that clean to a single token") {
+    import spark.implicits._
+    val l = Seq((1L, "Acme Pte Ltd", "11111"), (2L, "Zen Garden House", "22222"))
+      .toDF("id", "name", "postal")
+    val r = Seq((10L, "ACME Private Limited", "11111"), (20L, "Zen Garden Hse #01-02", "33333"))
+      .toDF("id", "name", "postal")
+    val out = FuzzyJoin.resolve(
+        l, "id", col("name"), col("postal"),
+        r, "id", col("name"), col("postal"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // "Acme Pte Ltd" cleans to the single token "acme" — no bigram
+    // exists, yet tier 1 (exact name + postal) must still find it
+    assert(out.contains((1L, 10L, 1)))
+  }
+
+  // --- deletion-neighborhood blocking is lossless for lev ≤ 2 --------------
+
+  test("deletion signatures cover every vocab pair within levenshtein 2") {
+    import spark.implicits._
+    val words = Seq("kitchen", "kitchn", "centre", "center", "cntre", "abc", "a",
+      "ab", "ba", "yellow", "yellw", "mellow", "stall", "small", "smalls")
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val want = (for {
+      a <- words; b <- words if a < b && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    val got = FuzzyOps.editCands(words.toDF("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(want.subsetOf(got), s"missing: ${want diff got}")
+  }
+
+  // --- worded resolve: fuzzy word-match rules ------------------------------
+
+  test("worded resolve accepts self-pairs via dictionary word match (centre↔center)") {
+    val rows = FuzzyOps.fuzzyResolveWorded(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    // every accepted match satisfies the reference's strict bar
+    assert(rows.forall { r =>
+      val wm = r.getLong(2); val nspec = r.getLong(3); val sim = r.getDouble(4)
+      wm >= 3 && nspec >= 2 && sim >= 0.95
+    })
+    // names are "<p_name> centre" vs "<p_name> center": only the
+    // 2-word p_name can match exactly, so wm ≥ 3 is reachable ONLY via
+    // the dictionary rule (centre↔center: editsim 0.667 < 0.8, not a
+    // substring) — any accepted self-pair proves the fuzzy rule fired
+    assert(rows.exists(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  // --- native expression validation ---------------------------------------
+
+  test("graft_dot rejects mixed element types at analysis time") {
+    import graft.plans.VectorExpressions
+    val df = spark.range(1)
+      .withColumn("f", array(lit(1.0f), lit(2.0f)))
+      .withColumn("d", array(lit(1.0), lit(2.0)))
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExpressions.dotNative(col("f"), col("d"))).collect()
+    }
+  }
+
+  test("graft_dot raises on length mismatch instead of truncating") {
+    import graft.plans.VectorExpressions
+    val df = spark.range(1)
+      .withColumn("a", array(lit(1.0f), lit(2.0f)))
+      .withColumn("b", array(lit(1.0f)))
+    val ex = intercept[Exception] {
+      df.select(VectorExpressions.dotNative(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(c => c.getMessage != null && c.getMessage.contains("length mismatch")))
+  }
+
+  test("hyperplane signatures match a driver-side recomputation") {
+    import graft.plans.VectorExpressions
+    import graft.functions.Vectors
+    val bands = 4; val bits = 6; val dim = 64
+    val rows = graft.sources.Tables.embeddings(spark, sf01)
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"),
+        VectorExpressions.hyperplaneSigsNative(col("embedding"), bands, bits, dim).as("sigs"),
+        col("embedding"))
+      .collect()
+    val w = Vectors.hyperplaneWeights(bands * bits, dim)
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](2)
+      val q = emb.map(x => math.floor(x.toDouble * 1e6).toLong)
+      val expect = (0 until bands).map { b =>
+        (0 until bits).map { j =>
+          val s = q.indices.map(i => q(i) * w(b * bits + j)(i)).sum
+          if (s >= 0) 1L << j else 0L
+        }.sum
+      }
+      assert(r.getSeq[Long](1) === expect)
+    }
+  }
+}
