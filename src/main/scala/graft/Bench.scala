@@ -18,11 +18,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: bench only the named queries (local iteration)
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => wanted(n) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      // noop sink, not count(): count() lets Catalyst prune every
+      // unreferenced projection, so projection-heavy queries would be
+      // timed without computing their output columns
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); "ok"
+      } catch { case _: Throwable => "ERR" }
       val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $secs%8.2f s  ($n rows)")
+      System.err.println(f"[bench] $name%-24s $secs%8.2f s  ($ok)")
       name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

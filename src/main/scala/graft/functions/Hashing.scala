@@ -19,13 +19,21 @@ object Hashing {
 
   /** k-gram shingles over a token array: contiguous k-token windows
     * joined by single spaces.
+    *
+    * Built by zipping k shifted slices of the array rather than
+    * `transform(sequence(...), i => slice(toks, i, k))`: in the latter
+    * form `toks` sits INSIDE the lambda body, so the (interpreted)
+    * evaluator re-computes the whole token expression once per window
+    * index — O(L²) per document, and the dominant cost of the ngram
+    * dedup suite when `toks` is itself a `split(text)`. The zipped
+    * form references `toks` a constant number of times per row.
     */
-  def shingles(toks: Column, k: Int): Column =
-    // guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
-    when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  def shingles(toks: Column, k: Int): Column = {
+    val n = greatest(size(toks) - (k - 1), lit(0))
+    val windows = (1 to k).map(off => slice(toks, lit(off), n))
+    windows.reduceLeft((acc, next) =>
+      zip_with(acc, next, (a, b) => concat_ws(" ", a, b)))
+  }
 
   /** MinHash signature value for one "permutation": the minimum md5 hex
     * string of (seed ‖ shingle). Lexicographic min over hex strings is

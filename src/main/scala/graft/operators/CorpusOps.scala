@@ -67,15 +67,17 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  /** Label-distribution profile of the embedding corpus. */
-  def classBalance(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val total = e.count()
-    e.groupBy("label")
-      .agg(count(lit(1)).as("n"),
-        round(count(lit(1)) / lit(total.toDouble), 6).as("frac"))
+  /** Label-distribution profile of the embedding corpus. ONE scan:
+    * the total is a whole-frame window sum over the (tiny) aggregated
+    * label counts, not a second driver-side `count()` pass.
+    */
+  def classBalance(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac",
+        round(col("n") / sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
       .orderBy("label")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> (stratifiedSample _),

@@ -58,9 +58,13 @@ object DedupOps {
   }
 
   /** n-gram (3-token shingle) Jaccard near-dup pairs: df-capped
-    * inverted-index blocking generates candidates, which are verified
-    * with the exact Jaccard over the FULL shingle sets — the cap only
-    * prunes candidate generation, never distorts the measure.
+    * inverted-index blocking generates candidates, whose measure is
+    * recovered ARITHMETICALLY — the blocking key IS the shingle, so
+    * the aggregated per-pair co-count is already |sh1 ∩ sh2|. Shingle
+    * arrays never ride the pair shuffle: only pairs where BOTH docs
+    * touched a dropped hot shingle (a dropped shared shingle is hot
+    * on both sides by definition) fall back to exact full-set
+    * verification; that set is empty below the cap.
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     dedupNgramFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")), DfCap)
@@ -70,24 +74,38 @@ object DedupOps {
     * synthetic hot-key corpora.
     */
   private[operators] def dedupNgramFrame(docs: DataFrame, dfCap: Int): DataFrame = {
-    val d = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
-    // repartition on the blocking shingle — single-row-group local
-    // files otherwise serialize the whole pair stage on one core; the
-    // df-cap window then reuses that partitioning (no extra shuffle)
-    val ex = d.select(col("doc_id").as("k"), explode(col("sh")).as("s")).repartition(col("s"))
-    val kept = ex.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= dfCap)
-      .select(col("k"), col("s"))
-    val cand = kept.as("a").join(kept.as("b"),
+    // repartition the raw docs — single-row-group local files would
+    // otherwise compute every shingle set on one core
+    val d = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val ex = d.select(col("doc_id").as("k"), explode(col("sh")).as("s"))
+    // hot keys via aggregation + broadcast anti-join — the hot set is
+    // tiny, so no per-key window sort of the exploded shingle stream
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("s")
+    val kept = ex.join(broadcast(hot), Seq("s"), "left_anti")
+    val pairs = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.k") < col("b.k"))
-      .select(col("a.k").as("d1"), col("b.k").as("d2"))
-      .distinct()
-    cand
+      .groupBy(col("a.k").as("d1"), col("b.k").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val tainted = ex.join(broadcast(hot), Seq("s")).select(col("k")).distinct()
+    val meta = d.select(col("doc_id"), size(col("sh")).as("n"))
+      .join(tainted.withColumnRenamed("k", "doc_id").withColumn("tf", lit(1)),
+        Seq("doc_id"), "left")
+    val m = pairs
+      .join(meta.select(col("doc_id").as("d1"), col("n").as("n1"), col("tf").as("tf1")), "d1")
+      .join(meta.select(col("doc_id").as("d2"), col("n").as("n2"), col("tf").as("tf2")), "d2")
+    val clean = m.filter(col("tf1").isNull || col("tf2").isNull)
+      .withColumn("jac",
+        col("inter") / (col("n1") + col("n2") - col("inter")).cast("double"))
+    val dirty = m.filter(col("tf1").isNotNull && col("tf2").isNotNull)
       .join(d.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(d.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("jac",
         size(array_intersect(col("sh1"), col("sh2"))) /
           size(array_union(col("sh1"), col("sh2"))).cast("double"))
+    clean.select(col("d1"), col("d2"), col("jac"))
+      .union(dirty.select(col("d1"), col("d2"), col("jac")))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
       .orderBy("d1", "d2")
@@ -253,8 +271,10 @@ object DedupOps {
     * emitting unconverged labels would mislabel deep chains.
     */
   private[operators] def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
-    val p = pairs.toDF("pa", "pb")
-    val edges = p.union(p.select(col("pb"), col("pa"))).toDF("ea", "eb").cache()
+    // materialize the (expensive) upstream pair query exactly once —
+    // every loop round reads this checkpointed RDD, never the lineage
+    val p = pairs.toDF("pa", "pb").localCheckpoint(true)
+    val edges = p.union(p.select(col("pb"), col("pa"))).toDF("ea", "eb")
     var labels = edges.select(col("ea").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
       .localCheckpoint(true)
@@ -263,20 +283,22 @@ object DedupOps {
     while (changed > 0 && rounds < maxRounds) {
       val prop = edges.join(labels, col("ea") === col("id"))
         .select(col("eb").as("id"), col("lab"))
-      // checkpoint before the self-join: truncates lineage AND gives
-      // the two join sides clean, distinct attribute sets
       val merged = labels.union(prop).groupBy("id").agg(min("lab").as("lab"))
-        .localCheckpoint(true)
       // pointer jump: lab ← lab(lab); labels always contain every
       // vertex id, and lab is always some vertex id, so the inner
-      // self-join is total
+      // self-join is total. The aliased projection gives the two join
+      // sides distinct attribute sets without a materialization.
       val next = merged
-        .join(merged.toDF("jid", "jlab"), col("lab") === col("jid"))
+        .join(merged.select(col("id").as("jid"), col("lab").as("jlab")),
+          col("lab") === col("jid"))
         .select(col("id"), col("jlab").as("lab"))
+      // ONE eager job per round: checkpoint (new lab, old lab)
+      // together, then the convergence check is a cheap count over
+      // the materialized RDD instead of a separate join job
+      val stepped = next.join(labels.select(col("id"), col("lab").as("old")), "id")
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
-        .filter(col("lab") =!= col("old")).count()
-      labels = next
+      changed = stepped.filter(col("lab") =!= col("old")).count()
+      labels = stepped.select(col("id"), col("lab"))
       rounds += 1
     }
     if (changed > 0)

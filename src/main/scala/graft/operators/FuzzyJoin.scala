@@ -50,23 +50,52 @@ object FuzzyJoin {
     val r = right.select(col(rightKey).as("rk"), Text.cleanName(rightName).as("rcn"), rightAux.as("raux"))
       .withColumn("rtoks", array_distinct(split(col("rcn"), " ")))
 
-    val cand = FuzzyOps.bigramCands(
-        l.select(col("lk"), col("ltoks").as("toks")), "lk",
-        r.select(col("rk"), col("rtoks").as("toks")), "rk", dfCap)
-      .union(l.select(col("lk"), col("lcn"))
-        .join(r.select(col("rk"), col("rcn")), col("lcn") === col("rcn"))
-        .select(col("lk"), col("rk")))
-      .distinct()
+    // Candidates as COUNTS: the bigram-bucket join is aggregated to
+    // (lk, rk, nc) — the shared-bigram count — instead of a distinct
+    // pair list that token arrays are re-joined to. nc = C(inter, 2)
+    // exactly unless both sides touched a df-capped hot key, so the
+    // similarity of almost every pair is recovered arithmetically.
+    val (pairs, hotL, hotR) = FuzzyOps.twoSidePairCounts(
+      l.select(col("lk"), col("ltoks").as("toks")), "lk",
+      r.select(col("rk"), col("rtoks").as("toks")), "rk", dfCap)
+    val eq = l.select(col("lk"), col("lcn"))
+      .join(r.select(col("rk"), col("rcn")), col("lcn") === col("rcn"))
+      .select(col("lk"), col("rk"), lit(1).as("eqf"))
+    val lmeta = l.select(col("lk"), col("laux"), size(col("ltoks")).as("ln"))
+      .join(hotL.withColumnRenamed("hd", "hd1"), Seq("lk"), "left").na.fill(0L, Seq("hd1"))
+    val rmeta = r.select(col("rk"), col("raux"), size(col("rtoks")).as("rn"))
+      .join(hotR.withColumnRenamed("hd", "hd2"), Seq("rk"), "left").na.fill(0L, Seq("hd2"))
+    val m = pairs.join(eq, Seq("lk", "rk"), "full_outer")
+      .join(lmeta, "lk").join(rmeta, "rk")
 
-    val scored = cand
-      .join(l, "lk").join(r, "rk")
+    // equal cleaned names ⟹ identical token sets ⟹ jac = 1: the
+    // exact tiers never need arrays, even for single-token names
+    val clean = m.filter(col("eqf") === 1 || least(col("hd1"), col("hd2")) === 0)
+      .withColumn("inter",
+        when(col("eqf") === 1, col("ln")).otherwise(FuzzyOps.interFromNc(col("nc"))))
+      .withColumn("jac", when(col("eqf") === 1, lit(1.0))
+        .otherwise(col("inter") / (col("ln") + col("rn") - col("inter")).cast("double")))
+    // pairs whose nc may undercount (both sides dropped hot bigrams —
+    // empty below the cap): bound the true intersection by
+    // nc + min(hd1, hd2), prune pairs that cannot reach tier 3 even
+    // at the bound, and exact-verify the survivors
+    val dirty = m.filter(col("eqf").isNull && least(col("hd1"), col("hd2")) > 0)
+      .withColumn("iub",
+        least(FuzzyOps.interUbFromNc(col("nc") + least(col("hd1"), col("hd2"))),
+          least(col("ln"), col("rn"))))
+      .filter(col("iub") / (col("ln") + col("rn") - col("iub")).cast("double") >= threshold)
+      .join(l.select(col("lk"), col("ltoks")), "lk")
+      .join(r.select(col("rk"), col("rtoks")), "rk")
       .withColumn("inter", size(array_intersect(col("ltoks"), col("rtoks"))))
       .withColumn("jac",
         col("inter") / size(array_union(col("ltoks"), col("rtoks"))).cast("double"))
+
+    val cols = Seq("lk", "rk", "eqf", "laux", "raux", "jac").map(col)
+    val scored = clean.select(cols: _*).union(dirty.select(cols: _*))
       .withColumn("aux_match", (col("laux") === col("raux")).cast("int"))
       .withColumn("tier",
-        when(col("lcn") === col("rcn") && col("aux_match") === 1, 1)
-          .when(col("lcn") === col("rcn"), 2)
+        when(col("eqf") === 1 && col("aux_match") === 1, 1)
+          .when(col("eqf") === 1, 2)
           .when(col("jac") >= threshold, 3))
       .filter(col("tier").isNotNull)
 

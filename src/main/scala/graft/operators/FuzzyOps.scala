@@ -25,12 +25,22 @@ import graft.sources.Tables
   *     by d rows yields d²/2 candidates, so one stop-phrase bigram in
   *     a web-scale corpus would otherwise go quadratic. The cap is
   *     mirrored in the oracle SQL and only prunes candidate
-  *     generation — similarity is always verified on the full token
-  *     sets, so found pairs carry exact measures.
+  *     generation, never the measure of a found pair.
+  *   - Verification is ARITHMETIC, not array-based: the bigram bucket
+  *     join is aggregated to a per-pair co-count `nc`, and since two
+  *     rows sharing `inter` tokens share exactly C(inter, 2) sorted
+  *     bigrams, `inter` (hence Jaccard) is recovered by inverting the
+  *     binomial — token arrays never ride the pair shuffle. Only
+  *     pairs where BOTH sides touched a dropped hot key (a dropped
+  *     shared bigram is hot on both sides by definition) fall back to
+  *     exact full-token-set verification; that set is empty below the
+  *     cap and cap-bounded above it.
   *   - Exact tiers are additionally fed by a cleaned-name equi-join,
   *     so single-token names (which have no bigram) can never be
-  *     dropped. Tier-3 pairs are only guaranteed when both names have
-  *     ≥ 2 distinct tokens (the reference's ≥ 2-matching-words rule).
+  *     dropped; equal cleaned names have identical token sets, so
+  *     their Jaccard is 1 by construction — again no arrays. Tier-3
+  *     pairs are only guaranteed when both names have ≥ 2 distinct
+  *     tokens (the reference's ≥ 2-matching-words rule).
   */
 object FuzzyOps {
 
@@ -42,44 +52,83 @@ object FuzzyOps {
 
   private def tokensOf(c: Column): Column = array_distinct(split(c, " "))
 
-  /** Sorted token-bigram keys (k, c) for a keyed token-array frame. */
-  private def combos(df: DataFrame, key: String): DataFrame = {
-    val tok = df.select(col(key), explode(col("toks")).as("t"))
-    tok.as("x").join(tok.as("y"),
-        col(s"x.$key") === col(s"y.$key") && col("x.t") < col("y.t"))
-      .select(col(s"x.$key").as(key), concat_ws(" ", col("x.t"), col("y.t")).as("c"))
+  /** All sorted token bigrams of one row's distinct-token array,
+    * computed per row with no join: sort, then pair each token with
+    * every later one. One explode downstream turns these into blocking
+    * keys — a shuffle-and-self-join cheaper than the exploded-token
+    * equi-join it replaces.
+    */
+  private[operators] def bigramsOf(toks: Column): Column = {
+    val st = array_sort(toks)
+    flatten(transform(st, (t, i) =>
+      transform(slice(st, i + lit(2), size(st)), u => concat_ws(" ", t, u))))
   }
 
-  /** Distinct candidate pairs between two keyed token-array frames
-    * `l(lk, toks)` / `r(rk, toks)` that share at least one bigram key
-    * whose total df (both sides) is ≤ `cap`. The hot-key set is tiny
-    * after aggregation, so the exclusions are broadcast anti-joins.
+  /** Inverse of `nc = C(inter, 2)`: two rows sharing `inter` tokens
+    * share exactly C(inter, 2) sorted bigrams, so the shared-token
+    * count is recovered arithmetically from the bigram co-count —
+    * no token arrays ever ride the pair shuffle.
     */
-  private[operators] def bigramCands(
-      l: DataFrame, lk: String, r: DataFrame, rk: String, cap: Int): DataFrame = {
-    val lc = combos(l, lk).repartition(col("c"))
-    val rc = combos(r, rk).repartition(col("c"))
-    val hot = lc.select(col("c")).union(rc.select(col("c")))
+  private[operators] def interFromNc(nc: Column): Column =
+    round((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * nc)) / lit(2.0), 0).cast("int")
+
+  /** Largest `inter` consistent with an UPPER BOUND on the co-count:
+    * C(inter, 2) ≤ ncUb ⟹ inter ≤ ⌊(1 + √(1+8·ncUb)) / 2⌋. Used to
+    * bound the true intersection of a pair whose kept co-count may
+    * undercount by up to min(hd1, hd2) dropped hot bigrams.
+    */
+  private[operators] def interUbFromNc(ncUb: Column): Column =
+    floor((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * ncUb)) / lit(2.0)).cast("int")
+
+  /** Co-bigram counts for pairs within one keyed token-array frame
+    * `base(key, toks)`.
+    *
+    * Returns `(pairs(k1, k2, nc), hotCnt(k, hd))`: per ordered pair,
+    * the number of SHARED bigram keys that survived the df-cap; per
+    * row, the number of its bigrams that were dropped as hot. A
+    * dropped shared bigram is hot and counts toward BOTH rows, so
+    * `nc = C(inter, 2)` exactly whenever min(hd1, hd2) = 0, and in
+    * general `nc ≤ C(inter, 2) ≤ nc + min(hd1, hd2)` — callers prune
+    * with the bound and verify only pairs that could pass.
+    */
+  private[operators] def selfPairCounts(
+      base: DataFrame, key: String, cap: Int): (DataFrame, DataFrame) = {
+    val bg = base.select(col(key).as("k"), explode(bigramsOf(col("toks"))).as("c"))
+    val hot = bg.groupBy("c").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("c")
+    val kept = bg.join(broadcast(hot), Seq("c"), "left_anti")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.c") === col("b.c") && col("a.k") < col("b.k"))
+      .groupBy(col("a.k").as("k1"), col("b.k").as("k2"))
+      .agg(count(lit(1)).as("nc"))
+    val hotCnt = bg.join(broadcast(hot), Seq("c"))
+      .groupBy(col("k")).agg(count(lit(1)).as("hd"))
+    (pairs, hotCnt)
+  }
+
+  /** Two-sided variant of [[selfPairCounts]] over `l(lk, toks)` /
+    * `r(rk, toks)`: returns (pairs(lk, rk, nc), hotL(lk, hd),
+    * hotR(rk, hd)). The hot set is aggregated over BOTH sides' bigram
+    * streams (mirroring the oracle's union df) and is tiny, so
+    * exclusions are broadcast anti-joins — never a per-key window
+    * sort.
+    */
+  private[operators] def twoSidePairCounts(
+      l: DataFrame, lk: String, r: DataFrame, rk: String,
+      cap: Int): (DataFrame, DataFrame, DataFrame) = {
+    val lc = l.select(col(lk), explode(bigramsOf(col("toks"))).as("c"))
+    val rc = r.select(col(rk), explode(bigramsOf(col("toks"))).as("c"))
+    val hot = lc.select("c").union(rc.select("c"))
       .groupBy("c").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("c")
-    lc.join(hot, Seq("c"), "left_anti")
-      .join(rc.join(hot, Seq("c"), "left_anti"), "c")
-      .select(col(lk), col(rk))
-      .distinct()
-  }
-
-  /** Self-join variant of [[bigramCands]]: pairs (k1 < k2) within one
-    * keyed token-array frame.
-    */
-  private[operators] def bigramCandsSelf(d: DataFrame, key: String, cap: Int): DataFrame = {
-    val c = combos(d, key).repartition(col("c"))
-    val kept = c.withColumn("df", count(lit(1)).over(Window.partitionBy(col("c"))))
-      .filter(col("df") <= cap)
-      .select(col(key), col("c"))
-    kept.as("a").join(kept.as("b"),
-        col("a.c") === col("b.c") && col(s"a.$key") < col(s"b.$key"))
-      .select(col(s"a.$key").as("k1"), col(s"b.$key").as("k2"))
-      .distinct()
+    val pairs = lc.join(broadcast(hot), Seq("c"), "left_anti")
+      .join(rc.join(broadcast(hot), Seq("c"), "left_anti"), "c")
+      .groupBy(col(lk), col(rk)).agg(count(lit(1)).as("nc"))
+    val hotL = lc.join(broadcast(hot), Seq("c"))
+      .groupBy(col(lk)).agg(count(lit(1)).as("hd"))
+    val hotR = rc.join(broadcast(hot), Seq("c"))
+      .groupBy(col(rk)).agg(count(lit(1)).as("hd"))
+    (pairs, hotL, hotR)
   }
 
   /** halalService.ts:249-257 — name normalization over decorated names. */
@@ -117,12 +166,36 @@ object FuzzyOps {
     val base = Tables.part(spark, dir)
       .select(col("p_partkey").as("k"),
         tokensOf(concat(lower(col("p_name")), lit(" "), lower(col("p_type")))).as("toks"))
-    val cand = bigramCandsSelf(base, "k", BigramDfCap)
-    cand
+    val (pairs, hotCnt) = selfPairCounts(base, "k", BigramDfCap)
+    // per-row meta: token count + dropped-hot-bigram count. Scalars
+    // only — joins of the pair table against this stay array-free.
+    val meta = base.select(col("k"), size(col("toks")).as("n"))
+      .join(hotCnt, Seq("k"), "left").na.fill(0L, Seq("hd"))
+    val m = pairs
+      .join(meta.select(col("k").as("k1"), col("n").as("n1"), col("hd").as("hd1")), "k1")
+      .join(meta.select(col("k").as("k2"), col("n").as("n2"), col("hd").as("hd2")), "k2")
+    // nc is exact unless BOTH rows dropped hot bigrams: recover the
+    // intersection arithmetically and never ship token arrays
+    val clean = m.filter(least(col("hd1"), col("hd2")) === 0)
+      .withColumn("inter", interFromNc(col("nc")))
+      .withColumn("jac",
+        col("inter") / (col("n1") + col("n2") - col("inter")).cast("double"))
+    // pairs whose nc may undercount (empty below the cap): bound the
+    // true intersection by nc + min(hd1, hd2), prune pairs that even
+    // then cannot pass, and exact-verify only the survivors on full
+    // token sets, as the oracle does
+    val dirty = m.filter(least(col("hd1"), col("hd2")) > 0)
+      .withColumn("iub",
+        least(interUbFromNc(col("nc") + least(col("hd1"), col("hd2"))),
+          least(col("n1"), col("n2"))))
+      .filter(col("iub") >= 2 &&
+        col("iub") / (col("n1") + col("n2") - col("iub")).cast("double") >= 0.5)
       .join(base.select(col("k").as("k1"), col("toks").as("toks1")), "k1")
       .join(base.select(col("k").as("k2"), col("toks").as("toks2")), "k2")
       .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
       .withColumn("jac", col("inter") / size(array_union(col("toks1"), col("toks2"))).cast("double"))
+    clean.select(col("k1"), col("k2"), col("inter"), col("jac"))
+      .union(dirty.select(col("k1"), col("k2"), col("inter"), col("jac")))
       .filter(col("inter") >= 2 && col("jac") >= 0.5)
       .select(col("k1"), col("k2"), round(col("jac"), 6).as("jac"))
       .orderBy("k1", "k2")
@@ -156,10 +229,11 @@ object FuzzyOps {
     */
   private[operators] def editCands(vocab: DataFrame): DataFrame = {
     val sigs = vocab.select(col("t"), explode(Text.delNbh2(col("t"))).as("sig"))
-      .repartition(col("sig"))
-    val kept = sigs.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sig"))))
-      .filter(col("df") <= BigramDfCap)
-      .select(col("t"), col("sig"))
+    // hot keys via aggregation + broadcast anti-join: the hot set is
+    // tiny, so no per-key window sort of the full signature stream
+    val hot = sigs.groupBy("sig").agg(count(lit(1)).as("df"))
+      .filter(col("df") > BigramDfCap).select("sig")
+    val kept = sigs.join(broadcast(hot), Seq("sig"), "left_anti")
     kept.as("a").join(kept.as("b"),
         col("a.sig") === col("b.sig") && col("a.t") < col("b.t"))
       .select(col("a.t").as("t1"), col("b.t").as("t2"))
@@ -209,41 +283,11 @@ object FuzzyOps {
     */
   def fuzzyResolve(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
-    val left = p.select(col("p_partkey").as("lk"), col("p_size").as("lsize"),
-      Text.cleanName(concat(col("p_name"), lit(" Pte Ltd"))).as("lcn"))
-      .withColumn("ltoks", tokensOf(col("lcn")))
-      .withColumn("ln", size(col("ltoks")))
-    val right = p.select(col("p_partkey").as("rk"), col("p_size").as("rsize"),
-      Text.cleanName(concat(col("p_name"), lit(" "), lower(col("p_type")))).as("rcn"))
-      .withColumn("rtoks", tokensOf(col("rcn")))
-      .withColumn("rn", size(col("rtoks")))
-
-    val cand = bigramCands(
-        left.select(col("lk"), col("ltoks").as("toks")), "lk",
-        right.select(col("rk"), col("rtoks").as("toks")), "rk", BigramDfCap)
-      .union(left.select(col("lk"), col("lcn"))
-        .join(right.select(col("rk"), col("rcn")), col("lcn") === col("rcn"))
-        .select(col("lk"), col("rk")))
-      .distinct()
-
-    val scored = cand
-      .join(left, "lk").join(right, "rk")
-      .withColumn("inter", size(array_intersect(col("ltoks"), col("rtoks"))))
-      .withColumn("uni", size(array_union(col("ltoks"), col("rtoks"))))
-      .withColumn("jac", col("inter") / col("uni").cast("double"))
-      .withColumn("size_match", (col("lsize") === col("rsize")).cast("int"))
-      .withColumn("tier",
-        when(col("lcn") === col("rcn") && col("size_match") === 1, 1)
-          .when(col("lcn") === col("rcn"), 2)
-          .when(col("jac") >= 0.5, 3))
-      .filter(col("tier").isNotNull)
-
-    val w = Window.partitionBy(col("lk"))
-      .orderBy(col("tier"), col("size_match").desc, col("jac").desc, col("rk"))
-    scored
-      .withColumn("pick", row_number().over(w))
-      .filter(col("pick") === 1)
-      .select(col("lk"), col("rk"), col("tier"), col("size_match"), round(col("jac"), 6).as("jac"))
+    FuzzyJoin.resolve(
+      p, "p_partkey", concat(col("p_name"), lit(" Pte Ltd")), col("p_size"),
+      p, "p_partkey", concat(col("p_name"), lit(" "), lower(col("p_type"))), col("p_size"),
+      threshold = 0.5, dfCap = BigramDfCap)
+      .withColumnRenamed("aux_match", "size_match")
       .orderBy("lk")
   }
 
@@ -287,42 +331,109 @@ object FuzzyOps {
   def fuzzyResolveWorded(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val sigToks = (c: Column) => filter(tokensOf(c), t => length(t) > 2)
-    val left = p.select(col("p_partkey").as("lk"), col("p_size").as("lsize"),
-      Text.cleanName(concat(col("p_name"), lit(" Centre Pte Ltd"))).as("lcn"))
-      .withColumn("ltoks", sigToks(col("lcn")))
-      .withColumn("ln", size(col("ltoks")))
-    val right = p.select(col("p_partkey").as("rk"), col("p_size").as("rsize"),
-      Text.cleanName(concat(col("p_name"), lit(" Center #01-77"))).as("rcn"))
-      .withColumn("rtoks", sigToks(col("rcn")))
-      .withColumn("rn", size(col("rtoks")))
-
-    val cand = bigramCands(
-        left.select(col("lk"), col("ltoks").as("toks")), "lk",
-        right.select(col("rk"), col("rtoks").as("toks")), "rk", BigramDfCap)
-      .union(left.select(col("lk"), col("lcn"))
-        .join(right.select(col("rk"), col("rcn")), col("lcn") === col("rcn"))
-        .select(col("lk"), col("rk")))
-      .distinct()
-
-    val dictLit = lit(DictPairs.toArray)
     val genericLit = lit(GenericWords.toArray)
+    val dictLit = lit(DictPairs.toArray)
     val editSim = (w: Column, h: Column) =>
       (greatest(length(w), length(h)) - levenshtein(w, h)) /
         greatest(length(w), length(h)).cast("double")
-    val scored = cand
-      .join(left, "lk").join(right, "rk")
-      .withColumn("matched", filter(col("ltoks"), w =>
-        exists(col("rtoks"), h =>
-          h.contains(w) || w.contains(h) ||
-            array_contains(dictLit, concat(w, lit("|"), h)) ||
-            editSim(w, h) >= 0.8)))
-      .withColumn("wm", size(col("matched")).cast("long"))
-      .withColumn("nspecific",
-        size(filter(col("matched"), w => !array_contains(genericLit, w))).cast("long"))
-      .withColumn("sim", round(col("wm") / greatest(col("ln"), col("rn")).cast("double"), 6))
-      .withColumn("size_match", (col("lsize") === col("rsize")).cast("int"))
-      .filter(col("sim") >= 0.95 && col("wm") >= 3 && col("nspecific") >= 2)
+    val left = p.select(col("p_partkey").as("lk"), col("p_size").as("lsize"),
+      Text.cleanName(concat(col("p_name"), lit(" Centre Pte Ltd"))).as("lcn"))
+      .withColumn("ltoks", sigToks(col("lcn")))
+    val right = p.select(col("p_partkey").as("rk"), col("p_size").as("rsize"),
+      Text.cleanName(concat(col("p_name"), lit(" Center #01-77"))).as("rcn"))
+      .withColumn("rtoks", sigToks(col("rcn")))
 
+    val (pairs, hotL, hotR) = twoSidePairCounts(
+      left.select(col("lk"), col("ltoks").as("toks")), "lk",
+      right.select(col("rk"), col("rtoks").as("toks")), "rk", BigramDfCap)
+    val eq = left.select(col("lk"), col("lcn"))
+      .join(right.select(col("rk"), col("rcn")), col("lcn") === col("rcn"))
+      .select(col("lk"), col("rk"), lit(1).as("eqf"))
+
+    // Vocab-level fuzzy-match relation rel(w, h), w ≠ h: containment,
+    // dictionary, or ≥ 0.8 edit similarity — the reference's word
+    // predicate evaluated ONCE per distinct vocab pair instead of once
+    // per candidate pair × token pair. The relation is |Vl|×|Vr| over
+    // DISTINCT cleaned-name tokens (a name vocabulary, not corpus
+    // text); for web-scale vocabs substitute FastSS blocking for the
+    // edit component and an n-gram index for containment.
+    val lvocab = left.select(explode(col("ltoks")).as("w")).distinct()
+    val rvocab = right.select(explode(col("rtoks")).as("h")).distinct()
+    val rel = lvocab.crossJoin(rvocab)
+      .filter(col("w") =!= col("h"))
+      .filter(col("h").contains(col("w")) || col("w").contains(col("h")) ||
+        array_contains(dictLit, concat(col("w"), lit("|"), col("h"))) ||
+        editSim(col("w"), col("h")) >= 0.8)
+    // F: left-vocab words that could fuzzy-match ANY right-vocab word;
+    // |ltoks ∩ F| is a sound per-row upper-bound ingredient.
+    val fset = rel.select("w").distinct()
+    val flTab = left.select(col("lk"), explode(col("ltoks")).as("w"))
+      .join(broadcast(fset), "w")
+      .groupBy("lk").agg(count(lit(1)).as("fl"))
+
+    val lmeta = left.select(col("lk"), col("lsize"), size(col("ltoks")).as("ln"),
+        size(filter(col("ltoks"), w => !array_contains(genericLit, w))).as("lns"))
+      .join(flTab, Seq("lk"), "left").na.fill(0L, Seq("fl"))
+      .join(hotL.withColumnRenamed("hd", "hd1"), Seq("lk"), "left").na.fill(0L, Seq("hd1"))
+    val rmeta = right.select(col("rk"), col("rsize"), size(col("rtoks")).as("rn"))
+      .join(hotR.withColumnRenamed("hd", "hd2"), Seq("rk"), "left").na.fill(0L, Seq("hd2"))
+    val m = pairs.join(eq, Seq("lk", "rk"), "full_outer")
+      .join(lmeta, "lk").join(rmeta, "rk")
+      .withColumn("size_match", (col("lsize") === col("rsize")).cast("int"))
+
+    // Equal cleaned names ⟹ every left word matches itself exactly:
+    // wm = ln, sim = 1, nspecific = the per-row non-generic count —
+    // fully arithmetic, no arrays.
+    val eqScored = m.filter(col("eqf") === 1)
+      .withColumn("wm", col("ln").cast("long"))
+      .withColumn("nspecific", col("lns").cast("long"))
+      .withColumn("sim", lit(1.0))
+    // Non-equal pairs: the true intersection is bounded by
+    // nc + min(hd1, hd2) dropped hot bigrams (and by the smaller
+    // token set), and a fuzzy-only match must be globally fuzzy
+    // matchable, so wm ≤ inter_ub + min(fl, ln − inter_ub) — a bound
+    // monotone in inter, hence sound. Pairs whose bound cannot reach
+    // the sim/wm bar are pruned without touching token arrays; the
+    // survivors get the reference's exact word-match scoring.
+    val nonEq = m.filter(col("eqf").isNull)
+      .withColumn("iub",
+        least(interUbFromNc(col("nc") + least(col("hd1"), col("hd2"))),
+          least(col("ln"), col("rn"))))
+      .withColumn("wm_ub", col("iub") + least(col("fl"), col("ln") - col("iub")))
+    val survivors = nonEq.filter(
+      col("wm_ub") >= 3 &&
+        round(col("wm_ub") / greatest(col("ln"), col("rn")).cast("double"), 6) >= 0.95)
+
+    // Exact verification WITHOUT arrays or per-pair levenshtein: a
+    // left word is matched iff it is in rtoks (exact) or rel-related
+    // to some member of rtoks (fuzzy-only) — both computed as
+    // token-level broadcast joins over the survivor pairs, then one
+    // count aggregation. Every operator here is codegen'd.
+    val leftEx = left.select(col("lk"), explode(col("ltoks")).as("w"))
+    val rightEx = right.select(col("rk"), explode(col("rtoks")).as("h"))
+    val svW = survivors.select(col("lk"), col("rk")).join(leftEx, "lk")
+    val exactM = svW.join(rightEx.select(col("rk"), col("h").as("w")), Seq("rk", "w"))
+      .select(col("lk"), col("rk"), col("w"))
+    val fuzzyM = svW.join(broadcast(rel), "w")
+      .join(rightEx, Seq("rk", "h"))
+      .select(col("lk"), col("rk"), col("w")).distinct()
+      .join(rightEx.select(col("rk"), col("h").as("w")), Seq("rk", "w"), "left_anti")
+      .select(col("lk"), col("rk"), col("w"))
+    val counts = exactM.union(fuzzyM)
+      .groupBy("lk", "rk").agg(
+        count(lit(1)).as("wm0"),
+        count(when(!array_contains(genericLit, col("w")), 1)).as("ns0"))
+    val verified = survivors.select(col("lk"), col("rk"), col("size_match"), col("ln"), col("rn"))
+      .join(counts, Seq("lk", "rk"), "left")
+      .na.fill(0L, Seq("wm0", "ns0"))
+      .withColumn("wm", col("wm0").cast("long"))
+      .withColumn("nspecific", col("ns0").cast("long"))
+      .withColumn("sim", round(col("wm") /
+        greatest(col("ln"), col("rn")).cast("double"), 6))
+
+    val outCols = Seq("lk", "rk", "wm", "nspecific", "sim", "size_match").map(col)
+    val scored = eqScored.select(outCols: _*).union(verified.select(outCols: _*))
+      .filter(col("sim") >= 0.95 && col("wm") >= 3 && col("nspecific") >= 2)
     val w = Window.partitionBy(col("lk"))
       .orderBy(col("size_match").desc, col("sim").desc, col("rk"))
     scored
