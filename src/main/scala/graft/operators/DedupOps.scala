@@ -74,10 +74,11 @@ object DedupOps {
     * synthetic hot-key corpora.
     */
   private[operators] def dedupNgramFrame(docs: DataFrame, dfCap: Int): DataFrame = {
-    // repartition the raw docs — single-row-group local files would
-    // otherwise compute every shingle set on one core
-    val d = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    // repartition barrier ABOVE the shingle projection: exchange reuse
+    // makes every consumer (explode, sizes, the exact-verify joins)
+    // share one evaluation of the shingle transform
+    val d = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .transform(repartByKey(_, col("doc_id")))
     val ex = d.select(col("doc_id").as("k"), explode(col("sh")).as("s"))
     // hot keys via aggregation + broadcast anti-join — the hot set is
     // tiny, so no per-key window sort of the exploded shingle stream

@@ -17,16 +17,21 @@ import graft.functions.Text
   * One best match per left row, preferring lower tier, then aux-key
   * confirmation, then similarity, then lowest right key.
   *
-  * Scale shape: candidates come from a df-capped sorted-bigram
-  * inverted-index join UNIONED with a cleaned-name equi-join, so exact
-  * tiers (1/2) are found even for names that clean to a single token
-  * (which have no bigram). Tier-3 matches are guaranteed only when
-  * both names have ≥ 2 distinct tokens — the reference's
-  * ≥ 2-matching-words rule (halalService.ts:138,151) — and when at
-  * least one shared bigram survives the hot-key cap. Similarity is
-  * verified exactly on the full token sets, so the cap and blocking
-  * never distort the measure of a found pair. Works unchanged on a
-  * 1000-executor cluster.
+  * Scale shape: NAME-LEVEL evaluation. Token sets — hence Jaccard and
+  * the exact-name tiers — are pure functions of the cleaned name, and
+  * a row pair is a candidate iff its NAME pair shares a df-kept bigram
+  * (or the names are equal): rows of name x carry exactly x's bigrams.
+  * So blocking, the hot-key cap (row-weighted: a bigram's df counts
+  * rows, aggregated from the name stream weighted by group size) and
+  * similarity verification all run over DISTINCT names — entity names
+  * are template-heavy, so that set is orders of magnitude smaller than
+  * the row-pair space. Rows fan back out only for the per-row aux
+  * confirmation and the one-best-match-per-left pick. Tier-3 matches
+  * are guaranteed only when both names have ≥ 2 distinct tokens — the
+  * reference's ≥ 2-matching-words rule (halalService.ts:138,151) — and
+  * when at least one shared bigram survives the cap; the exact tiers
+  * ride the name-equality union, so single-token names can never be
+  * dropped. Works unchanged on a 1000-executor cluster.
   */
 object FuzzyJoin {
 
@@ -46,56 +51,44 @@ object FuzzyJoin {
     require(threshold >= 0.5, "bigram blocking only covers tier 3 for threshold >= 0.5")
 
     val l = left.select(col(leftKey).as("lk"), Text.cleanName(leftName).as("lcn"), leftAux.as("laux"))
-      .withColumn("ltoks", array_distinct(split(col("lcn"), " ")))
     val r = right.select(col(rightKey).as("rk"), Text.cleanName(rightName).as("rcn"), rightAux.as("raux"))
+
+    val lnames = l.groupBy(col("lcn")).agg(count(lit(1)).as("lgrp"))
+      .withColumn("ltoks", array_distinct(split(col("lcn"), " ")))
+    val rnames = r.groupBy(col("rcn")).agg(count(lit(1)).as("rgrp"))
       .withColumn("rtoks", array_distinct(split(col("rcn"), " ")))
+    val lnb = lnames.select(col("lcn"), col("lgrp"),
+      explode(FuzzyOps.bigramsOf(col("ltoks"))).as("c"))
+    val rnb = rnames.select(col("rcn"), col("rgrp"),
+      explode(FuzzyOps.bigramsOf(col("rtoks"))).as("c"))
+    // row-weighted df: identical to exploding every row's bigrams
+    val hot = lnb.select(col("c"), col("lgrp").as("g"))
+      .union(rnb.select(col("c"), col("rgrp").as("g")))
+      .groupBy("c").agg(sum(col("g")).as("df"))
+      .filter(col("df") > dfCap).select("c")
+    val nameCand = lnb.join(broadcast(hot), Seq("c"), "left_anti")
+      .join(rnb.join(broadcast(hot), Seq("c"), "left_anti"), "c")
+      .select(col("lcn"), col("rcn"))
+      .union(lnames.select(col("lcn")).join(rnames.select(col("rcn")),
+        col("lcn") === col("rcn")).select(col("lcn"), col("rcn")))
+      .distinct()
 
-    // Candidates as COUNTS: the bigram-bucket join is aggregated to
-    // (lk, rk, nc) — the shared-bigram count — instead of a distinct
-    // pair list that token arrays are re-joined to. nc = C(inter, 2)
-    // exactly unless both sides touched a df-capped hot key, so the
-    // similarity of almost every pair is recovered arithmetically.
-    val (pairs, hotL, hotR) = FuzzyOps.twoSidePairCounts(
-      l.select(col("lk"), col("ltoks").as("toks")), "lk",
-      r.select(col("rk"), col("rtoks").as("toks")), "rk", dfCap)
-    val eq = l.select(col("lk"), col("lcn"))
-      .join(r.select(col("rk"), col("rcn")), col("lcn") === col("rcn"))
-      .select(col("lk"), col("rk"), lit(1).as("eqf"))
-    val lmeta = l.select(col("lk"), col("laux"), size(col("ltoks")).as("ln"))
-      .join(hotL.withColumnRenamed("hd", "hd1"), Seq("lk"), "left").na.fill(0L, Seq("hd1"))
-    val rmeta = r.select(col("rk"), col("raux"), size(col("rtoks")).as("rn"))
-      .join(hotR.withColumnRenamed("hd", "hd2"), Seq("rk"), "left").na.fill(0L, Seq("hd2"))
-    val m = pairs.join(eq, Seq("lk", "rk"), "full_outer")
-      .join(lmeta, "lk").join(rmeta, "rk")
-
-    // equal cleaned names ⟹ identical token sets ⟹ jac = 1: the
-    // exact tiers never need arrays, even for single-token names
-    val clean = m.filter(col("eqf") === 1 || least(col("hd1"), col("hd2")) === 0)
-      .withColumn("inter",
-        when(col("eqf") === 1, col("ln")).otherwise(FuzzyOps.interFromNc(col("nc"))))
-      .withColumn("jac", when(col("eqf") === 1, lit(1.0))
-        .otherwise(col("inter") / (col("ln") + col("rn") - col("inter")).cast("double")))
-    // pairs whose nc may undercount (both sides dropped hot bigrams —
-    // empty below the cap): bound the true intersection by
-    // nc + min(hd1, hd2), prune pairs that cannot reach tier 3 even
-    // at the bound, and exact-verify the survivors
-    val dirty = m.filter(col("eqf").isNull && least(col("hd1"), col("hd2")) > 0)
-      .withColumn("iub",
-        least(FuzzyOps.interUbFromNc(col("nc") + least(col("hd1"), col("hd2"))),
-          least(col("ln"), col("rn"))))
-      .filter(col("iub") / (col("ln") + col("rn") - col("iub")).cast("double") >= threshold)
-      .join(l.select(col("lk"), col("ltoks")), "lk")
-      .join(r.select(col("rk"), col("rtoks")), "rk")
+    // exact Jaccard over the tiny distinct-name-pair set; name pairs
+    // that can reach no tier are pruned before rows fan out
+    val namePairs = nameCand
+      .join(lnames.select(col("lcn"), col("ltoks")), "lcn")
+      .join(rnames.select(col("rcn"), col("rtoks")), "rcn")
       .withColumn("inter", size(array_intersect(col("ltoks"), col("rtoks"))))
       .withColumn("jac",
         col("inter") / size(array_union(col("ltoks"), col("rtoks"))).cast("double"))
+      .filter(col("lcn") === col("rcn") || col("jac") >= threshold)
+      .select(col("lcn"), col("rcn"), col("jac"))
 
-    val cols = Seq("lk", "rk", "eqf", "laux", "raux", "jac").map(col)
-    val scored = clean.select(cols: _*).union(dirty.select(cols: _*))
+    val scored = l.join(namePairs, "lcn").join(r, "rcn")
       .withColumn("aux_match", (col("laux") === col("raux")).cast("int"))
       .withColumn("tier",
-        when(col("eqf") === 1 && col("aux_match") === 1, 1)
-          .when(col("eqf") === 1, 2)
+        when(col("lcn") === col("rcn") && col("aux_match") === 1, 1)
+          .when(col("lcn") === col("rcn"), 2)
           .when(col("jac") >= threshold, 3))
       .filter(col("tier").isNotNull)
 

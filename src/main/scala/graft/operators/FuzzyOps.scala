@@ -26,21 +26,26 @@ import graft.sources.Tables
   *     a web-scale corpus would otherwise go quadratic. The cap is
   *     mirrored in the oracle SQL and only prunes candidate
   *     generation, never the measure of a found pair.
-  *   - Verification is ARITHMETIC, not array-based: the bigram bucket
-  *     join is aggregated to a per-pair co-count `nc`, and since two
-  *     rows sharing `inter` tokens share exactly C(inter, 2) sorted
-  *     bigrams, `inter` (hence Jaccard) is recovered by inverting the
-  *     binomial — token arrays never ride the pair shuffle. Only
-  *     pairs where BOTH sides touched a dropped hot key (a dropped
-  *     shared bigram is hot on both sides by definition) fall back to
-  *     exact full-token-set verification; that set is empty below the
-  *     cap and cap-bounded above it.
+  *   - Two verification strategies, both array-free on the pair
+  *     shuffle. (a) ARITHMETIC co-counts ([[tokenJaccardJoin]]): the
+  *     bigram bucket join is aggregated to a per-pair co-count `nc`,
+  *     and since two rows sharing `inter` tokens share exactly
+  *     C(inter, 2) sorted bigrams, `inter` (hence Jaccard) is
+  *     recovered by inverting the binomial; only pairs where BOTH
+  *     sides touched a dropped hot key (a dropped shared bigram is
+  *     hot on both sides by definition) can be undercounted — they
+  *     are bounded by nc + min(hd1, hd2), pruned when even the bound
+  *     cannot pass, and exact-verified otherwise. (b) NAME-LEVEL
+  *     canonicalization ([[fuzzyResolve]]/[[fuzzyResolveWorded]], via
+  *     [[FuzzyJoin]]): similarity is a pure function of the cleaned
+  *     name pair, and rows of name x carry exactly x's bigrams, so
+  *     blocking, the (row-weighted) cap and scoring all run over
+  *     DISTINCT names; rows fan back out only for per-row
+  *     confirmation signals and the best-match pick.
   *   - Exact tiers are additionally fed by a cleaned-name equi-join,
   *     so single-token names (which have no bigram) can never be
-  *     dropped; equal cleaned names have identical token sets, so
-  *     their Jaccard is 1 by construction — again no arrays. Tier-3
-  *     pairs are only guaranteed when both names have ≥ 2 distinct
-  *     tokens (the reference's ≥ 2-matching-words rule).
+  *     dropped. Tier-3 pairs are only guaranteed when both names have
+  *     ≥ 2 distinct tokens (the reference's ≥ 2-matching-words rule).
   */
 object FuzzyOps {
 
@@ -106,31 +111,6 @@ object FuzzyOps {
     (pairs, hotCnt)
   }
 
-  /** Two-sided variant of [[selfPairCounts]] over `l(lk, toks)` /
-    * `r(rk, toks)`: returns (pairs(lk, rk, nc), hotL(lk, hd),
-    * hotR(rk, hd)). The hot set is aggregated over BOTH sides' bigram
-    * streams (mirroring the oracle's union df) and is tiny, so
-    * exclusions are broadcast anti-joins — never a per-key window
-    * sort.
-    */
-  private[operators] def twoSidePairCounts(
-      l: DataFrame, lk: String, r: DataFrame, rk: String,
-      cap: Int): (DataFrame, DataFrame, DataFrame) = {
-    val lc = l.select(col(lk), explode(bigramsOf(col("toks"))).as("c"))
-    val rc = r.select(col(rk), explode(bigramsOf(col("toks"))).as("c"))
-    val hot = lc.select("c").union(rc.select("c"))
-      .groupBy("c").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select("c")
-    val pairs = lc.join(broadcast(hot), Seq("c"), "left_anti")
-      .join(rc.join(broadcast(hot), Seq("c"), "left_anti"), "c")
-      .groupBy(col(lk), col(rk)).agg(count(lit(1)).as("nc"))
-    val hotL = lc.join(broadcast(hot), Seq("c"))
-      .groupBy(col(lk)).agg(count(lit(1)).as("hd"))
-    val hotR = rc.join(broadcast(hot), Seq("c"))
-      .groupBy(col(rk)).agg(count(lit(1)).as("hd"))
-    (pairs, hotL, hotR)
-  }
-
   /** halalService.ts:249-257 — name normalization over decorated names. */
   def cleanNameQ(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
@@ -163,9 +143,13 @@ object FuzzyOps {
     * full token sets.
     */
   def tokenJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    // repartition barrier: consumers share one evaluation of the token
+    // pipeline via exchange reuse (and the single-row-group local scan
+    // stops serializing the plan on one core)
     val base = Tables.part(spark, dir)
       .select(col("p_partkey").as("k"),
         tokensOf(concat(lower(col("p_name")), lit(" "), lower(col("p_type")))).as("toks"))
+      .transform(repartByKey(_, col("k")))
     val (pairs, hotCnt) = selfPairCounts(base, "k", BigramDfCap)
     // per-row meta: token count + dropped-hot-bigram count. Scalars
     // only — joins of the pair table against this stay array-free.
@@ -338,102 +322,56 @@ object FuzzyOps {
         greatest(length(w), length(h)).cast("double")
     val left = p.select(col("p_partkey").as("lk"), col("p_size").as("lsize"),
       Text.cleanName(concat(col("p_name"), lit(" Centre Pte Ltd"))).as("lcn"))
-      .withColumn("ltoks", sigToks(col("lcn")))
     val right = p.select(col("p_partkey").as("rk"), col("p_size").as("rsize"),
       Text.cleanName(concat(col("p_name"), lit(" Center #01-77"))).as("rcn"))
+
+    // NAME-LEVEL evaluation: the token sets — hence the word-match
+    // count, nspecific and sim — are pure functions of the cleaned
+    // name, and a row pair is a candidate iff its NAME pair shares a
+    // kept bigram (or the names are equal). So candidates, the df-cap
+    // and the reference's word-match lambda all run over DISTINCT
+    // names (64 at sf0.1, vs 6.3M row pairs), and rows only fan back
+    // out for the per-row size_match and the final best-match pick.
+    // The cap stays row-level: a bigram's df counts ROWS, aggregated
+    // from the name stream weighted by group size.
+    val lnames = left.groupBy(col("lcn")).agg(count(lit(1)).as("lgrp"))
+      .withColumn("ltoks", sigToks(col("lcn")))
+    val rnames = right.groupBy(col("rcn")).agg(count(lit(1)).as("rgrp"))
       .withColumn("rtoks", sigToks(col("rcn")))
+    val lnb = lnames.select(col("lcn"), col("lgrp"), explode(bigramsOf(col("ltoks"))).as("c"))
+    val rnb = rnames.select(col("rcn"), col("rgrp"), explode(bigramsOf(col("rtoks"))).as("c"))
+    val hot = lnb.select(col("c"), col("lgrp").as("g")).union(rnb.select(col("c"), col("rgrp").as("g")))
+      .groupBy("c").agg(sum(col("g")).as("df"))
+      .filter(col("df") > BigramDfCap).select("c")
+    val nameCand = lnb.join(broadcast(hot), Seq("c"), "left_anti")
+      .join(rnb.join(broadcast(hot), Seq("c"), "left_anti"), "c")
+      .select(col("lcn"), col("rcn"))
+      .union(lnames.select(col("lcn")).join(rnames.select(col("rcn")),
+        col("lcn") === col("rcn")).select(col("lcn"), col("rcn")))
+      .distinct()
 
-    val (pairs, hotL, hotR) = twoSidePairCounts(
-      left.select(col("lk"), col("ltoks").as("toks")), "lk",
-      right.select(col("rk"), col("rtoks").as("toks")), "rk", BigramDfCap)
-    val eq = left.select(col("lk"), col("lcn"))
-      .join(right.select(col("rk"), col("rcn")), col("lcn") === col("rcn"))
-      .select(col("lk"), col("rk"), lit(1).as("eqf"))
-
-    // Vocab-level fuzzy-match relation rel(w, h), w ≠ h: containment,
-    // dictionary, or ≥ 0.8 edit similarity — the reference's word
-    // predicate evaluated ONCE per distinct vocab pair instead of once
-    // per candidate pair × token pair. The relation is |Vl|×|Vr| over
-    // DISTINCT cleaned-name tokens (a name vocabulary, not corpus
-    // text); for web-scale vocabs substitute FastSS blocking for the
-    // edit component and an n-gram index for containment.
-    val lvocab = left.select(explode(col("ltoks")).as("w")).distinct()
-    val rvocab = right.select(explode(col("rtoks")).as("h")).distinct()
-    val rel = lvocab.crossJoin(rvocab)
-      .filter(col("w") =!= col("h"))
-      .filter(col("h").contains(col("w")) || col("w").contains(col("h")) ||
-        array_contains(dictLit, concat(col("w"), lit("|"), col("h"))) ||
-        editSim(col("w"), col("h")) >= 0.8)
-    // F: left-vocab words that could fuzzy-match ANY right-vocab word;
-    // |ltoks ∩ F| is a sound per-row upper-bound ingredient.
-    val fset = rel.select("w").distinct()
-    val flTab = left.select(col("lk"), explode(col("ltoks")).as("w"))
-      .join(broadcast(fset), "w")
-      .groupBy("lk").agg(count(lit(1)).as("fl"))
-
-    val lmeta = left.select(col("lk"), col("lsize"), size(col("ltoks")).as("ln"),
-        size(filter(col("ltoks"), w => !array_contains(genericLit, w))).as("lns"))
-      .join(flTab, Seq("lk"), "left").na.fill(0L, Seq("fl"))
-      .join(hotL.withColumnRenamed("hd", "hd1"), Seq("lk"), "left").na.fill(0L, Seq("hd1"))
-    val rmeta = right.select(col("rk"), col("rsize"), size(col("rtoks")).as("rn"))
-      .join(hotR.withColumnRenamed("hd", "hd2"), Seq("rk"), "left").na.fill(0L, Seq("hd2"))
-    val m = pairs.join(eq, Seq("lk", "rk"), "full_outer")
-      .join(lmeta, "lk").join(rmeta, "rk")
-      .withColumn("size_match", (col("lsize") === col("rsize")).cast("int"))
-
-    // Equal cleaned names ⟹ every left word matches itself exactly:
-    // wm = ln, sim = 1, nspecific = the per-row non-generic count —
-    // fully arithmetic, no arrays.
-    val eqScored = m.filter(col("eqf") === 1)
-      .withColumn("wm", col("ln").cast("long"))
-      .withColumn("nspecific", col("lns").cast("long"))
-      .withColumn("sim", lit(1.0))
-    // Non-equal pairs: the true intersection is bounded by
-    // nc + min(hd1, hd2) dropped hot bigrams (and by the smaller
-    // token set), and a fuzzy-only match must be globally fuzzy
-    // matchable, so wm ≤ inter_ub + min(fl, ln − inter_ub) — a bound
-    // monotone in inter, hence sound. Pairs whose bound cannot reach
-    // the sim/wm bar are pruned without touching token arrays; the
-    // survivors get the reference's exact word-match scoring.
-    val nonEq = m.filter(col("eqf").isNull)
-      .withColumn("iub",
-        least(interUbFromNc(col("nc") + least(col("hd1"), col("hd2"))),
-          least(col("ln"), col("rn"))))
-      .withColumn("wm_ub", col("iub") + least(col("fl"), col("ln") - col("iub")))
-    val survivors = nonEq.filter(
-      col("wm_ub") >= 3 &&
-        round(col("wm_ub") / greatest(col("ln"), col("rn")).cast("double"), 6) >= 0.95)
-
-    // Exact verification WITHOUT arrays or per-pair levenshtein: a
-    // left word is matched iff it is in rtoks (exact) or rel-related
-    // to some member of rtoks (fuzzy-only) — both computed as
-    // token-level broadcast joins over the survivor pairs, then one
-    // count aggregation. Every operator here is codegen'd.
-    val leftEx = left.select(col("lk"), explode(col("ltoks")).as("w"))
-    val rightEx = right.select(col("rk"), explode(col("rtoks")).as("h"))
-    val svW = survivors.select(col("lk"), col("rk")).join(leftEx, "lk")
-    val exactM = svW.join(rightEx.select(col("rk"), col("h").as("w")), Seq("rk", "w"))
-      .select(col("lk"), col("rk"), col("w"))
-    val fuzzyM = svW.join(broadcast(rel), "w")
-      .join(rightEx, Seq("rk", "h"))
-      .select(col("lk"), col("rk"), col("w")).distinct()
-      .join(rightEx.select(col("rk"), col("h").as("w")), Seq("rk", "w"), "left_anti")
-      .select(col("lk"), col("rk"), col("w"))
-    val counts = exactM.union(fuzzyM)
-      .groupBy("lk", "rk").agg(
-        count(lit(1)).as("wm0"),
-        count(when(!array_contains(genericLit, col("w")), 1)).as("ns0"))
-    val verified = survivors.select(col("lk"), col("rk"), col("size_match"), col("ln"), col("rn"))
-      .join(counts, Seq("lk", "rk"), "left")
-      .na.fill(0L, Seq("wm0", "ns0"))
-      .withColumn("wm", col("wm0").cast("long"))
-      .withColumn("nspecific", col("ns0").cast("long"))
-      .withColumn("sim", round(col("wm") /
-        greatest(col("ln"), col("rn")).cast("double"), 6))
-
-    val outCols = Seq("lk", "rk", "wm", "nspecific", "sim", "size_match").map(col)
-    val scored = eqScored.select(outCols: _*).union(verified.select(outCols: _*))
+    // the reference's fuzzy word-match scoring (halalService.ts:119-147)
+    // over the tiny distinct-name-pair set
+    val verdicts = nameCand
+      .join(lnames.select(col("lcn"), col("ltoks")), "lcn")
+      .join(rnames.select(col("rcn"), col("rtoks")), "rcn")
+      .withColumn("matched", filter(col("ltoks"), w =>
+        exists(col("rtoks"), h =>
+          h.contains(w) || w.contains(h) ||
+            array_contains(dictLit, concat(w, lit("|"), h)) ||
+            editSim(w, h) >= 0.8)))
+      .select(col("lcn"), col("rcn"),
+        size(col("matched")).cast("long").as("wm"),
+        size(filter(col("matched"), w => !array_contains(genericLit, w)))
+          .cast("long").as("nspecific"),
+        round(size(col("matched")) /
+          greatest(size(col("ltoks")), size(col("rtoks"))).cast("double"), 6).as("sim"))
       .filter(col("sim") >= 0.95 && col("wm") >= 3 && col("nspecific") >= 2)
+
+    // fan the passing name pairs back out to row pairs for the
+    // per-row confirmation signal and the one-best-match-per-left pick
+    val scored = left.join(verdicts, "lcn").join(right, "rcn")
+      .withColumn("size_match", (col("lsize") === col("rsize")).cast("int"))
     val w = Window.partitionBy(col("lk"))
       .orderBy(col("size_match").desc, col("sim").desc, col("rk"))
     scored

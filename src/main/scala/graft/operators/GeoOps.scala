@@ -81,20 +81,31 @@ object GeoOps {
     * broadcast left joins + coalesce; the lookup table is a derived
     * dimension (one synthetic postal per nation).
     */
-  def geoFallback(spark: SparkSession, dir: String): DataFrame = {
-    // lookup dimension: 25 known postal codes with coordinates
-    val lookup = Tables.nation(spark, dir)
+  /** The geocoding lookup dimension: 25 known postal codes with
+    * coordinates (one synthetic postal per nation). Shared with the
+    * composite search dispatch (SearchOps).
+    */
+  private[operators] def postalLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
       .select(
         lpad((col("n_nationkey") * 37231L % 1000000L).cast("string"), 6, "0").as("postal"),
         Geo.synthLat(col("n_nationkey") + 3L).as("lat"),
         Geo.synthLon(col("n_nationkey") + 3L).as("lon"))
-    // deterministic area representative: lowest postal per 3-digit prefix
-    val prefixRep = lookup
+
+  /** Deterministic area representative per 3-digit postal prefix:
+    * the coordinates of the lowest postal in the prefix.
+    */
+  private[operators] def prefixRep(lookup: DataFrame): DataFrame =
+    lookup
       .withColumn("prefix", substring(col("postal"), 1, 3))
       .groupBy("prefix")
       .agg(min(col("postal")).as("rep_postal"))
       .join(lookup.withColumnRenamed("postal", "rep_postal"), "rep_postal")
       .select(col("prefix"), col("lat").as("plat"), col("lon").as("plon"))
+
+  def geoFallback(spark: SparkSession, dir: String): DataFrame = {
+    val lookup = postalLookup(spark, dir)
+    val prefixRep = this.prefixRep(lookup)
 
     val probes = Tables.customer(spark, dir)
       .select(col("c_custkey"),
@@ -121,9 +132,9 @@ object GeoOps {
     "q_geo_fallback" -> (geoFallback _))
 
   /** Shared SQL fragments mirroring functions/Geo.scala. */
-  private def sqlLat(key: String) = s"(1.25 + (($key * 40503) % 1000) / 1000.0 * 0.2)"
-  private def sqlLon(key: String) = s"(103.6 + (($key * 69427) % 1000) / 1000.0 * 0.4)"
-  private def sqlHav(lat1: String, lon1: String, lat2: String, lon2: String) =
+  private[operators] def sqlLat(key: String) = s"(1.25 + (($key * 40503) % 1000) / 1000.0 * 0.2)"
+  private[operators] def sqlLon(key: String) = s"(103.6 + (($key * 69427) % 1000) / 1000.0 * 0.4)"
+  private[operators] def sqlHav(lat1: String, lon1: String, lat2: String, lon2: String) =
     s"""(2.0 * 6371.0 * asin(sqrt(
        |  pow(sin(radians($lat2 - $lat1) / 2), 2) +
        |  cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2)

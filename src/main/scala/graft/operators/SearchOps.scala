@@ -58,11 +58,80 @@ object SearchOps {
       .orderBy(col("acctbal").desc, col("c_name"), col("c_custkey"))
       .limit(100)
 
+  /** The merchant-shaped entity frame the dispatch searches: scalar
+    * text fields, an ARRAY field (the reference's `cuisine`,
+    * merchantUtils.ts:93-97), a postal code, and coordinates.
+    */
+  private def merchants(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey").as("merchant_id"),
+      lower(col("p_name")).as("mname"),
+      lpad((col("p_partkey") * 7919L % 1000000L).cast("string"), 6, "0").as("postal"),
+      lower(col("p_brand")).as("address"),
+      lower(col("p_type")).as("mtype"),
+      array(lower(col("p_type")), lower(col("p_brand"))).as("tags"),
+      graft.functions.Geo.synthLat(col("p_partkey")).as("lat"),
+      graft.functions.Geo.synthLon(col("p_partkey")).as("lon"))
+
+  /** merchantUtils.ts:25-62 — the reference's single most-used entry
+    * point, composed from the already-verified pieces: if the search
+    * term carries a 6-digit postal code (`\b\d{6}\b`), geocode it
+    * (exact postal → 3-digit-prefix area → city-center default, as
+    * locationUtils.ts:56-74) and return everything within 10 km
+    * sorted by distance; otherwise run the multi-field substring
+    * search across name/postal/address/type and the array-typed tags
+    * field (merchantUtils.ts:64-116, including the `[^a-z]`-stripped
+    * type match at :100).
+    *
+    * The branch is decided on the scalar search term (exactly as the
+    * reference does on its input string); both branches are single
+    * declarative plans — the geocode result is one broadcast row, the
+    * text branch is a scan with a pushed disjunction.
+    */
+  def searchDispatch(spark: SparkSession, dir: String, term: String): DataFrame = {
+    val t = term.trim.toLowerCase
+    val m = merchants(spark, dir)
+    "\\b(\\d{6})\\b".r.findFirstMatchIn(t).map(_.group(1)) match {
+      case Some(pc) =>
+        val lookup = GeoOps.postalLookup(spark, dir)
+        val g = lookup.filter(col("postal") === pc)
+          .select(col("lat").as("glat"), col("lon").as("glon"), lit(1).as("prio"))
+          .union(GeoOps.prefixRep(lookup).filter(col("prefix") === pc.substring(0, 3))
+            .select(col("plat"), col("plon"), lit(2)))
+          .union(spark.range(1).select(lit(1.3521), lit(103.8198), lit(3)))
+          .orderBy("prio").limit(1)
+          .select(col("glat"), col("glon"))
+        m.crossJoin(broadcast(g))
+          .withColumn("dist_km", round(
+            graft.functions.Geo.haversineKm(col("glat"), col("glon"), col("lat"), col("lon")), 3))
+          .filter(col("dist_km") <= 10.0)
+          .select(col("merchant_id"), col("dist_km"))
+      case None =>
+        val tt = t.replaceAll("[^a-z]", "")
+        m.filter(col("mname").contains(t) || col("postal").contains(t) ||
+            col("address").contains(t) || col("mtype").contains(tt) ||
+            exists(col("tags"), x => x.contains(t)))
+          .select(col("merchant_id"), lit(null).cast("double").as("dist_km"))
+    }
+  }
+
+  /** Terms the registered dispatch query runs — one per branch. */
+  private[operators] val DispatchPostalTerm = "stall 037231 singapore"
+  private[operators] val DispatchTextTerm = "ar"
+
+  /** Registered dispatch query: both branches, tagged and unioned. */
+  def searchDispatchQ(spark: SparkSession, dir: String): DataFrame =
+    searchDispatch(spark, dir, DispatchPostalTerm).withColumn("q", lit("postal"))
+      .union(searchDispatch(spark, dir, DispatchTextTerm).withColumn("q", lit("text")))
+      .select(col("q"), col("merchant_id"), col("dist_km"))
+      .orderBy("q", "merchant_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_multifield" -> (searchMultifield _),
     "q_code_extract" -> (codeExtract _),
     "q_filter_category" -> (filterCategory _),
-    "q_sort_multikey" -> (sortMultikey _))
+    "q_sort_multikey" -> (sortMultikey _),
+    "q_search_dispatch" -> (searchDispatchQ _))
 
   val oracle: Map[String, String] = Map(
     "q_search_multifield" ->
@@ -80,5 +149,43 @@ object SearchOps {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_sort_multikey" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer
-        |ORDER BY acctbal DESC, c_name, c_custkey LIMIT 100""".stripMargin)
+        |ORDER BY acctbal DESC, c_name, c_custkey LIMIT 100""".stripMargin,
+    "q_search_dispatch" ->
+      s"""WITH lookup AS (
+         |  SELECT lpad(CAST(n_nationkey * 37231 % 1000000 AS VARCHAR), 6, '0') postal,
+         |         ${GeoOps.sqlLat("(n_nationkey + 3)")} lat, ${GeoOps.sqlLon("(n_nationkey + 3)")} lon
+         |  FROM nation
+         |), rep AS (
+         |  SELECT substr(postal, 1, 3) prefix, min(postal) rep_postal FROM lookup GROUP BY 1
+         |), prefix_rep AS (
+         |  SELECT prefix, lat plat, lon plon FROM rep JOIN lookup ON lookup.postal = rep.rep_postal
+         |), g AS (
+         |  SELECT glat, glon FROM (
+         |    SELECT lat glat, lon glon, 1 prio FROM lookup WHERE postal = '037231'
+         |    UNION ALL
+         |    SELECT plat, plon, 2 FROM prefix_rep WHERE prefix = '037'
+         |    UNION ALL
+         |    SELECT 1.3521, 103.8198, 3
+         |  ) ORDER BY prio LIMIT 1
+         |), m AS (
+         |  SELECT p_partkey merchant_id, lower(p_name) mname,
+         |         lpad(CAST(p_partkey * 7919 % 1000000 AS VARCHAR), 6, '0') postal,
+         |         lower(p_brand) address, lower(p_type) mtype,
+         |         [lower(p_type), lower(p_brand)] tags,
+         |         ${GeoOps.sqlLat("p_partkey")} lat, ${GeoOps.sqlLon("p_partkey")} lon
+         |  FROM part
+         |), p AS (
+         |  SELECT 'postal' q, merchant_id,
+         |         round(${GeoOps.sqlHav("glat", "glon", "lat", "lon")}, 3) dist_km
+         |  FROM m CROSS JOIN g
+         |), t AS (
+         |  SELECT 'text' q, merchant_id, NULL::DOUBLE dist_km FROM m
+         |  WHERE contains(mname, '$DispatchTextTerm') OR contains(postal, '$DispatchTextTerm')
+         |     OR contains(address, '$DispatchTextTerm') OR contains(mtype, '$DispatchTextTerm')
+         |     OR len(list_filter(tags, x -> contains(x, '$DispatchTextTerm'))) > 0
+         |)
+         |SELECT q, merchant_id, dist_km FROM p WHERE dist_km <= 10.0
+         |UNION ALL
+         |SELECT q, merchant_id, dist_km FROM t
+         |ORDER BY q, merchant_id""".stripMargin)
 }

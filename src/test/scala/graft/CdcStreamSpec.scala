@@ -42,6 +42,50 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(states(2L).last_type === "purchase")
   }
 
+  test("file-source stream recovers from checkpoint: state intact, no re-emission") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdcstream").toFile
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+
+    def feedFile(rows: Seq[(Long, Long, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+
+    // same query code both runs; only the checkpoint links them
+    def startQuery() =
+      CdcStream.latestState(spark, CdcStream.fileSourceEvents(spark, feed.getAbsolutePath))
+        .writeStream.outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[UserState], _: Long) =>
+          ds.write.mode("append").parquet(out)
+        }
+        .start()
+
+    // phase 1: two events for user 1, then the stream goes down
+    feedFile(Seq((1L, 100L, 1L, "signup", 1.0), (2L, 200L, 1L, "click", 2.0)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+
+    // phase 2: more data lands while the stream is down; restart from
+    // the checkpoint — phase-1 files must NOT be re-read, phase-1
+    // state must still be there
+    feedFile(Seq((3L, 300L, 1L, "purchase", 3.0), (4L, 50L, 2L, "view", 4.0)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val outRows = spark.read.parquet(out).as[UserState].collect()
+    // exactly three emissions: (u1, n=2) before the stop, (u1, n=3)
+    // and (u2, n=1) after recovery — a re-read of phase-1 input would
+    // duplicate the first, a lost state store would reset n_events
+    assert(outRows.length === 3)
+    val u1 = outRows.filter(_.user_id == 1L).sortBy(_.n_events)
+    assert(u1.map(_.n_events).toSeq === Seq(2L, 3L))
+    assert(u1.last.last_event_id === 3L)
+    assert(u1.last.last_type === "purchase")
+    val u2 = outRows.filter(_.user_id == 2L)
+    assert(u2.map(_.n_events).toSeq === Seq(1L))
+  }
+
   test("watermarked windowed counts run over a bounded stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
