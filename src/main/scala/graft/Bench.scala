@@ -18,6 +18,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/shuffle-machinery warmup so the alphabetically-first
+    // query doesn't absorb one-time JIT and classloading cost
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     // optional args: bench only the named queries (local iteration)
     val wanted = args.toSet
     val selected =

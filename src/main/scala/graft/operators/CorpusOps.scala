@@ -79,12 +79,60 @@ object CorpusOps {
         round(col("n") / sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
       .orderBy("label")
 
+  private val ContamK = 8
+  private val ContamDfCap = 1000
+
+  /** Benchmark-contamination detection — the standard decontamination
+    * pass of an LLM training pipeline: flag training documents that
+    * share a K-token n-gram with the held-out benchmark slice. The
+    * benchmark here is a deterministic 5% content-hash slice; grams
+    * join through a df-capped inverted index (a boilerplate gram
+    * shared by d docs is d² join work and zero signal), exactly the
+    * dedup suite's blocking discipline.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    // pinned-width repartition: the single-row-group local scan would
+    // otherwise shingle the corpus on one core, once per consumer
+    val grams = repartByKey(Tables.documents(spark, dir).select("doc_id", "text"), col("doc_id"))
+      .select(col("doc_id"), (bucket(col("text"), 20) === 0).as("is_bench"),
+        explode(array_distinct(
+          graft.functions.Hashing.shingles(split(col("text"), " "), ContamK))).as("g"))
+    val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ContamDfCap).select("g")
+    val kept = grams.join(broadcast(hot), Seq("g"), "left_anti")
+    val bench = kept.filter(col("is_bench")).select(col("g"), col("doc_id").as("bench_id"))
+    val train = kept.filter(!col("is_bench")).select(col("doc_id"), col("g"))
+    train.join(bench, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_grams"),
+        countDistinct(col("bench_id")).as("n_bench"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language resampling weights toward a uniform target mixture:
+    * weight = target_share / actual_share — the multiplier a sampler
+    * applies per document of that language. One aggregation; the
+    * totals come from a whole-frame window over the per-lang rows.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("actual_frac", round(col("n") / sum(col("n")).over(w).cast("double"), 6))
+      .withColumn("weight",
+        round(sum(col("n")).over(w) / (count(lit(1)).over(w) * col("n")).cast("double"), 6))
+      .select(col("lang"), col("n"), col("actual_frac"), col("weight"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> (stratifiedSample _),
     "q_train_test_split" -> (trainTestSplit _),
     "q_length_histogram" -> (lengthHistogram _),
     "q_dedup_normalized" -> (dedupNormalized _),
-    "q_class_balance" -> (classBalance _))
+    "q_class_balance" -> (classBalance _),
+    "q_contamination" -> (contamination _),
+    "q_mixture_weights" -> (mixtureWeights _))
 
   private val sqlBucket = "('0x' || substr(md5(text), 1, 8))::BIGINT % 10"
 
@@ -113,5 +161,33 @@ object CorpusOps {
     "q_class_balance" ->
       """SELECT label, count(*) n,
         |  round(count(*) / (SELECT count(*) FROM embeddings)::DOUBLE, 6) frac
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') toks,
+         |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 20 = 0 is_bench
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, is_bench,
+         |         unnest(list_distinct(list_transform(
+         |           range(1, greatest(len(toks) - ${ContamK - 1}, 0) + 1),
+         |           i -> array_to_string(toks[i:i+${ContamK - 1}], ' ')))) gram
+         |  FROM t
+         |), hot AS (
+         |  SELECT gram FROM g GROUP BY gram HAVING count(*) > $ContamDfCap
+         |), kept AS (
+         |  SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)
+         |), bench AS (SELECT gram, doc_id bench_id FROM kept WHERE is_bench),
+         |train AS (SELECT doc_id, gram FROM kept WHERE NOT is_bench)
+         |SELECT doc_id,
+         |       CAST(count(DISTINCT gram) AS BIGINT) n_grams,
+         |       CAST(count(DISTINCT bench_id) AS BIGINT) n_bench
+         |FROM train JOIN bench USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mixture_weights" ->
+      """SELECT lang, count(*) n,
+        |  round(count(*) / (SELECT count(*) FROM documents)::DOUBLE, 6) actual_frac,
+        |  round((SELECT count(*) FROM documents)
+        |        / ((SELECT count(DISTINCT lang) FROM documents) * count(*))::DOUBLE, 6) weight
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }
