@@ -96,12 +96,100 @@ object AnnOps {
         round(max(col("v").cast("double")), 6).as("mx"))
       .orderBy("label", "dim")
 
+  private val IvfCells = 16
+  private val IvfProbeCells = 4
+
+  /** IVF-style ANN — the other classic scale path beside LSH: the
+    * corpus is coarse-quantized into [[IvfCells]] cells (nearest
+    * anchor by cosine), and each probe searches only its
+    * [[IvfProbeCells]] nearest cells — ~nprobe/k of the corpus per
+    * query. Anchors are DETERMINISTIC (the lowest-id vectors) so the
+    * whole pipeline is oracle-checkable; a production build would
+    * Lloyd-iterate the anchors, which changes the centroid table, not
+    * the plan: one broadcast assignment pass over the corpus, a keyed
+    * cell join, per-probe top-k. Assignment ships only (vec_id, cell)
+    * through its shuffle — embeddings re-attach by key afterwards.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    // nearest anchor per corpus vector; the window input is the slim
+    // (vec_id, cell, ccos) triple, never the embedding
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(VectorExpressions.cosineNative(
+        col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
+      .select(col("vec_id"), col("cell"), col("ccos"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cell"))
+      .join(e, "vec_id")
+    val pw = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("cell"))
+    val probeCells = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(VectorExpressions.cosineNative(
+        col("c_emb"), col("c_nrm"), col("p_emb"), col("p_nrm")), 6))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= IvfProbeCells)
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cell"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk" -> (annTopK _),
     "q_ann_lsh" -> (annLsh _),
+    "q_ann_ivf" -> (annIvf _),
     "q_embedding_stats" -> (embeddingStats _))
 
+  /** Cosine of `$a` and `$b` (embedding column expressions), identical
+    * fold shape to the native expression and the other ANN oracles.
+    */
+  private def sqlCos(a: String, b: String): String =
+    s"""round(
+       |      list_sum(list_transform(range(1, len($a) + 1),
+       |               i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       |      / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+       |               i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+       |       * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+       |               i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT e.vec_id, cell, ${sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), pc AS (
+         |  SELECT p.vec_id probe_id, cell, ${sqlCos("c_emb", "p.embedding")} ccos
+         |  FROM e p CROSS JOIN cents WHERE p.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= $IvfProbeCells
+         |), cand AS (
+         |  SELECT pc.probe_id, asg.vec_id
+         |  FROM asg JOIN pc USING (cell)
+         |  WHERE asg.vec_id <> pc.probe_id
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |)
+         |SELECT probe_id, vec_id, cos,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+         |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |${Vectors.sqlHyperplaneSigsCte("e", LshBands, LshBits, Dim)},

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Structural + recall guards for the IVF-style ANN scale path. */
+class AnnIvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("IVF returns full top-k per probe and only exact-cosine-verified candidates") {
+    val rows = AnnOps.annIvf(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size === 10)
+    byProbe.values.foreach { g =>
+      assert(g.length === 5)
+      assert(g.map(_.getLong(3)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      // ranks ordered by descending cosine
+      val ordered = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF recall overlaps the exact top-k (approximate, nprobe/cells of the corpus)") {
+    val exact = AnnOps.annTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = AnnOps.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    // 4 of 16 cells searched; random embeddings are a worst case for
+    // coarse quantization — require meaningful, not perfect, recall
+    assert(recall > 0.2, s"recall@5 = $recall")
+  }
+}
