@@ -27,6 +27,9 @@ object Bench {
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => wanted(n) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // clear the previous query's broadcast/shuffle garbage so its
+      // collection doesn't land inside this query's timing
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every
       // unreferenced projection, so projection-heavy queries would be

@@ -104,7 +104,29 @@ object TextOps {
       .orderBy(col("n").desc, col("t"))
       .limit(20)
 
+  /** Composite quality filter — the keep/drop decision pass a curation
+    * pipeline runs after scoring: first failing rule wins (ordered
+    * length → too-few-stopwords → stopword-boilerplate), keep
+    * otherwise. Thresholds are corpus-calibrated; decisions evaluate
+    * on the ROUNDED ratio so the cut is engine-portable.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val stopRatio = size(filter(toks, t => t.isInCollection(Stopwords))) /
+      greatest(size(toks), lit(1)).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), round(stopRatio, 6).as("stop_ratio"))
+      .withColumn("reason",
+        when(col("n_chars") < 150, "too_short")
+          .when(col("stop_ratio") < 0.03, "low_stopwords")
+          .when(col("stop_ratio") > 0.12, "boilerplate")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_filter" -> (qualityFilter _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_token_count" -> (tokenCount _),
@@ -112,6 +134,22 @@ object TextOps {
     "q_top_tokens" -> (topTokens _))
 
   val oracle: Map[String, String] = Map(
+    "q_quality_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars,
+        |    round(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('the', 'a')))
+        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1)::DOUBLE, 6) stop_ratio
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_chars, stop_ratio,
+        |    CASE WHEN n_chars < 150 THEN 'too_short'
+        |         WHEN stop_ratio < 0.03 THEN 'low_stopwords'
+        |         WHEN stop_ratio > 0.12 THEN 'boilerplate'
+        |         ELSE 'ok' END reason
+        |  FROM m
+        |)
+        |SELECT doc_id, n_chars, stop_ratio, reason, reason = 'ok' keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """WITH b AS (
         |  SELECT doc_id, n_chars, text,

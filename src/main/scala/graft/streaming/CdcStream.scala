@@ -60,6 +60,41 @@ object CdcStream {
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** A streaming document (the corpus-ingest analog of [[Event]]). */
+  case class Doc(doc_id: Long, text: String)
+
+  /** First-arrival record for one content key. */
+  case class FirstSeen(content_key: String, doc_id: Long, n_dups: Long)
+
+  /** Streaming exact dedup — the streaming twin of
+    * DedupOps.dedupExact: a document is emitted only the FIRST time
+    * its content key is seen; later duplicates bump a per-key counter
+    * in state and emit nothing. The keyed state is exactly one small
+    * record per distinct content key, so the stream runs indefinitely
+    * at ingest scale (state grows with UNIQUE content, not traffic).
+    */
+  def dedupStream(spark: SparkSession, docs: Dataset[Doc]): Dataset[FirstSeen] = {
+    import spark.implicits._
+    def contentKey(text: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs
+      .groupByKey(d => contentKey(d.text))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, batch: Iterator[Doc], state: GroupState[FirstSeen]) => {
+          val arrivals = batch.toSeq.sortBy(_.doc_id)
+          state.getOption match {
+            case Some(seen) =>
+              state.update(seen.copy(n_dups = seen.n_dups + arrivals.size))
+              Iterator.empty
+            case None =>
+              val first = FirstSeen(key, arrivals.head.doc_id, (arrivals.size - 1).toLong)
+              state.update(first)
+              Iterator.single(first)
+          }
+        })
+  }
+
   /** File-source variant: continuously ingest event parquet dropped
     * into `dir` (the deployment shape: CDC connector lands files, this
     * stream compacts them).

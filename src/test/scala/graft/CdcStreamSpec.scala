@@ -86,6 +86,32 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(u2.map(_.n_events).toSeq === Seq(1L))
   }
 
+  test("streaming exact dedup emits each content key once, first arrival wins") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[CdcStream.Doc]
+    val q = CdcStream.dedupStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("streamdedup").outputMode(OutputMode.Update).start()
+
+    input.addData(
+      CdcStream.Doc(1L, "alpha beta"),
+      CdcStream.Doc(2L, "alpha beta"), // in-batch duplicate
+      CdcStream.Doc(3L, "gamma"))
+    q.processAllAvailable()
+    input.addData(
+      CdcStream.Doc(4L, "alpha beta"), // cross-batch duplicate: no emission
+      CdcStream.Doc(5L, "delta"))
+    q.processAllAvailable()
+
+    val rows = spark.table("streamdedup").as[CdcStream.FirstSeen].collect()
+    q.stop()
+    assert(rows.length === 3) // alpha-beta (once), gamma, delta
+    val byDoc = rows.map(r => r.doc_id).toSet
+    assert(byDoc === Set(1L, 3L, 5L)) // first arrival wins
+    assert(rows.find(_.doc_id == 1L).get.n_dups === 1L) // doc 2 folded in-batch
+  }
+
   test("watermarked windowed counts run over a bounded stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
