@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply}
 
 import graft.plans.VectorExpressions
 
@@ -24,5 +24,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[VectorExpressions.L2NormExpr].getName, "graft_l2norm"),
       (exprs: Seq[Expression]) => VectorExpressions.L2NormExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[VectorExpressions.DotProductExpr].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => GraftExtensions.cosineExpr(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_sigs"),
+      new ExpressionInfo(classOf[VectorExpressions.HyperplaneSigsExpr].getName, "graft_hyperplane_sigs"),
+      (exprs: Seq[Expression]) => GraftExtensions.hyperplaneSigsExpr(exprs)))
+  }
+}
+
+object GraftExtensions {
+
+  /** cos(a, b) = dot(a, b) / (‖a‖·‖b‖), composed from the native
+    * expressions so the whole thing stays one codegen'd pipeline.
+    */
+  private[graft] def cosineExpr(exprs: Seq[Expression]): Expression =
+    Divide(
+      VectorExpressions.DotProductExpr(exprs(0), exprs(1)),
+      Multiply(
+        VectorExpressions.L2NormExpr(exprs(0)),
+        VectorExpressions.L2NormExpr(exprs(1))))
+
+  /** graft_hyperplane_sigs(vec, bands, bitsPerBand, dim): the md5
+    * portable LSH band signatures. bands/bits/dim must be literals —
+    * the plane table is materialized at plan time.
+    */
+  private[graft] def hyperplaneSigsExpr(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      "graft_hyperplane_sigs(vec, bands, bitsPerBand, dim) takes 4 arguments")
+    val Seq(bands, bits, dim) = exprs.tail.map { e =>
+      require(e.foldable, "graft_hyperplane_sigs bands/bitsPerBand/dim must be literals")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    VectorExpressions.HyperplaneSigsExpr(
+      exprs.head, graft.functions.Vectors.hyperplaneWeights(bands * bits, dim), bits)
   }
 }

@@ -30,10 +30,17 @@ object GraftFunctions {
         |2.0 * 6371.0 * asin(sqrt(
         |  pow(sin(radians(lat2 - lat1) / 2), 2) +
         |  cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_content_key(s STRING)
+        |RETURNS STRING RETURN md5(cast(s AS BINARY))""".stripMargin)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => VectorExpressions.DotProductExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_l2norm",
       exprs => VectorExpressions.L2NormExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => GraftExtensions.cosineExpr(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hyperplane_sigs",
+      exprs => GraftExtensions.hyperplaneSigsExpr(exprs), "scala_udf")
   }
 }

@@ -19,6 +19,23 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getDouble(3) === 5.0)
   }
 
+  test("cosine, content key and hyperplane signatures evaluate from SQL") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT round(graft_cosine(array(1.0F, 0.0F), array(1.0F, 1.0F)), 6) cs,
+        |       graft_content_key('abc') ck,
+        |       graft_hyperplane_sigs(array(0.5F, -0.25F), 2, 4, 2) sigs
+        |""".stripMargin).collect()(0)
+    assert(math.abs(row.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-6)
+    assert(row.getString(1) === "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    val sigs = row.getSeq[Long](2)
+    assert(sigs.length === 2 && sigs.forall(s => s >= 0 && s < 16))
+    // deterministic: same input, same signatures
+    val again = spark.sql(
+      "SELECT graft_hyperplane_sigs(array(0.5F, -0.25F), 2, 4, 2) s").collect()(0).getSeq[Long](0)
+    assert(again === sigs)
+  }
+
   test("SQL functions usable over tables") {
     GraftFunctions.register(spark)
     sources.Tables.documents(spark, TestSpark.Sf).createOrReplaceTempView("docs")
