@@ -69,4 +69,28 @@ object Blob {
       }
     }
   }
+
+  /** One sampled frame's features. */
+  case class FrameFeatures(id: Long, frame_idx: Long, n_bytes: Long, byte_mean: Double)
+
+  /** Frame sampling — the video-path plumbing: the blob is segmented
+    * into fixed-size frames and every `stride`-th frame is decoded
+    * (stub), one output row per sampled frame. A real pipeline swaps
+    * the segmentation for container parsing and [[decodeStub]] for a
+    * codec call; the batch shape (flatMap inside mapPartitions, frame
+    * ordinals preserved) is the deliverable.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int, stride: Int): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.blob.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, idx) if idx % stride == 0 =>
+            val (mean, _, _) = decodeStub(frame)
+            FrameFeatures(r.id, idx.toLong, frame.length.toLong, mean)
+        }
+      }
+    }
+  }
 }

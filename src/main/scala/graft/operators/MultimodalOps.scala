@@ -35,8 +35,30 @@ object MultimodalOps {
         col("source"))
       .orderBy("doc_id")
 
+  private val FrameBytes = 64
+  private val FrameStride = 3
+
+  /** Frame sampling over the blob column (the video path): fixed-size
+    * frames, every [[FrameStride]]-th decoded (stub byte-mean), one
+    * row per sampled frame with its ordinal — runs through the real
+    * mapPartitions batch boundary in graft.multimodal.Blob. The
+    * corpus is ASCII, so the stub features are reproducible in the
+    * oracle via per-character code points.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Blob.sampleFrames(
+        spark,
+        graft.multimodal.Blob.asMediaTable(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id", "text"),
+        FrameBytes, FrameStride)
+      .toDF()
+      .select(col("id").as("doc_id"), col("frame_idx"), col("n_bytes"),
+        round(col("byte_mean"), 4).as("byte_mean"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_features" -> (multimodalFeatures _))
+    "q_multimodal_features" -> (multimodalFeatures _),
+    "q_frame_sample" -> (frameSample _))
 
   val oracle: Map[String, String] = Map(
     "q_multimodal_features" ->
@@ -47,5 +69,20 @@ object MultimodalOps {
         |  ascii(substr(text, (length(text) + 1) // 2, 1)) AS mid_byte,
         |  ascii(substr(text, length(text), 1)) AS last_byte,
         |  source
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      // range(0, 64) bounds the frame count (max doc is ~600 bytes ≪
+      // 64 × 64); the WHERE keeps only frames that exist and the
+      // sampled stride. ord() = byte value because the corpus is ASCII.
+      s"""SELECT doc_id, t.i frame_idx,
+         |  CAST(least($FrameBytes, length(text) - t.i * $FrameBytes) AS BIGINT) n_bytes,
+         |  round(
+         |    CAST(list_sum(list_transform(
+         |      range(t.i * $FrameBytes + 1,
+         |            t.i * $FrameBytes + least($FrameBytes, length(text) - t.i * $FrameBytes) + 1),
+         |      j -> ord(substring(text, j, 1)))) AS BIGINT)
+         |    / least($FrameBytes, length(text) - t.i * $FrameBytes)::DOUBLE, 4) byte_mean
+         |FROM documents, range(0, 64) t(i)
+         |WHERE t.i * $FrameBytes < length(text) AND t.i % $FrameStride = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin)
 }

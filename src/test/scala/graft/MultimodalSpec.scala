@@ -24,4 +24,20 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.byteMean >= f.byteMin && f.byteMean <= f.byteMax)
     }
   }
+
+  test("frame sampling: stride honored, ordinals dense over sampled frames, tail frame partial") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, ("a" * 130).getBytes("UTF-8"), "application/octet-stream"), // 3 frames of 64: idx 0,1,2
+      (2L, "xy".getBytes("UTF-8"), "application/octet-stream")) // one tiny frame
+      .toDF("id", "blob", "mediaType")
+    val frames = Blob.sampleFrames(spark, media, frameBytes = 64, stride = 2).collect()
+    val d1 = frames.filter(_.id == 1L).sortBy(_.frame_idx)
+    assert(d1.map(_.frame_idx).toSeq === Seq(0L, 2L)) // stride 2 keeps 0 and 2
+    assert(d1.head.n_bytes === 64L)
+    assert(d1.last.n_bytes === 2L) // 130 = 64 + 64 + 2 — partial tail kept
+    assert(d1.forall(_.byte_mean === 'a'.toInt.toDouble))
+    val d2 = frames.filter(_.id == 2L)
+    assert(d2.map(f => (f.frame_idx, f.n_bytes)).toSeq === Seq((0L, 2L)))
+  }
 }
