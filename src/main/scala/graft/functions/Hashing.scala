@@ -40,7 +40,7 @@ object Hashing {
     * a valid uniform min-hash and is engine-portable.
     */
   def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(seed + ":"), s).cast("binary"))))
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
 
   /** LSH band key: md5 over the concatenation of `rows` minhash values
     * for band `band`.

@@ -132,7 +132,7 @@ object DedupOps {
     val exploded = d.select(col("doc_id"), explode(col("sh")).as("s"))
       .repartition(col("doc_id"))
     val mhCols = (0 until Bands * Rows).map(j =>
-      min(md5(concat(lit(j + ":"), col("s")).cast("binary"))).as(s"mh$j"))
+      min(md5(concat(lit(s"$j:"), col("s")).cast("binary"))).as(s"mh$j"))
     val sigs = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bandRows = sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
