@@ -150,7 +150,16 @@ object FuzzyOps {
       .select(col("p_partkey").as("k"),
         tokensOf(concat(lower(col("p_name")), lit(" "), lower(col("p_type")))).as("toks"))
       .transform(repartByKey(_, col("k")))
-    val (pairs, hotCnt) = selfPairCounts(base, "k", BigramDfCap)
+    tokenJaccardFrame(base, BigramDfCap)
+  }
+
+  /** Frame-based core of [[tokenJaccardJoin]]: `base` must carry
+    * (k, toks). Exposed within the package so specs can drive
+    * synthetic hot-key corpora through the df-cap bound/fallback
+    * paths that test scales below sf0.1 never reach.
+    */
+  private[operators] def tokenJaccardFrame(base: DataFrame, cap: Int): DataFrame = {
+    val (pairs, hotCnt) = selfPairCounts(base, "k", cap)
     // per-row meta: token count + dropped-hot-bigram count. Scalars
     // only — joins of the pair table against this stay array-free.
     val meta = base.select(col("k"), size(col("toks")).as("n"))

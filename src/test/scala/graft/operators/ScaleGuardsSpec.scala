@@ -159,6 +159,29 @@ class ScaleGuardsSpec extends AnyFunSuite {
       chain(ex).exists(c => c.getMessage != null && c.getMessage.contains("length mismatch")))
   }
 
+  test("token-jaccard df-cap: hot-only pairs dropped, undercounted pairs still exact via fallback") {
+    import spark.implicits._
+    // (stop1, stop2) rides in every doc → its bigram df = 12 > cap 3,
+    // so it is dropped from blocking and undercounts every nc by 1
+    val docs = Seq(
+      // boilerplate-only docs: every shared bigram is hot → never candidates
+      (1L, Seq("stop1", "stop2", "ua")), (2L, Seq("stop1", "stop2", "ub")),
+      (3L, Seq("stop1", "stop2", "uc")), (4L, Seq("stop1", "stop2", "ud")),
+      (5L, Seq("stop1", "stop2", "ue")), (6L, Seq("stop1", "stop2", "uf")),
+      // true dup pair: cold bigrams keep it reachable; its nc is
+      // undercounted (5 of C(4,2)=6), so it takes the bounded-UB
+      // fallback and must still carry the EXACT jaccard (1.0)
+      (10L, Seq("stop1", "stop2", "w1", "w2")), (11L, Seq("stop1", "stop2", "w1", "w2")),
+      // UB-prunable pair: 3 shared of 6 tokens → true jac 1/3 < 0.5;
+      // the bound alone must reject it without arrays
+      (20L, Seq("stop1", "stop2", "x", "d1a", "d1b", "d1c")),
+      (21L, Seq("stop1", "stop2", "x", "d2a", "d2b", "d2c")))
+      .toDF("k", "toks")
+    val out = FuzzyOps.tokenJaccardFrame(docs, cap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((10L, 11L, 1.0)))
+  }
+
   test("hyperplane signatures match a driver-side recomputation") {
     import graft.plans.VectorExpressions
     import graft.functions.Vectors
