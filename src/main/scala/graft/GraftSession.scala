@@ -24,6 +24,9 @@ object GraftSession {
   def local(cpus: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a graft session always carries the SQL surface (clean_name,
+    // haversine, dot/l2norm/cosine, content key, hyperplane sigs)
+    GraftFunctions.register(spark)
     spark
   }
 }
