@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{Hashing, Text}
 import graft.sources.Tables
@@ -145,9 +146,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Unigram language-model scoring — the CCNet-style LM quality
+    * signal: per document, the cross-entropy of its tokens against
+    * the corpus unigram distribution (avg −ln p(t)). Wikipedia-like
+    * text scores low, gibberish and boilerplate-skewed token mixes
+    * score away from the corpus mean; curation keeps a band around
+    * the middle. Two aggregations: corpus token counts (the "model"),
+    * then a token-level join back — the model table is vocabulary-
+    * sized, broadcast-able for natural-language vocabularies.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val freq = ex.groupBy("t").agg(count(lit(1)).as("tf"))
+      .withColumn("p", col("tf") / sum(col("tf")).over(Window.partitionBy()).cast("double"))
+      .select("t", "p")
+    ex.join(broadcast(freq), "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(-log(col("p"))), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_filter" -> (qualityFilter _),
     "q_repetition" -> (repetition _),
+    "q_lm_score" -> (lmScore _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_token_count" -> (tokenCount _),
@@ -155,6 +179,18 @@ object TextOps {
     "q_top_tokens" -> (topTokens _))
 
   val oracle: Map[String, String] = Map(
+    "q_lm_score" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents
+        |), freq AS (
+        |  SELECT t, count(*) / (SELECT count(*) FROM ex)::DOUBLE p
+        |  FROM ex GROUP BY t
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) n_tokens,
+        |       round(avg(-ln(p)), 6) xent
+        |FROM ex JOIN freq USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
