@@ -60,6 +60,34 @@ object CdcStream {
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * as-of attribution: a live purchases stream joined against a live
+    * clicks stream per user, keeping clicks at most `horizon` before
+    * the purchase. Both sides are watermarked, so Spark bounds the
+    * join state on BOTH streams (a click older than the horizon plus
+    * the watermark can never match and is evicted) — the property
+    * that lets this run indefinitely at ingest scale. Emits one row
+    * per (purchase, qualifying click); downstream pick-latest is the
+    * batch AsOfJoin semantics.
+    */
+  def attributionStream(purchases: DataFrame, clicks: DataFrame,
+      horizon: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .withColumn("p_time", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("p_time", watermark)
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("p_time"))
+    val c = clicks
+      .withColumn("c_time", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("c_time", watermark)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"), col("c_time"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("c_time") <= col("p_time") &&
+        col("c_time") >= col("p_time") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("p_time"), col("c_time"))
+  }
+
   /** A streaming document (the corpus-ingest analog of [[Event]]). */
   case class Doc(doc_id: Long, text: String)
 

@@ -86,6 +86,36 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(u2.map(_.n_events).toSeq === Seq(1L))
   }
 
+  test("stream-stream interval join attributes purchases to in-horizon clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = 1704067200L * 1000000000L // 2024-01-01 00:00 UTC in ns
+    def min(m: Long) = base + m * 60L * 1000000000L
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = CdcStream.attributionStream(purchases.toDF(), clicks.toDF())
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+
+    clicks.addData(
+      Event(1L, min(0), 1L, "click", 0.0),    // 60m before purchase → outside 1h? exactly at horizon edge
+      Event(2L, min(55), 1L, "click", 0.0),   // in horizon
+      Event(3L, min(75), 1L, "click", 0.0),   // AFTER the purchase → excluded
+      Event(4L, min(50), 2L, "click", 0.0))   // other user
+    purchases.addData(
+      Event(10L, min(60), 1L, "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attrib")
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    // click 1 sits exactly horizon before the purchase (inclusive);
+    // click 2 qualifies; click 3 is later than the purchase; click 4
+    // is another user
+    assert(rows === Set((10L, 1L), (10L, 2L)))
+  }
+
   test("streaming exact dedup emits each content key once, first arrival wins") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
