@@ -148,10 +148,35 @@ object AnnOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Symmetric int8 scalar quantization profile — the storage-side
+    * prep for ANN at corpus scale (4× smaller vectors, SIMD-friendly
+    * dot products): per vector, the scale (max|x|/127) and the
+    * reconstruction error of round(x/scale)·scale. The quantized
+    * bytes themselves are a storage concern; the queryable artifact
+    * is this per-vector quality profile, which decides whether SQ8 is
+    * safe for a given corpus before committing the layout.
+    */
+  def quantStats(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("x", col("v").cast("double"))
+    val scales = ex.groupBy("vec_id")
+      .agg((greatest(max(abs(col("x"))), lit(1e-30)) / lit(127.0)).as("qs"))
+    val err = col("x") - round(col("x") / col("qs"), 0) * col("qs")
+    ex.join(scales, "vec_id")
+      .groupBy("vec_id")
+      .agg(
+        round(min(col("qs")), 6).as("qscale"),
+        round(sqrt(avg(pow(err, 2))), 6).as("rmse"),
+        round(max(abs(err)), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk" -> (annTopK _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
+    "q_quant_stats" -> (quantStats _),
     "q_embedding_stats" -> (embeddingStats _))
 
   /** Cosine of `$a` and `$b` (embedding column expressions), identical
@@ -167,6 +192,20 @@ object AnnOps {
        |               i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_quant_stats" ->
+      """WITH ex AS (
+        |  SELECT vec_id, embedding[t.i + 1]::DOUBLE x
+        |  FROM embeddings, range(0, 64) t(i)
+        |), s AS (
+        |  SELECT vec_id, greatest(max(abs(x)), 1e-30) / 127.0 qs
+        |  FROM ex GROUP BY vec_id
+        |)
+        |SELECT vec_id,
+        |       round(min(qs), 6) qscale,
+        |       round(sqrt(avg(pow(x - round(x / qs, 0) * qs, 2))), 6) rmse,
+        |       round(max(abs(x - round(x / qs, 0) * qs)), 6) max_err
+        |FROM ex JOIN s USING (vec_id)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
