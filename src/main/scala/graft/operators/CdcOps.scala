@@ -114,14 +114,59 @@ object CdcOps {
           col("first_click_s") <= col("first_purchase_s"))
       .orderBy("user_id")
 
+  private val NsPerDay = 86400L * NsPerSec
+
+  /** Cohort retention — the product-analytics staple: users cohorted
+    * by first-seen day; for each cohort and day offset (0..7), how
+    * many distinct users were active and what fraction of the cohort
+    * that is. Two keyed aggregations plus a broadcast-size cohort
+    * dimension; the fact side streams once.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ns DIV $NsPerDay").as("day"))
+    val first = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val cohortSizes = first.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .filter(col("day_offset") <= 7)
+      .join(cohortSizes, "cohort_day")
+      .withColumn("retention",
+        round(col("active_users") / col("cohort_size").cast("double"), 6))
+      .select(col("cohort_day"), col("day_offset"), col("active_users"),
+        col("cohort_size"), col("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_latest" -> (cdcLatest _),
     "q_sessionize" -> (sessionize _),
     "q_window_agg" -> (windowAgg _),
     "q_asof_attribution" -> (asofAttribution _),
-    "q_funnel" -> (funnel _))
+    "q_funnel" -> (funnel _),
+    "q_retention" -> (retention _))
 
   val oracle: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) cohort_day FROM d GROUP BY user_id
+        |), cs AS (
+        |  SELECT cohort_day, count(*) cohort_size FROM f GROUP BY cohort_day
+        |), a AS (
+        |  SELECT cohort_day, d.day - cohort_day day_offset,
+        |         count(DISTINCT d.user_id) active_users
+        |  FROM d JOIN f USING (user_id)
+        |  GROUP BY cohort_day, day_offset
+        |)
+        |SELECT cohort_day, day_offset, CAST(active_users AS BIGINT) active_users,
+        |       CAST(cohort_size AS BIGINT) cohort_size,
+        |       round(active_users / cohort_size::DOUBLE, 6) retention
+        |FROM a JOIN cs USING (cohort_day)
+        |WHERE day_offset <= 7
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "q_cdc_latest" ->
       """SELECT user_id,
         |  event_id AS last_event_id,
