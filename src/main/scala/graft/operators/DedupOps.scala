@@ -308,13 +308,63 @@ object DedupOps {
     labels
   }
 
+  /** Incremental near-dup detection — the daily-ingest shape: a NEW
+    * slice of the corpus (content-hash 20% here, the day's arrivals in
+    * production) is checked against the existing corpus AND earlier
+    * new arrivals, but old×old pairs are never generated — the cost
+    * scales with |new|·df, not |corpus|². Same df-capped shingle
+    * index and arithmetic co-count verification as [[dedupNgram]];
+    * the inverted index over the old corpus is exactly what a
+    * deployment would keep materialized between ingests.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 10 >= 8).as("is_new"),
+        shingleSet(col("text")).as("sh"))
+      .transform(repartByKey(_, col("doc_id")))
+    val ex = d.select(col("doc_id").as("k"), col("is_new"), explode(col("sh")).as("s"))
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select("s")
+    val kept = ex.join(broadcast(hot), Seq("s"), "left_anti")
+    // each new doc vs old docs (any) and earlier new docs (lower id)
+    val pairs = kept.filter(col("is_new")).as("a")
+      .join(kept.as("b"),
+        col("a.s") === col("b.s") && (!col("b.is_new") || col("b.k") < col("a.k")))
+      .groupBy(col("a.k").as("new_id"), col("b.k").as("other_id"))
+      .agg(count(lit(1)).as("inter"))
+    val tainted = ex.join(broadcast(hot), Seq("s")).select(col("k")).distinct()
+    val meta = d.select(col("doc_id"), size(col("sh")).as("n"))
+      .join(tainted.withColumnRenamed("k", "doc_id").withColumn("tf", lit(1)),
+        Seq("doc_id"), "left")
+    val m = pairs
+      .join(meta.select(col("doc_id").as("new_id"), col("n").as("n1"), col("tf").as("tf1")), "new_id")
+      .join(meta.select(col("doc_id").as("other_id"), col("n").as("n2"), col("tf").as("tf2")), "other_id")
+    val clean = m.filter(col("tf1").isNull || col("tf2").isNull)
+      .withColumn("jac",
+        col("inter") / (col("n1") + col("n2") - col("inter")).cast("double"))
+    val dirty = m.filter(col("tf1").isNotNull && col("tf2").isNotNull)
+      .join(d.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
+      .join(d.select(col("doc_id").as("other_id"), col("sh").as("sh2")), "other_id")
+      .withColumn("jac",
+        size(array_intersect(col("sh1"), col("sh2"))) /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+    clean.select(col("new_id"), col("other_id"), col("jac"))
+      .union(dirty.select(col("new_id"), col("other_id"), col("jac")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("new_id"), col("other_id"), round(col("jac"), 6).as("jac"))
+      .orderBy("new_id", "other_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
-    "q_dedup_clusters" -> (dedupClusters _))
+    "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_incremental" -> (dedupIncremental _))
 
   /** SQL fragment: distinct 3-token shingle list of `text`. */
   private val sqlShingles =
@@ -324,6 +374,25 @@ object DedupOps {
   private def mh(j: Int) = s"list_min(list_transform(sh, s -> md5('$j:' || s)))"
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 >= 8 is_new, $sqlShingles sh
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') toks FROM documents)
+         |), ex AS (SELECT doc_id k, is_new, unnest(sh) s FROM t),
+         |hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > $DfCap),
+         |kept AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         |cand AS (
+         |  SELECT DISTINCT a.k new_id, b.k other_id
+         |  FROM kept a JOIN kept b ON a.s = b.s AND (NOT b.is_new OR b.k < a.k)
+         |  WHERE a.is_new
+         |)
+         |SELECT new_id, other_id,
+         |       round(len(list_intersect(t1.sh, t2.sh))
+         |             / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE, 6) jac
+         |FROM cand JOIN t t1 ON t1.doc_id = new_id JOIN t t2 ON t2.doc_id = other_id
+         |WHERE len(list_intersect(t1.sh, t2.sh))
+         |      / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
+         |ORDER BY new_id, other_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, md5(text) AS h FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
