@@ -319,7 +319,10 @@ object FuzzyOps {
     * halalService.ts:119). Candidates still come from the exact-token
     * bigram index — fuzzy matching widens the overlap COUNT, not the
     * candidate set (a qualifying pair at sim ≥ 0.95 shares nearly all
-    * words, hence many exact bigrams).
+    * words, hence many exact bigrams) — and the whole evaluation runs
+    * at NAME level (see the class doc): the word-match lambda touches
+    * each distinct cleaned-name pair once, rows fan out only for the
+    * per-row size confirmation and the best-match pick.
     */
   def fuzzyResolveWorded(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
