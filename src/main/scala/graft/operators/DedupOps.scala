@@ -25,6 +25,11 @@ import graft.sources.Tables
   *     mirrors the algorithm, not just its intent.
   *   - Candidates found by LSH are verified with the exact measure
   *     before output, so LSH only prunes, never invents.
+  *   - Where the blocking key IS the similarity unit (the shingle
+  *     suites), verification is ARITHMETIC: the aggregated per-pair
+  *     co-count is already |sh1 ∩ sh2|, so shingle arrays never ride
+  *     the pair shuffle; only pairs where BOTH docs dropped hot
+  *     shingles fall back to exact array verification.
   */
 object DedupOps {
 
