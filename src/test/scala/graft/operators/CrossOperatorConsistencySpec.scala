@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Consistency between dedup operators that claim overlapping truth:
+  * the suites must agree wherever their semantics intersect.
+  */
+class CrossOperatorConsistencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def unordered(a: Long, b: Long): (Long, Long) = if (a < b) (a, b) else (b, a)
+
+  test("incremental dedup equals the full ngram pair set restricted to new-anchored pairs") {
+    import spark.implicits._
+    val isNew = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "conv(substring(md5(cast(text AS BINARY)), 1, 8), 16, 10) % 10 >= 8 AS n")
+      .as[(Long, Boolean)].collect().toMap
+    val full = DedupOps.dedupNgram(spark, sf).collect()
+      .map(r => (unordered(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val restricted = full.filter { case ((a, b), _) => isNew(a) || isNew(b) }
+    val incr = DedupOps.dedupIncremental(spark, sf).collect()
+      .map(r => (unordered(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(incr === restricted)
+    assert(incr.nonEmpty)
+  }
+
+  test("minhash-LSH pairs are a subset of the ngram pairs with identical jaccard (below the cap)") {
+    val ngram = DedupOps.dedupNgram(spark, sf).collect()
+      .map(r => (unordered(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val mh = DedupOps.dedupMinhash(spark, sf).collect()
+      .map(r => (unordered(r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(mh.nonEmpty)
+    // a minhash band collision implies a shared shingle (the shared
+    // argmin), so with no hot keys at sf0.01 every minhash pair must
+    // be an ngram candidate too — with the same exact measure
+    mh.foreach { case (pair, jac) =>
+      assert(ngram.contains(pair), s"minhash pair $pair missing from ngram")
+      assert(ngram(pair) === jac)
+    }
+  }
+}
