@@ -21,8 +21,14 @@ object Bench {
     // JVM/codegen/shuffle-machinery warmup so the alphabetically-first
     // query doesn't absorb one-time JIT and classloading cost
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    // optional args: bench only the named queries (local iteration)
+    // optional args: bench only the named queries (local iteration).
+    // Unknown names fail fast — a typo must not masquerade as a clean
+    // (empty) run with exit 0.
     val wanted = args.toSet
+    val unknown = wanted.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(registered: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")})")
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => wanted(n) }
@@ -41,10 +47,15 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $secs%8.2f s  ($ok)")
       name -> secs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // seconds rounded to 2/3 decimals: the driver keeps only the LAST
+    // 2000 chars of stdout, so the one-line JSON (plus sbt's trailing
+    // success line) must stay under that or the leading total is cut off
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,9 +26,14 @@ object Salting {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBy: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "need at least one salt bucket")
-    val saltedFact = fact.withColumn("_salt", pmod(hash(saltBy), lit(buckets)))
-    val saltedDim = dim.withColumn("_salt",
+    // collision-proof internal column: a user frame already carrying
+    // `_salt` must not be silently overwritten (that would corrupt its
+    // data AND the join), so probe for a free name instead
+    val salt = Iterator.from(0).map(i => if (i == 0) "_salt" else s"_salt$i")
+      .find(n => !fact.columns.contains(n) && !dim.columns.contains(n)).get
+    val saltedFact = fact.withColumn(salt, pmod(hash(saltBy), lit(buckets)))
+    val saltedDim = dim.withColumn(salt,
       explode(array((0 until buckets).map(lit(_)): _*)))
-    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+    saltedFact.join(saltedDim, Seq(key, salt)).drop(salt)
   }
 }

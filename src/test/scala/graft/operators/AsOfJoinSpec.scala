@@ -37,6 +37,37 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("b", 14L, None), ("c", 50L, None)))
   }
 
+  test("row atomicity: a NULL in one right value column is carried as-is, not patched from an older row") {
+    import spark.implicits._
+    // newest quote has px = NULL: the carried (_asof_px, _asof_src)
+    // must BOTH come from that row — a per-column last(ignoreNulls)
+    // would resurrect the 10-quote's px under the 20-quote's src
+    val quotes = Seq(
+      ("a", 10L, Some(1.0), "old"),
+      ("a", 20L, None, "new")).toDF("sym", "qt", "px", "src")
+    val trades = Seq(("a", 25L)).toDF("sym", "tt")
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "tt", "qt", Seq("px", "src"))
+      .select($"_asof_t", $"_asof_px", $"_asof_src").collect().head
+    assert(out.getLong(0) === 20L)
+    assert(out.isNullAt(1))
+    assert(out.getString(2) === "new")
+  }
+
+  test("deterministic tie among right rows at the same (key, time): greatest payload wins, repartition-stable") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("a", 10L, 1.0, "x"), ("a", 10L, 2.0, "y"), ("a", 10L, 2.0, "b")).toDF("sym", "qt", "px", "src")
+    val trades = Seq(("a", 25L)).toDF("sym", "tt")
+    def run(q: org.apache.spark.sql.DataFrame) =
+      AsOfJoin.backward(trades, q, Seq("sym"), "tt", "qt", Seq("px", "src"))
+        .select($"_asof_px", $"_asof_src").collect().head
+    val expected = (2.0, "y") // greatest (t, px, src) struct
+    for (q <- Seq(quotes, quotes.repartition(7), quotes.orderBy($"src"))) {
+      val r = run(q)
+      assert((r.getDouble(0), r.getString(1)) === expected)
+    }
+  }
+
   test("generic as-of reproduces the specialized purchase attribution on real events") {
     import spark.implicits._
     val sf = TestSpark.Sf

@@ -26,6 +26,19 @@ class SaltingSpec extends AnyFunSuite {
     assert(plain.size === 10000)
   }
 
+  test("inputs already carrying a _salt column survive intact") {
+    import spark.implicits._
+    // `_salt` here is USER data: the join must neither overwrite it
+    // nor let it collide with the internal salting column
+    val fact = (1 to 100).map(i => (i.toLong, "k", s"user_salt_$i")).toDF("row_id", "k", "_salt")
+    val dim = Seq(("k", "lbl")).toDF("k", "label")
+    val out = Salting.saltedJoin(fact, dim, "k", col("row_id"), buckets = 4)
+    assert(out.count() === 100)
+    assert(out.columns.contains("_salt"))
+    assert(out.select("_salt").as[String].collect().toSet ===
+      (1 to 100).map(i => s"user_salt_$i").toSet)
+  }
+
   test("the hot key's fact rows spread across all salt buckets") {
     import spark.implicits._
     val fact = (1 to 1000).map(i => (i.toLong, "hot", 1.0)).toDF("row_id", "k", "v")
