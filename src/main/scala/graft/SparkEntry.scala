@@ -25,7 +25,8 @@ object SparkEntry {
       operators.AnnOps.queries ++
       operators.TextOps.queries ++
       operators.MultimodalOps.queries ++
-      operators.CorpusOps.queries
+      operators.CorpusOps.queries ++
+      operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,6 +43,7 @@ object SparkEntry {
     operators.TextOps.oracle ++
     operators.MultimodalOps.oracle ++
     operators.CorpusOps.oracle ++
+    operators.PiiOps.oracle ++
     Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

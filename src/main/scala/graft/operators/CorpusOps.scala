@@ -125,7 +125,36 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  private val ShardBudget = 2048L
+
+  /** Token-budget shard assignment — the packing pass that turns a
+    * curated corpus into fixed-budget training shards: documents are
+    * laid out in a deterministic order (doc_id within language) and a
+    * document starts a new shard whenever the running token estimate
+    * crosses the budget. The rule `shard = tokens_before_doc DIV
+    * budget` is a pure function of the running sum, so the layout is
+    * reproducible on any engine and any partitioning.
+    *
+    * Scale shape: one window sum per language partition — the same
+    * single-shuffle running-total pattern as q_running_total. At
+    * 100 TB the order key becomes (lang, range-bucket, doc_id) so each
+    * range bucket packs independently after one range partitioning;
+    * the per-bucket running sum never leaves its partition.
+    */
+  def packShards(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        ceil(col("n_chars") / 4.0).cast("long").as("est_tokens"))
+      .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+      .withColumn("shard",
+        expr(s"(cum_tokens - est_tokens) DIV $ShardBudget"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_shards" -> (packShards _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_train_test_split" -> (trainTestSplit _),
     "q_length_histogram" -> (lengthHistogram _),
@@ -137,6 +166,18 @@ object CorpusOps {
   private val sqlBucket = "('0x' || substr(md5(text), 1, 8))::BIGINT % 10"
 
   val oracle: Map[String, String] = Map(
+    "q_pack_shards" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) est_tokens FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, est_tokens,
+         |         CAST(sum(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_tokens
+         |  FROM d
+         |)
+         |SELECT doc_id, lang, est_tokens, cum_tokens,
+         |       (cum_tokens - est_tokens) // $ShardBudget AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE $sqlBucket < 3 ORDER BY doc_id""".stripMargin,

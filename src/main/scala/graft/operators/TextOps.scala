@@ -146,6 +146,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  private val BoilerK = 5
+  private val BoilerDf = 2
+
+  /** Cross-document boilerplate fraction — the C4-style repeated-span
+    * rule (C4 drops any line occurring in more than one document;
+    * here the unit is a 5-token shingle since the corpus has no line
+    * structure): a shingle present in ≥ [[BoilerDf]] documents is
+    * boilerplate, and each document reports what fraction of its
+    * distinct shingles are. High-fraction docs are templates /
+    * mirrored pages and get dropped or trimmed by curation.
+    *
+    * Scale shape: distinct shingles per doc → one groupBy(shingle)
+    * for document frequency → shuffle join back on the shingle key →
+    * one groupBy(doc). The df table is corpus-sized, so it is JOINED
+    * (both sides keyed), never broadcast or collected; documents with
+    * fewer than K tokens have no shingles and drop out, as in the
+    * oracle.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = repartByKey(Tables.documents(spark, dir).select("doc_id", "text"), col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(Hashing.shingles(split(col("text"), " "), BoilerK))).as("g"))
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= BoilerDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler") / col("n_shingles").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Unigram language-model scoring — the CCNet-style LM quality
     * signal: per document, the cross-entropy of its tokens against
     * the corpus unigram distribution (avg −ln p(t)). Wikipedia-like
@@ -172,6 +204,7 @@ object TextOps {
     "q_quality_filter" -> (qualityFilter _),
     "q_repetition" -> (repetition _),
     "q_lm_score" -> (lmScore _),
+    "q_boilerplate" -> (boilerplate _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_token_count" -> (tokenCount _),
@@ -191,6 +224,22 @@ object TextOps {
         |       round(avg(-ln(p)), 6) xent
         |FROM ex JOIN freq USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |gr AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(
+         |           range(1, greatest(len(toks) - ${BoilerK - 1}, 0) + 1),
+         |           i -> array_to_string(toks[i:i+${BoilerK - 1}], ' ')))) g
+         |  FROM t
+         |), df AS (SELECT g, count(*) df FROM gr GROUP BY g)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) n_shingles,
+         |       CAST(sum(CASE WHEN df >= $BoilerDf THEN 1 ELSE 0 END) AS BIGINT) n_boiler,
+         |       round(sum(CASE WHEN df >= $BoilerDf THEN 1 ELSE 0 END)
+         |             / count(*)::DOUBLE, 6) boiler_frac
+         |FROM gr JOIN df USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
