@@ -18,9 +18,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/shuffle-machinery warmup so the alphabetically-first
-    // query doesn't absorb one-time JIT and classloading cost
+    // JVM/codegen/shuffle/parquet/broadcast-machinery warmup so the
+    // alphabetically-first query doesn't absorb one-time JIT,
+    // classloading and reader-init cost
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    locally {
+      import org.apache.spark.sql.functions.broadcast
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      nation.join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name").count()
+        .write.format("noop").mode("overwrite").save()
+    }
     // optional args: bench only the named queries (local iteration).
     // Unknown names fail fast — a typo must not masquerade as a clean
     // (empty) run with exit 0.

@@ -168,11 +168,17 @@ object TextOps {
     val grams = repartByKey(Tables.documents(spark, dir).select("doc_id", "text"), col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(Hashing.shingles(split(col("text"), " "), BoilerK))).as("g"))
-    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    grams.join(df, "g")
+    // join against the BOILERPLATE set only (df ≥ threshold), not the
+    // full df table: most shingles are unique, so the full join would
+    // shuffle ~the whole gram stream a second time for rows that can
+    // only contribute df = 1. The boiler set is small enough for AQE
+    // to broadcast here; at 100 TB it stays a keyed join.
+    val boiler = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerDf).select(col("g"), lit(1).as("bf"))
+    grams.join(boiler, Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") >= BoilerDf, 1L).otherwise(0L)).as("n_boiler"))
+        count(col("bf")).as("n_boiler"))
       .withColumn("boiler_frac",
         round(col("n_boiler") / col("n_shingles").cast("double"), 6))
       .orderBy("doc_id")
@@ -232,13 +238,12 @@ object TextOps {
          |           range(1, greatest(len(toks) - ${BoilerK - 1}, 0) + 1),
          |           i -> array_to_string(toks[i:i+${BoilerK - 1}], ' ')))) g
          |  FROM t
-         |), df AS (SELECT g, count(*) df FROM gr GROUP BY g)
+         |), boiler AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= $BoilerDf)
          |SELECT doc_id,
          |       CAST(count(*) AS BIGINT) n_shingles,
-         |       CAST(sum(CASE WHEN df >= $BoilerDf THEN 1 ELSE 0 END) AS BIGINT) n_boiler,
-         |       round(sum(CASE WHEN df >= $BoilerDf THEN 1 ELSE 0 END)
-         |             / count(*)::DOUBLE, 6) boiler_frac
-         |FROM gr JOIN df USING (g)
+         |       CAST(count(b.g) AS BIGINT) n_boiler,
+         |       round(count(b.g) / count(*)::DOUBLE, 6) boiler_frac
+         |FROM gr LEFT JOIN boiler b ON gr.g = b.g
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (
