@@ -313,6 +313,30 @@ object DedupOps {
     labels
   }
 
+  /** Cluster resolution keeping the BEST member — what a production
+    * pipeline actually does with dup clusters: not "keep the lowest
+    * id" but "keep the highest-quality copy and drop the rest". Each
+    * near-dup cluster ([[dedupClusters]]) joins the quality scores
+    * ([[TextOps.textQuality]]) and elects argmax(quality, min doc_id)
+    * as its representative. The election is a per-cluster window over
+    * the (tiny) clustered subset — the corpus-sized work is all in the
+    * upstream pair generation, already blocked and df-capped; ordering
+    * on the ROUNDED score keeps the pick engine-portable.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    val quality = TextOps.textQuality(spark, dir).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc"),
+        col("quality").as("keep_quality"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Incremental near-dup detection — the daily-ingest shape: a NEW
     * slice of the corpus (content-hash 20% here, the day's arrivals in
     * production) is checked against the existing corpus AND earlier
@@ -369,6 +393,7 @@ object DedupOps {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_dedup_incremental" -> (dedupIncremental _))
 
   /** SQL fragment: distinct 3-token shingle list of `text`. */
@@ -377,6 +402,31 @@ object DedupOps {
       |                             i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin
 
   private def mh(j: Int) = s"list_min(list_transform(sh, s -> md5('$j:' || s)))"
+
+  /** SQL: the near-dup pair graph → transitive closure (`reach`),
+    * shared by the clusters and keep-best oracles. Callers prepend
+    * `WITH RECURSIVE` and aggregate reach to min-label components.
+    */
+  private val sqlClusterCtes =
+    s"""t AS (
+       |  SELECT doc_id, $sqlShingles sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+       |), ex AS (SELECT doc_id k, unnest(sh) s FROM t),
+       |kept AS (SELECT k, s FROM ex QUALIFY count(*) OVER (PARTITION BY s) <= $DfCap),
+       |cand AS (
+       |  SELECT DISTINCT a.k d1, b.k d2 FROM kept a JOIN kept b ON a.s = b.s AND a.k < b.k
+       |), dup AS (
+       |  SELECT d1, d2 FROM cand JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
+       |  WHERE len(list_intersect(t1.sh, t2.sh))
+       |        / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
+       |), ed AS (
+       |  SELECT d1 a, d2 b FROM dup UNION ALL SELECT d2, d1 FROM dup
+       |), verts AS (SELECT DISTINCT a id FROM ed),
+       |reach AS (
+       |  SELECT id src, id dst FROM verts
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_incremental" ->
@@ -446,26 +496,29 @@ object DedupOps {
          |      / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
          |ORDER BY d1, d2""".stripMargin,
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE t AS (
-         |  SELECT doc_id, $sqlShingles sh
-         |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
-         |), ex AS (SELECT doc_id k, unnest(sh) s FROM t),
-         |kept AS (SELECT k, s FROM ex QUALIFY count(*) OVER (PARTITION BY s) <= $DfCap),
-         |cand AS (
-         |  SELECT DISTINCT a.k d1, b.k d2 FROM kept a JOIN kept b ON a.s = b.s AND a.k < b.k
-         |), dup AS (
-         |  SELECT d1, d2 FROM cand JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
-         |  WHERE len(list_intersect(t1.sh, t2.sh))
-         |        / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
-         |), ed AS (
-         |  SELECT d1 a, d2 b FROM dup UNION ALL SELECT d2, d1 FROM dup
-         |), verts AS (SELECT DISTINCT a id FROM ed),
-         |reach AS (
-         |  SELECT id src, id dst FROM verts
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
-         |)
+      s"""WITH RECURSIVE $sqlClusterCtes
          |SELECT src doc_id, min(dst) cluster_id FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $sqlClusterCtes,
+         |clus AS (SELECT src doc_id, min(dst) cluster_id FROM reach GROUP BY src),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(0.5 * least(1.0, length(text) / 400.0)
+         |      + 0.25 * (len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('the', 'a')))
+         |                / greatest(len(string_split_regex(trim(text), '\\s+')), 1)::DOUBLE)
+         |      + 0.25 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+         |                      / greatest(length(text), 1)::DOUBLE), 6) quality
+         |  FROM documents
+         |)
+         |SELECT cluster_id, doc_id keep_doc, quality keep_quality, n_members
+         |FROM (
+         |  SELECT c.cluster_id, c.doc_id, q.quality,
+         |         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) n_members,
+         |         row_number() OVER (PARTITION BY c.cluster_id
+         |                            ORDER BY q.quality DESC, c.doc_id) rn
+         |  FROM clus c JOIN q USING (doc_id)
+         |)
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH tt AS (
         |  SELECT doc_id, string_split(text, ' ') toks FROM documents

@@ -60,6 +60,29 @@ object CdcStream {
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming gap sessionization — the streaming twin of the batch
+    * CdcOps.sessionize, via the built-in `session_window` (no custom
+    * state code): events within `gap` of a session's end extend it,
+    * a longer silence starts a new one. With the watermark, closed
+    * sessions are FINAL (append mode) and their state is evicted, so
+    * the stream runs indefinitely; per-user session state is bounded
+    * by the gap, not the stream length. Boundary note: session_window
+    * splits at silence ≥ gap, the batch lag-based form at > gap —
+    * they can only disagree on a gap equal to the threshold to the
+    * microsecond (never observed in the feed; the parity spec pins
+    * it on real data).
+    */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_s"),
+        col("n_events"), col("sum_value"))
+
   /** Stream-stream interval join — the streaming twin of the batch
     * as-of attribution: a live purchases stream joined against a live
     * clicks stream per user, keeping clicks at most `horizon` before

@@ -45,6 +45,41 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session windows equal batch gap sessionization at sf0.001") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"ts_ns", $"user_id", $"event_type", $"value")
+      .as[CdcStream.Event].collect().sortBy(_.ts_ns)
+
+    val input = MemoryStream[CdcStream.Event]
+    val q = CdcStream.sessionizeStream(input.toDF())
+      .writeStream.format("memory").queryName("sb_sessions")
+      .outputMode(OutputMode.Append).start()
+    // two arrival batches + a far-future sentinel: append mode only
+    // emits a session once the watermark passes its end, so the
+    // sentinel closes the tail sessions; it is excluded from compare
+    val (b1, b2) = events.splitAt(events.length / 2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    val sentinel = CdcStream.Event(-1L, events.last.ts_ns + 86400L * 1000000000L, -1L, "s", 0.0)
+    input.addData(Seq(sentinel)); q.processAllAvailable()
+    q.stop()
+
+    val batch = CdcOps.sessionize(spark, TestSpark.Sf)
+      .select($"user_id", $"start_s", $"n_events", $"sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val streamed = spark.table("sb_sessions")
+      .filter($"user_id" =!= -1L)
+      .select($"user_id", $"start_s", $"n_events", $"sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed === batch,
+      s"streaming sessions diverge: only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming exact dedup equals batch dedupExact over the documents corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
