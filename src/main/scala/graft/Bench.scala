@@ -49,9 +49,15 @@ object Bench {
       // noop sink, not count(): count() lets Catalyst prune every
       // unreferenced projection, so projection-heavy queries would be
       // timed without computing their output columns
+      // a red query must be diagnosable from the bench log alone:
+      // carry the exception class (and first message line) to stderr
       val ok = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); "ok"
-      } catch { case _: Throwable => "ERR" }
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).map(_.linesIterator.next()).getOrElse("")
+          s"ERR ${e.getClass.getName}: $msg"
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $secs%8.2f s  ($ok)")
       name -> secs

@@ -43,6 +43,52 @@ object CdcOps {
       .orderBy("user_id")
   }
 
+  /** Debezium-style op tag for the synthetic change feed: ~10% of
+    * records are deletes (content-hash selected on the CDC sequence
+    * number, so the tag is engine-portable and reshuffle-stable),
+    * signups are inserts (`c`), everything else an update (`u`).
+    */
+  private def opCol =
+    when(conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 10 === 0, "d")
+      .when(col("event_type") === "signup", "c")
+      .otherwise("u")
+
+  /** The events feed lifted to an op-typed CDC envelope — the input
+    * shape a Debezium/Kafka CDC connector delivers: every record
+    * carries `op ∈ {c,u,d}` plus the after-image columns.
+    */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("op", opCol)
+
+  /** Op-aware snapshot compaction — the delete-capable third of
+    * insert/update/delete that [[cdcLatest]] lacks: per key the newest
+    * record wins, and when that record is a `d` tombstone the key is
+    * ABSENT from the snapshot (the reference's snapshot-refresh
+    * delete-by-absence, dataManager.ts:132-187, made explicit). A
+    * delete followed by a newer re-insert resurrects the key, exactly
+    * as log-compacted CDC topics behave. Same single keyed window
+    * shuffle as [[cdcLatest]]; the streaming twin with state removal
+    * is [[graft.streaming.CdcStream.compactState]].
+    */
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    changeFeed(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("op").as("last_op"),
+        col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"),
+        expr(s"ts_ns DIV $NsPerSec").as("last_epoch_s"),
+        col("n_changes"))
+      .orderBy("user_id")
+  }
+
   /** Gap-based sessionization: a >30-minute silence starts a new
     * session. lag + running sum over one shuffle on user_id.
     */
@@ -141,6 +187,7 @@ object CdcOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_latest" -> (cdcLatest _),
+    "q_cdc_compact" -> (cdcCompact _),
     "q_sessionize" -> (sessionize _),
     "q_window_agg" -> (windowAgg _),
     "q_asof_attribution" -> (asofAttribution _),
@@ -167,6 +214,25 @@ object CdcOps {
         |FROM a JOIN cs USING (cohort_day)
         |WHERE day_offset <= 7
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_cdc_compact" ->
+      """WITH env AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+        |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 THEN 'd'
+        |         WHEN event_type = 'signup' THEN 'c'
+        |         ELSE 'u' END AS op
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  event_id AS last_event_id,
+        |  op AS last_op,
+        |  event_type AS last_type,
+        |  round(value, 2) AS last_value,
+        |  ts_ns // 1000000000 AS last_epoch_s,
+        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+        |FROM env
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) = 1
+        |  AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
     "q_cdc_latest" ->
       """SELECT user_id,
         |  event_id AS last_event_id,

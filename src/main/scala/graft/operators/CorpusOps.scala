@@ -126,6 +126,7 @@ object CorpusOps {
   }
 
   private val ShardBudget = 2048L
+  private val PackBucketWidth = 256L
 
   /** Token-budget shard assignment — the packing pass that turns a
     * curated corpus into fixed-budget training shards: documents are
@@ -135,13 +136,60 @@ object CorpusOps {
     * budget` is a pure function of the running sum, so the layout is
     * reproducible on any engine and any partitioning.
     *
-    * Scale shape: one window sum per language partition — the same
-    * single-shuffle running-total pattern as q_running_total. At
-    * 100 TB the order key becomes (lang, range-bucket, doc_id) so each
-    * range bucket packs independently after one range partitioning;
-    * the per-bucket running sum never leaves its partition.
+    * Scale shape: the running sum is computed RANGE-BUCKETED, never
+    * as one window partition per language (~5 languages would put
+    * ~20 TB of a 100 TB corpus through single partitions). Because
+    * `bkt = doc_id DIV width` is monotone in doc_id, ordering by
+    * (lang, bkt, doc_id) is the same total order as (lang, doc_id),
+    * so: (1) each (lang, bkt) partition computes its local running
+    * sum independently — thousands of parallel window partitions;
+    * (2) per-bucket totals aggregate to a TINY table (|corpus|/width
+    * rows) whose exclusive prefix sum per language yields each
+    * bucket's starting offset; (3) global cum = bucket offset +
+    * local cum, exact integer arithmetic, bit-identical to the
+    * single-window layout ([[packShardsSingleWindow]], equality
+    * proven in CorpusOpsSpec). The offsets join key (lang, bkt)
+    * matches the window's partitioning, so no extra shuffle of the
+    * corpus side; the offsets table is NOT broadcast-hinted (it is
+    * corpus-derived — AQE may still choose to broadcast it when
+    * small). At extreme scale `width` grows with the corpus so the
+    * offset table stays bounded.
     */
-  def packShards(spark: SparkSession, dir: String): DataFrame = {
+  def packShards(spark: SparkSession, dir: String): DataFrame =
+    packShardsBucketed(spark, dir, PackBucketWidth)
+
+  private[operators] def packShardsBucketed(
+      spark: SparkSession, dir: String, bucketWidth: Long): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        ceil(col("n_chars") / 4.0).cast("long").as("est_tokens"))
+      .withColumn("bkt", expr(s"doc_id DIV $bucketWidth"))
+    val local = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = d.withColumn("local_cum", sum(col("est_tokens")).over(local))
+    // per-bucket totals → exclusive prefix sum per language: the only
+    // single-partition-per-language work left runs over |corpus|/width
+    // rows, not the corpus
+    val off = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("est_tokens")).as("bkt_total"))
+      .withColumn("offset", coalesce(sum(col("bkt_total")).over(off), lit(0L)))
+      .select(col("lang"), col("bkt"), col("offset"))
+    withLocal.join(offsets, Seq("lang", "bkt"))
+      .withColumn("cum_tokens", col("offset") + col("local_cum"))
+      .withColumn("shard",
+        expr(s"(cum_tokens - est_tokens) DIV $ShardBudget"))
+      .select(col("doc_id"), col("lang"), col("est_tokens"),
+        col("cum_tokens"), col("shard"))
+      .orderBy("doc_id")
+  }
+
+  /** The one-window-partition-per-language reference layout the
+    * bucketed implementation must reproduce bit-for-bit — kept for
+    * the CorpusOpsSpec equality proof only; never registered.
+    */
+  private[operators] def packShardsSingleWindow(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)

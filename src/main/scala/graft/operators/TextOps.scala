@@ -190,8 +190,12 @@ object TextOps {
     * text scores low, gibberish and boilerplate-skewed token mixes
     * score away from the corpus mean; curation keeps a band around
     * the middle. Two aggregations: corpus token counts (the "model"),
-    * then a token-level join back — the model table is vocabulary-
-    * sized, broadcast-able for natural-language vocabularies.
+    * then a token-level join back. The model table is CORPUS-derived
+    * (web-scale text has billions of distinct tokens — typos, URLs,
+    * ids), so it is deliberately NOT broadcast-hinted: both sides stay
+    * keyed on the token and AQE may still choose a broadcast when the
+    * measured vocabulary fits under autoBroadcastJoinThreshold —
+    * degrading to a shuffle join instead of OOMing when it doesn't.
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val ex = Tables.documents(spark, dir)
@@ -199,7 +203,7 @@ object TextOps {
     val freq = ex.groupBy("t").agg(count(lit(1)).as("tf"))
       .withColumn("p", col("tf") / sum(col("tf")).over(Window.partitionBy()).cast("double"))
       .select("t", "p")
-    ex.join(broadcast(freq), "t")
+    ex.join(freq, "t")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         round(avg(-log(col("p"))), 6).as("xent"))

@@ -27,14 +27,13 @@ object ShardedWriter {
     */
   def writeShards(spark: SparkSession, sfDir: String, outPath: String): DataFrame = {
     val packed = CorpusOps.packShards(spark, sfDir)
-      .select(col("doc_id"), col("est_tokens"), col("shard"))
     Tables.documents(spark, sfDir)
-      .join(packed, "doc_id")
+      .join(packed.select(col("doc_id"), col("est_tokens"), col("shard")), "doc_id")
       .repartition(col("lang"), col("shard"))
       .write
       .partitionBy("lang", "shard")
       .mode(SaveMode.Overwrite)
       .parquet(outPath)
-    CorpusOps.packShards(spark, sfDir)
+    packed
   }
 }

@@ -48,6 +48,89 @@ object CdcStream {
         })
   }
 
+  /** One Debezium-style change record: `op ∈ {c,u,d}` (insert /
+    * update / delete) plus the after-image columns — the envelope a
+    * CDC source connector delivers.
+    */
+  case class Change(
+      event_id: Long, ts_ns: Long, user_id: Long, op: String,
+      event_type: String, value: Double)
+
+  /** Compacted output row. `deleted = true` is the TOMBSTONE the sink
+    * applies by removing the key from the serving store.
+    */
+  case class Compacted(
+      user_id: Long, deleted: Boolean, last_event_id: Long, last_op: String,
+      last_type: String, last_value: Double, last_ts_ns: Long, n_changes: Long)
+
+  /** [[Change]] carrying the event-time column the watermark tracks
+    * (public: codegen'd encoders cannot access a private class).
+    */
+  case class TimedChange(
+      event_id: Long, ts_ns: Long, user_id: Long, op: String,
+      event_type: String, value: Double, event_time: java.sql.Timestamp)
+
+  /** Op-aware keyed compaction with DELETE semantics — the streaming
+    * twin of [[graft.operators.CdcOps.cdcCompact]] and the third of
+    * insert/update/delete that [[latestState]] cannot express: per key
+    * the newest change wins; when that change is a `d` the key emits a
+    * tombstone row (`deleted = true`) and its state is scheduled for
+    * REMOVAL, so state size tracks the LIVE key set, not every key
+    * ever seen — the property that lets the compactor run indefinitely
+    * against a feed with churn.
+    *
+    * The tombstone stays in state until the WATERMARK passes its
+    * event time plus `tombstoneRetentionMs` (Kafka log compaction's
+    * delete.retention.ms, but on event time): while retained, late
+    * out-of-order records older than the delete are correctly ignored;
+    * once the event-time timeout purges it, the key costs nothing —
+    * and the purge is SAFE, because any record that could wrongly
+    * resurrect the key predates the delete, hence predates the
+    * watermark, and is dropped as late before reaching the state
+    * function. A genuinely newer `c`/`u` resurrects the key (its
+    * state update clears the pending purge), as in log-compacted CDC
+    * topics.
+    */
+  def compactState(spark: SparkSession, changes: Dataset[Change],
+      tombstoneRetentionMs: Long = 3600L * 1000, watermark: String = "10 minutes"): Dataset[Compacted] = {
+    import spark.implicits._
+    changes
+      .withColumn("event_time", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("event_time", watermark)
+      .as[TimedChange]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[TimedChange], state: GroupState[Compacted]) => {
+          if (state.hasTimedOut) {
+            // retention elapsed: purge the tombstone (already emitted)
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+            val out = batch.foldLeft(prev) { (acc, c) =>
+              val newer = acc.forall(s =>
+                c.ts_ns > s.last_ts_ns ||
+                  (c.ts_ns == s.last_ts_ns && c.event_id > s.last_event_id))
+              val n = acc.map(_.n_changes).getOrElse(0L) + 1
+              if (newer)
+                Some(Compacted(userId, c.op == "d", c.event_id, c.op,
+                  c.event_type, c.value, c.ts_ns, n))
+              else acc.map(_.copy(n_changes = n))
+            }
+            out.foreach { s =>
+              state.update(s)
+              // timeouts do not survive an update, so only tombstones
+              // re-arm the purge; live keys carry no timeout
+              if (s.deleted)
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs() + 1,
+                  s.last_ts_ns / 1000000L + tombstoneRetentionMs))
+            }
+            out.iterator
+          }
+        })
+  }
+
   /** Watermarked tumbling-window counts per event type. Late data
     * beyond the watermark is dropped; window state is evicted — the
     * unbounded-stream-safe version of CdcOps.windowAgg.

@@ -80,6 +80,88 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming op-aware compaction (tombstones) equals batch cdcCompact at sf0.01") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // sf0.01: the smallest scale where some keys' NEWEST change is a
+    // delete, so the tombstone path is actually exercised
+    val dir = "/root/testdata/sf0.01"
+    val changes = CdcOps.changeFeed(spark, dir)
+      .select($"event_id", $"ts_ns", $"user_id", $"op", $"event_type", $"value")
+      .as[CdcStream.Change].collect().sortBy(c => (c.ts_ns, c.event_id))
+
+    val input = MemoryStream[CdcStream.Change]
+    // retention effectively infinite: a purged tombstone restarts the
+    // key's n_changes count, which is exactly the (documented) place
+    // stream and batch may diverge — parity is over the unpurged log
+    val q = CdcStream.compactState(spark, input.toDS(), tombstoneRetentionMs = Long.MaxValue / 4)
+      .writeStream.format("memory").queryName("sb_compact")
+      .outputMode(OutputMode.Update).start()
+    // three arrival batches in feed order (a CDC log is per-key ordered)
+    val (b1, rest) = changes.splitAt(changes.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    // materialize the sink's view: per key the LAST emission wins
+    // (n_changes strictly increases per key, so argmax identifies it);
+    // deleted = true removes the key from the serving store
+    val lastPerKey = spark.table("sb_compact").as[CdcStream.Compacted].collect()
+      .groupBy(_.user_id).map { case (_, es) => es.maxBy(_.n_changes) }
+
+    val live = lastPerKey.filterNot(_.deleted)
+      .map(s => s.user_id -> ((s.last_event_id, s.last_op, s.n_changes))).toMap
+    val batch = CdcOps.cdcCompact(spark, dir)
+      .select($"user_id", $"last_event_id", $"last_op", $"n_changes")
+      .as[(Long, Long, String, Long)].collect()
+
+    assert(live.size === batch.length)
+    batch.foreach { case (u, id, op, n) =>
+      assert(live(u) === ((id, op, n)), s"user $u diverges")
+    }
+    // tombstoned keys are EXACTLY the keys absent from the batch snapshot
+    val tombstoned = lastPerKey.filter(_.deleted).map(_.user_id).toSet
+    assert(tombstoned === changes.map(_.user_id).toSet -- batch.map(_._1))
+    assert(tombstoned.nonEmpty, "the feed must exercise the delete path")
+  }
+
+  test("compaction tombstone ignores a late out-of-order record older than the delete") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // realistic epoch-ns event times (the watermark machinery works in
+    // real milliseconds); minutes apart, watermark delay 10 minutes
+    val t0 = 1700000000L * 1000000000L
+    def m(mins: Long) = t0 + mins * 60L * 1000000000L
+    val input = MemoryStream[CdcStream.Change]
+    val q = CdcStream.compactState(spark, input.toDS())
+      .writeStream.format("memory").queryName("sb_compact_late")
+      .outputMode(OutputMode.Update).start()
+    input.addData(Seq(
+      CdcStream.Change(1L, m(0), 7L, "c", "signup", 1.0),
+      CdcStream.Change(2L, m(20), 7L, "d", "error", 0.0)))
+    q.processAllAvailable()
+    // a LATE update that predates the delete but is inside the
+    // watermark (wm = m20 - 10min = m10 < m15 < m20) must reach the
+    // state function and be rejected by the retained tombstone, not
+    // merely dropped by the late-row filter
+    input.addData(Seq(CdcStream.Change(3L, m(15), 7L, "u", "click", 2.0)))
+    q.processAllAvailable()
+    // a genuinely NEWER insert must resurrect it
+    input.addData(Seq(CdcStream.Change(4L, m(40), 7L, "c", "signup", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val ems = spark.table("sb_compact_late").as[CdcStream.Compacted].collect()
+      .sortBy(_.n_changes)
+    assert(ems.map(_.deleted).toSeq === Seq(true, true, false),
+      s"expected tombstone, tombstone-retained, resurrect; got $ems")
+    assert(ems.last.last_event_id === 4L && ems.last.n_changes === 4L)
+  }
+
   test("streaming exact dedup equals batch dedupExact over the documents corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -59,6 +59,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(real.exists(_.getAs[Long]("n_boiler") > 0))
   }
 
+  test("range-bucketed packing is bit-identical to the single-window layout") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("est_tokens"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Long]("shard"))).toSeq
+    val ref = rows(CorpusOps.packShardsSingleWindow(spark, sf))
+    assert(ref.nonEmpty)
+    // widths chosen to force many buckets (incl. a non-divisor odd
+    // width, so bucket boundaries fall mid-shard and mid-language)
+    for (width <- Seq(7L, 16L, 256L))
+      assert(rows(CorpusOps.packShardsBucketed(spark, sf, width)) === ref,
+        s"bucket width $width diverges from the single-window reference")
+  }
+
   test("pack shards: monotone within language, budget respected at shard starts") {
     val rows = CorpusOps.packShards(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
