@@ -73,6 +73,8 @@ object DedupOps {
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     dedupNgramFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")), DfCap)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+      .orderBy("d1", "d2")
 
   /** Frame-based core of [[dedupNgram]]: `docs` must carry
     * (doc_id, text). Exposed within the package so specs can feed
@@ -113,9 +115,15 @@ object DedupOps {
     clean.select(col("d1"), col("d2"), col("jac"))
       .union(dirty.select(col("d1"), col("d2"), col("jac")))
       .filter(col("jac") >= JaccardThreshold)
-      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
-      .orderBy("d1", "d2")
   }
+
+  /** Qualifying pair EDGES only — the [[dedupNgramFrame]] pipeline
+    * minus the presentation sort/rounding, for consumers (connected
+    * components) that treat the pairs as an unordered edge set.
+    */
+  private[operators] def dedupNgramEdges(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")), DfCap)
+      .select(col("d1"), col("d2"))
 
   private val Bands = 4
   private val Rows = 2
@@ -263,7 +271,7 @@ object DedupOps {
     * keep/drop decisions.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(dedupNgram(spark, dir).select(col("d1"), col("d2")))
+    connectedComponents(dedupNgramEdges(spark, dir))
       .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
       .orderBy("doc_id")
 
