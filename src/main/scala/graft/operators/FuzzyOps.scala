@@ -69,6 +69,19 @@ object FuzzyOps {
       transform(slice(st, i + lit(2), size(st)), u => concat_ws(" ", t, u))))
   }
 
+  /** All sorted token TRIGRAMS of one row's distinct-token array —
+    * the stronger blocking key for the `inter ≥ 3` stratum of
+    * [[tokenJaccardJoin]]: two rows sharing at most 2 tokens produce
+    * ZERO trigram collisions, so the (at corpus scale, dominant)
+    * low-overlap candidate mass never reaches the pair aggregation.
+    */
+  private[operators] def trigramsOf(toks: Column): Column = {
+    val st = array_sort(toks)
+    flatten(flatten(transform(st, (t, i) =>
+      transform(slice(st, i + lit(2), size(st)), (u, j) =>
+        transform(slice(st, i + j + lit(3), size(st)), v => concat_ws(" ", t, u, v))))))
+  }
+
   /** Inverse of `nc = C(inter, 2)`: two rows sharing `inter` tokens
     * share exactly C(inter, 2) sorted bigrams, so the shared-token
     * count is recovered arithmetically from the bigram co-count —
@@ -85,20 +98,35 @@ object FuzzyOps {
   private[operators] def interUbFromNc(ncUb: Column): Column =
     floor((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * ncUb)) / lit(2.0)).cast("int")
 
-  /** Co-bigram counts for pairs within one keyed token-array frame
-    * `base(key, toks)`.
+  /** Inverse of `nc = C(inter, 3)` for the trigram-blocked stratum.
+    * Exact for inter ≥ 3 (the only values a trigram collision can
+    * produce): ∛(i(i−1)(i−2)) ∈ (i−1.5, i−1) for every i ≥ 3, so
+    * round(∛(6·nc)) + 1 recovers i with margin on both sides.
+    */
+  private[operators] def interFromNc3(nc: Column): Column =
+    (round(cbrt(lit(6.0) * nc), 0) + lit(1)).cast("int")
+
+  /** Largest `inter` consistent with an upper bound on the trigram
+    * co-count: C(i, 3) ≤ ncUb ⟹ (i−2)³ < 6·ncUb ⟹ i < ∛(6·ncUb) + 2.
+    */
+  private[operators] def interUbFromNc3(ncUb: Column): Column =
+    floor(cbrt(lit(6.0) * ncUb) + lit(2.0)).cast("int")
+
+  /** Co-gram counts for pairs within one keyed token-array frame
+    * `base(key, toks)`, blocked on `gramsOf(toks)` keys.
     *
     * Returns `(pairs(k1, k2, nc), hotCnt(k, hd))`: per ordered pair,
-    * the number of SHARED bigram keys that survived the df-cap; per
-    * row, the number of its bigrams that were dropped as hot. A
-    * dropped shared bigram is hot and counts toward BOTH rows, so
-    * `nc = C(inter, 2)` exactly whenever min(hd1, hd2) = 0, and in
-    * general `nc ≤ C(inter, 2) ≤ nc + min(hd1, hd2)` — callers prune
+    * the number of SHARED gram keys that survived the df-cap; per
+    * row, the number of its grams that were dropped as hot. A
+    * dropped shared gram is hot and counts toward BOTH rows, so
+    * `nc` is exact whenever min(hd1, hd2) = 0, and in general
+    * `nc ≤ true co-count ≤ nc + min(hd1, hd2)` — callers prune
     * with the bound and verify only pairs that could pass.
     */
   private[operators] def selfPairCounts(
-      base: DataFrame, key: String, cap: Int): (DataFrame, DataFrame) = {
-    val bg = base.select(col(key).as("k"), explode(bigramsOf(col("toks"))).as("c"))
+      base: DataFrame, key: String, cap: Int,
+      gramsOf: Column => Column = bigramsOf): (DataFrame, DataFrame) = {
+    val bg = base.select(col(key).as("k"), explode(gramsOf(col("toks"))).as("c"))
     val hot = bg.groupBy("c").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("c")
     val kept = bg.join(broadcast(hot), Seq("c"), "left_anti")
@@ -137,10 +165,9 @@ object FuzzyOps {
   /** halalService.ts:119-164 — word-overlap (Jaccard) similarity join
     * over name+type token sets: ≥ 2 shared tokens (the reference's
     * matching-words rule, halalService.ts:138,151) AND Jaccard ≥ 0.5.
-    * Candidates from df-capped sorted-bigram blocking — lossless for
-    * the inter ≥ 2 contract (any qualifying pair shares a bigram) up
-    * to the documented hot-key cap; similarity verified exactly on the
-    * full token sets.
+    * Candidates from df-capped sorted-gram blocking in two LOSSLESS
+    * strata (see [[tokenJaccardFrame]]); similarity recovered
+    * arithmetically or verified exactly on the full token sets.
     */
   def tokenJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
     // repartition barrier: consumers share one evaluation of the token
@@ -157,31 +184,59 @@ object FuzzyOps {
     * (k, toks). Exposed within the package so specs can drive
     * synthetic hot-key corpora through the df-cap bound/fallback
     * paths that test scales below sf0.1 never reach.
+    *
+    * Two lossless strata keep the pair aggregation small:
+    *   - `inter ≥ 3`: TRIGRAM blocking. Any pair sharing ≥ 3 tokens
+    *     shares C(inter, 3) ≥ 1 sorted trigrams, while the dominant
+    *     low-overlap mass (pairs sharing ≤ 2 tokens — every pair of
+    *     rows that merely co-mention two common words) collides on
+    *     ZERO trigram keys and never enters the join.
+    *   - `inter = 2`: jac ≥ 0.5 forces 3·inter ≥ n1 + n2, i.e.
+    *     n1 + n2 ≤ 6 — both rows hold ≤ 4 tokens. Bigram blocking
+    *     runs over that slice only, keeping just its inter = 2 pairs
+    *     (inter ≥ 3 already found above), so the strata are disjoint
+    *     and their union is exactly the inter ≥ 2 ∧ jac ≥ 0.5 result.
     */
   private[operators] def tokenJaccardFrame(base: DataFrame, cap: Int): DataFrame = {
-    val (pairs, hotCnt) = selfPairCounts(base, "k", cap)
-    // per-row meta: token count + dropped-hot-bigram count. Scalars
+    val tri = coPairJac(base, cap, trigramsOf, interFromNc3, interUbFromNc3, minInter = 3)
+    val small = coPairJac(base.filter(size(col("toks")) <= 4), cap,
+        bigramsOf, interFromNc, interUbFromNc, minInter = 2)
+      .filter(col("inter") === 2)
+    tri.union(small)
+      .filter(col("inter") >= 2 && col("jac") >= 0.5)
+      .select(col("k1"), col("k2"), round(col("jac"), 6).as("jac"))
+      .orderBy("k1", "k2")
+  }
+
+  /** Blocked co-gram pair evaluation shared by the [[tokenJaccardFrame]]
+    * strata: every pair of `base` rows sharing ≥ 1 kept `gramsOf` key
+    * comes back as (k1, k2, inter, jac) with EXACT inter/jac. Clean
+    * pairs (at most one side touched a dropped hot gram) recover
+    * `inter` arithmetically from the co-count via `interOf` — token
+    * arrays never ride the pair shuffle; dirty pairs are bounded by
+    * `interUbOf(nc + min(hd1, hd2))`, pruned when even the bound
+    * cannot reach `minInter` or jac 0.5, and exact-verified on full
+    * token arrays otherwise (empty below the cap).
+    */
+  private def coPairJac(base: DataFrame, cap: Int, gramsOf: Column => Column,
+      interOf: Column => Column, interUbOf: Column => Column, minInter: Int): DataFrame = {
+    val (pairs, hotCnt) = selfPairCounts(base, "k", cap, gramsOf)
+    // per-row meta: token count + dropped-hot-gram count. Scalars
     // only — joins of the pair table against this stay array-free.
     val meta = base.select(col("k"), size(col("toks")).as("n"))
       .join(hotCnt, Seq("k"), "left").na.fill(0L, Seq("hd"))
     val m = pairs
       .join(meta.select(col("k").as("k1"), col("n").as("n1"), col("hd").as("hd1")), "k1")
       .join(meta.select(col("k").as("k2"), col("n").as("n2"), col("hd").as("hd2")), "k2")
-    // nc is exact unless BOTH rows dropped hot bigrams: recover the
-    // intersection arithmetically and never ship token arrays
     val clean = m.filter(least(col("hd1"), col("hd2")) === 0)
-      .withColumn("inter", interFromNc(col("nc")))
+      .withColumn("inter", interOf(col("nc")))
       .withColumn("jac",
         col("inter") / (col("n1") + col("n2") - col("inter")).cast("double"))
-    // pairs whose nc may undercount (empty below the cap): bound the
-    // true intersection by nc + min(hd1, hd2), prune pairs that even
-    // then cannot pass, and exact-verify only the survivors on full
-    // token sets, as the oracle does
     val dirty = m.filter(least(col("hd1"), col("hd2")) > 0)
       .withColumn("iub",
-        least(interUbFromNc(col("nc") + least(col("hd1"), col("hd2"))),
+        least(interUbOf(col("nc") + least(col("hd1"), col("hd2"))),
           least(col("n1"), col("n2"))))
-      .filter(col("iub") >= 2 &&
+      .filter(col("iub") >= minInter &&
         col("iub") / (col("n1") + col("n2") - col("iub")).cast("double") >= 0.5)
       .join(base.select(col("k").as("k1"), col("toks").as("toks1")), "k1")
       .join(base.select(col("k").as("k2"), col("toks").as("toks2")), "k2")
@@ -189,9 +244,6 @@ object FuzzyOps {
       .withColumn("jac", col("inter") / size(array_union(col("toks1"), col("toks2"))).cast("double"))
     clean.select(col("k1"), col("k2"), col("inter"), col("jac"))
       .union(dirty.select(col("k1"), col("k2"), col("inter"), col("jac")))
-      .filter(col("inter") >= 2 && col("jac") >= 0.5)
-      .select(col("k1"), col("k2"), round(col("jac"), 6).as("jac"))
-      .orderBy("k1", "k2")
   }
 
   /** halalService.ts:194-247 — per-word edit-distance similarity over
@@ -407,14 +459,27 @@ object FuzzyOps {
   private val sqlDictList = DictPairs.map(s => s"'$s'").mkString("[", ", ", "]")
   private val sqlGenericList = GenericWords.map(s => s"'$s'").mkString("[", ", ", "]")
 
-  /** Shared SQL: capped-bigram candidates within one side. Expects
-    * `base(k, toks)` in scope; emits tok/cmb/kept/cand CTE bodies.
+  /** Shared SQL: the two candidate strata of [[tokenJaccardFrame]] —
+    * capped-trigram candidates (lossless for inter ≥ 3) plus
+    * capped-bigram candidates over the ≤ 4-token slice (where every
+    * qualifying inter = 2 pair lives, since jac ≥ 0.5 ⟹ n1 + n2 ≤ 6).
+    * Expects `base(k, toks)` in scope; emits tok/…/cand CTE bodies.
     */
   private def sqlSelfCands(cap: Int): String =
     s"""tok AS (SELECT k, unnest(toks) t FROM base),
-       |cmb AS (SELECT a.k, a.t || ' ' || b.t c FROM tok a JOIN tok b ON a.k = b.k AND a.t < b.t),
-       |kept AS (SELECT k, c FROM cmb QUALIFY count(*) OVER (PARTITION BY c) <= $cap),
-       |cand AS (SELECT DISTINCT a.k k1, b.k k2 FROM kept a JOIN kept b ON a.c = b.c AND a.k < b.k)""".stripMargin
+       |tri AS (SELECT a.k, a.t || ' ' || b.t || ' ' || c.t c
+       |        FROM tok a JOIN tok b ON a.k = b.k AND a.t < b.t
+       |                   JOIN tok c ON b.k = c.k AND b.t < c.t),
+       |tkept AS (SELECT k, c FROM tri QUALIFY count(*) OVER (PARTITION BY c) <= $cap),
+       |stok AS (SELECT k, unnest(toks) t FROM base WHERE len(toks) <= 4),
+       |scmb AS (SELECT a.k, a.t || ' ' || b.t c FROM stok a JOIN stok b ON a.k = b.k AND a.t < b.t),
+       |skept AS (SELECT k, c FROM scmb QUALIFY count(*) OVER (PARTITION BY c) <= $cap),
+       |cand AS (
+       |  SELECT DISTINCT k1, k2, 3 min_inter
+       |  FROM (SELECT a.k k1, b.k k2 FROM tkept a JOIN tkept b ON a.c = b.c AND a.k < b.k)
+       |  UNION
+       |  SELECT DISTINCT a.k k1, b.k k2, 2 min_inter
+       |  FROM skept a JOIN skept b ON a.c = b.c AND a.k < b.k)""".stripMargin
 
   /** Shared SQL: two-sided capped-bigram ∪ exact-cleaned-name
     * candidates. Expects `lt(lk, lcn, ltoks)` / `rt(rk, rcn, rtoks)`.
@@ -464,14 +529,15 @@ object FuzzyOps {
          |  FROM part
          |), ${sqlSelfCands(BigramDfCap)},
          |v AS (
-         |  SELECT k1, k2,
+         |  SELECT k1, k2, min_inter,
          |         len(list_intersect(b1.toks, b2.toks)) inter,
          |         len(list_intersect(b1.toks, b2.toks))
          |           / len(list_distinct(list_concat(b1.toks, b2.toks)))::DOUBLE jac
          |  FROM cand JOIN base b1 ON b1.k = k1 JOIN base b2 ON b2.k = k2
          |)
          |SELECT k1, k2, round(jac, 6) jac FROM v
-         |WHERE inter >= 2 AND jac >= 0.5
+         |WHERE jac >= 0.5
+         |  AND ((min_inter = 3 AND inter >= 2) OR (min_inter = 2 AND inter = 2))
          |ORDER BY k1, k2""".stripMargin,
     "q_levenshtein_pairs" ->
       s"""WITH vocab AS (SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) t FROM part),

@@ -37,6 +37,22 @@ class ArithmeticVerifySpec extends AnyFunSuite {
     assert(rows.filter(FuzzyOps.interUbFromNc(col("nc") - 1) =!= col("inter") - 1).count() === 0)
   }
 
+  test("interFromNc3 inverts C(inter, 3) exactly for every realistic intersection size") {
+    import spark.implicits._
+    val rows = (3 to 2000).map(i => (i, i.toLong * (i - 1) * (i - 2) / 6)).toDF("inter", "nc")
+    val bad = rows.filter(FuzzyOps.interFromNc3(col("nc")) =!= col("inter")).count()
+    assert(bad === 0)
+  }
+
+  test("interUbFromNc3 bounds: UB(C(i,3)) >= i and UB(C(i,3) - 1) >= i - 1") {
+    import spark.implicits._
+    // a sound upper bound may overestimate but must never go below the
+    // largest inter consistent with the co-count
+    val rows = (4 to 2000).map(i => (i, i.toLong * (i - 1) * (i - 2) / 6)).toDF("inter", "nc")
+    assert(rows.filter(FuzzyOps.interUbFromNc3(col("nc")) < col("inter")).count() === 0)
+    assert(rows.filter(FuzzyOps.interUbFromNc3(col("nc") - 1) < col("inter") - 1).count() === 0)
+  }
+
   private val tokenGen: Gen[Seq[String]] =
     Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(
       "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa")))
@@ -51,6 +67,21 @@ class ArithmeticVerifySpec extends AnyFunSuite {
       val want = (for {
         i <- distinct.indices; j <- (i + 1) until distinct.length
       } yield s"${distinct(i)} ${distinct(j)}").toSet
+      assert(got === want)
+    }
+  }
+
+  test("trigramsOf equals the naive sorted-triple set of the distinct tokens") {
+    import spark.implicits._
+    forAllSampled(tokenGen) { toks =>
+      val got = Seq(toks).toDF("raw")
+        .select(FuzzyOps.trigramsOf(array_distinct(col("raw"))).as("tg"))
+        .head.getSeq[String](0).toSet
+      val distinct = toks.distinct.sorted
+      val want = (for {
+        i <- distinct.indices; j <- (i + 1) until distinct.length
+        l <- (j + 1) until distinct.length
+      } yield s"${distinct(i)} ${distinct(j)} ${distinct(l)}").toSet
       assert(got === want)
     }
   }

@@ -159,21 +159,42 @@ class ScaleGuardsSpec extends AnyFunSuite {
       chain(ex).exists(c => c.getMessage != null && c.getMessage.contains("length mismatch")))
   }
 
+  test("token-jaccard strata find the inter = 2 pairs trigram blocking cannot see") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3-token rows sharing exactly 2 tokens: jac = 2/4 = 0.5
+      // qualifies but the pair shares ZERO trigrams — only the
+      // small-row bigram stratum can find it
+      (1L, Seq("aa", "bb", "cc")), (2L, Seq("aa", "bb", "dd")),
+      // 5-token rows sharing 2 tokens: jac = 2/8 < 0.5 — correctly
+      // absent whether or not any stratum generates the candidate
+      (3L, Seq("aa", "bb", "e1", "e2", "e3")), (4L, Seq("aa", "bb", "f1", "f2", "f3")))
+      .toDF("k", "toks")
+    val out = FuzzyOps.tokenJaccardFrame(docs, cap = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 2L, 0.5)))
+  }
+
   test("token-jaccard df-cap: hot-only pairs dropped, undercounted pairs still exact via fallback") {
     import spark.implicits._
-    // (stop1, stop2) rides in every doc → its bigram df = 12 > cap 3,
-    // so it is dropped from blocking and undercounts every nc by 1
+    // all rows here are ≤ 4 tokens except (20, 21), so the small-row
+    // bigram stratum sees docs 1-6, 10, 11 — within it the
+    // (stop1, stop2) bigram has df 8 > cap 3 and is dropped
     val docs = Seq(
-      // boilerplate-only docs: every shared bigram is hot → never candidates
+      // boilerplate-only docs: every shared bigram is hot → never
+      // candidates in the small stratum, and no shared trigram exists
       (1L, Seq("stop1", "stop2", "ua")), (2L, Seq("stop1", "stop2", "ub")),
       (3L, Seq("stop1", "stop2", "uc")), (4L, Seq("stop1", "stop2", "ud")),
       (5L, Seq("stop1", "stop2", "ue")), (6L, Seq("stop1", "stop2", "uf")),
-      // true dup pair: cold bigrams keep it reachable; its nc is
-      // undercounted (5 of C(4,2)=6), so it takes the bounded-UB
-      // fallback and must still carry the EXACT jaccard (1.0)
+      // true dup pair: found CLEAN by the trigram stratum (its 4
+      // shared trigrams stay under the cap → inter = 4 arithmetic,
+      // exact jac 1.0); the small stratum ALSO reaches it through the
+      // dirty bounded-UB fallback (both sides dropped the hot bigram)
+      // but discards it there as inter ≠ 2 — no duplicate row
       (10L, Seq("stop1", "stop2", "w1", "w2")), (11L, Seq("stop1", "stop2", "w1", "w2")),
-      // UB-prunable pair: 3 shared of 6 tokens → true jac 1/3 < 0.5;
-      // the bound alone must reject it without arrays
+      // low-overlap pair: 3 shared of 6 tokens → one shared trigram,
+      // clean arithmetic inter = 3 → jac 1/3 < 0.5, rejected without
+      // token arrays ever shuffling
       (20L, Seq("stop1", "stop2", "x", "d1a", "d1b", "d1c")),
       (21L, Seq("stop1", "stop2", "x", "d2a", "d2b", "d2c")))
       .toDF("k", "toks")
