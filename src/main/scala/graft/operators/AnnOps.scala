@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -97,18 +97,19 @@ object AnnOps {
       .orderBy("label", "dim")
 
   private val IvfCells = 16
-  private val IvfProbeCells = 4
+  private[operators] val IvfProbeCells = 4
 
   /** IVF-style ANN — the other classic scale path beside LSH: the
     * corpus is coarse-quantized into [[IvfCells]] cells (nearest
     * anchor by cosine), and each probe searches only its
     * [[IvfProbeCells]] nearest cells — ~nprobe/k of the corpus per
     * query. Anchors are DETERMINISTIC (the lowest-id vectors) so the
-    * whole pipeline is oracle-checkable; a production build would
-    * Lloyd-iterate the anchors, which changes the centroid table, not
-    * the plan: one broadcast assignment pass over the corpus, a keyed
-    * cell join, per-probe top-k. Assignment ships only (vec_id, cell)
-    * through its shuffle — embeddings re-attach by key afterwards.
+    * whole pipeline is oracle-checkable; [[Kmeans.anchors]] is the
+    * Lloyd-refined production layout, wired through [[annIvfWith]] —
+    * it changes the centroid table, not the plan: one broadcast
+    * assignment pass over the corpus, a keyed cell join, per-probe
+    * top-k. Assignment ships only (vec_id, cell) through its
+    * shuffle — embeddings re-attach by key afterwards.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.VectorExpressions
@@ -134,6 +135,52 @@ object AnnOps {
       .crossJoin(broadcast(cents))
       .withColumn("ccos", round(VectorExpressions.cosineNative(
         col("c_emb"), col("c_nrm"), col("p_emb"), col("p_nrm")), 6))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= IvfProbeCells)
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cell"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** [[annIvf]] with an externally supplied anchor table (cell,
+    * c: unit-norm array<double>) — e.g. Lloyd-refined
+    * [[Kmeans.anchors]], the production cell layout. The registered
+    * query keeps the deterministic lowest-id anchors so its pipeline
+    * stays oracle-checkable bit for bit; this variant swaps ONLY the
+    * centroid table — the plan is identical (broadcast assignment
+    * pass, keyed cell join, per-probe top-k).
+    */
+  def annIvfWith(spark: SparkSession, dir: String, anchors: DataFrame): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    // cosine against a unit-norm double anchor: dot / ‖x‖ with builtin
+    // zip_with/aggregate (anchors are double, the corpus is float —
+    // the native fold rejects mixed element types by design)
+    def anchorCos(emb: Column, nrm: Column): Column =
+      aggregate(zip_with(emb, col("c"), (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, v) => acc + v) / nrm
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val assigned = e.crossJoin(broadcast(anchors))
+      .withColumn("ccos", anchorCos(col("embedding"), col("nrm")))
+      .select(col("vec_id"), col("cell"), col("ccos"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cell"))
+      .join(e, "vec_id")
+    val pw = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("cell"))
+    val probeCells = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(anchors))
+      .withColumn("ccos", anchorCos(col("p_emb"), col("p_nrm")))
       .withColumn("prn", row_number().over(pw))
       .filter(col("prn") <= IvfProbeCells)
       .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cell"))

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic Lloyd-iterated spherical k-means — the anchor
+  * refinement that turns [[AnnOps.annIvf]]'s seed cells (lowest-id
+  * vectors) into a production-shaped IVF layout. No reference
+  * counterpart (the reference has no vector path); the design is the
+  * standard spherical Lloyd recursion.
+  *
+  * Determinism without RNG:
+  *   - init = the k lowest-id vectors, the same seed the registered
+  *     IVF query uses directly;
+  *   - assignment ties break to the lowest cell id;
+  *   - each round: one broadcast assignment pass over the corpus
+  *     (argmax cosine), then a per-(cell, dim) mean over NORMALIZED
+  *     vectors, re-normalized — the spherical Lloyd update, which
+  *     never increases the quantization cost Σ(1 − cos);
+  *   - empty cells keep their previous anchor.
+  *
+  * 100 TB shape: each iteration is one broadcast-join scan of the
+  * corpus plus a (cell, dim)-keyed aggregation onto k·dim cells —
+  * no corpus-sized shuffle. The argmax ships only the slim
+  * (vec_id, cell, dot) triple through its window; the mean
+  * aggregates exploded scalars; the k-row anchor table is
+  * localCheckpointed per round so corpus lineage never re-executes.
+  */
+object Kmeans {
+
+  /** `x / ‖x‖` as array<double>, zero-safe. */
+  private def unitOf(arr: Column): Column = {
+    val n = greatest(sqrt(aggregate(arr, lit(0.0), (acc, x) => acc + x * x)), lit(1e-30))
+    transform(arr, x => x / n)
+  }
+
+  private def unitDouble(emb: Column): Column =
+    unitOf(transform(emb, x => x.cast("double")))
+
+  /** Nearest anchor per vector: (vec_id, cell, dot) with dot = cosine
+    * (both sides unit-norm), ties to the lowest cell.
+    */
+  private def assign(nd: DataFrame, anchors: DataFrame): DataFrame = {
+    val dot = aggregate(zip_with(col("nv"), col("c"), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cell"))
+    nd.crossJoin(broadcast(anchors))
+      .withColumn("dot", dot)
+      .select(col("vec_id"), col("cell"), col("dot"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("dot"))
+  }
+
+  /** Anchor tables after 0, 1, …, `iters` Lloyd iterations — element 0
+    * is the deterministic lowest-id init. Each frame carries
+    * (cell: long, c: unit-norm array<double>). The full trace is
+    * exposed so monotonicity of the quantization cost is checkable
+    * per step; production callers take [[anchors]] (= the last).
+    */
+  def anchorsTrace(e: DataFrame, k: Int, iters: Int): Seq[DataFrame] = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val nd = e.select(col("vec_id"), unitDouble(col("embedding")).as("nv"))
+    var cur = nd.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cell"), col("nv").as("c"))
+      .localCheckpoint(true)
+    val trace = Seq.newBuilder[DataFrame]
+    trace += cur
+    for (_ <- 0 until iters) {
+      val asg = assign(nd, cur).select(col("vec_id"), col("cell"))
+      val means = asg.join(nd, "vec_id")
+        .select(col("cell"), posexplode(col("nv")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("mc"))
+      cur = cur.as("p").join(means, Seq("cell"), "left")
+        .select(col("cell"),
+          when(col("mc").isNull, col("p.c")).otherwise(unitOf(col("mc"))).as("c"))
+        .localCheckpoint(true)
+      trace += cur
+    }
+    trace.result()
+  }
+
+  /** Lloyd-refined anchors: (cell, c) after `iters` iterations from
+    * the deterministic lowest-id init.
+    */
+  def anchors(e: DataFrame, k: Int, iters: Int): DataFrame =
+    anchorsTrace(e, k, iters).last
+
+  /** Mean spherical quantization cost `avg(1 − cos)` of `e` under its
+    * best assignment to `anchors` — the quantity each Lloyd iteration
+    * is guaranteed not to increase. One row: (cost).
+    */
+  def cost(e: DataFrame, anchors: DataFrame): DataFrame = {
+    val nd = e.select(col("vec_id"), unitDouble(col("embedding")).as("nv"))
+    assign(nd, anchors).agg(avg(lit(1.0) - col("dot")).as("cost"))
+  }
+}
