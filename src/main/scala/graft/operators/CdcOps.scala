@@ -89,6 +89,37 @@ object CdcOps {
       .orderBy("user_id")
   }
 
+  /** The change feed carried through the JSON wire format and back —
+    * the source-connector path end to end: envelope render
+    * ([[graft.sources.CdcEnvelope.serialize]], the Kafka-shaped value
+    * column), typed parse with dead-letter routing, then the same
+    * op-aware tombstone compaction as [[cdcCompact]] (minus the
+    * per-key change counter — the wire carries single records, not
+    * key history). The oracle computes the snapshot DIRECTLY from the
+    * feed, so the hash check proves the JSON roundtrip is LOSSLESS
+    * for every carried type (ns-precision longs, doubles, strings).
+    */
+  def cdcEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CdcEnvelope
+    val wire = CdcEnvelope.serialize(changeFeed(spark, dir).select(
+      col("event_id"), col("ts_ns"), col("user_id"), col("op"),
+      col("event_type"), col("value")))
+    val rec = CdcEnvelope.records(CdcEnvelope.parse(wire))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    rec
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("op").as("last_op"),
+        col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"),
+        expr(s"ts_ns DIV $NsPerSec").as("last_epoch_s"))
+      .orderBy("user_id")
+  }
+
   /** Gap-based sessionization: a >30-minute silence starts a new
     * session. lag + running sum over one shuffle on user_id.
     */
@@ -188,6 +219,7 @@ object CdcOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_latest" -> (cdcLatest _),
     "q_cdc_compact" -> (cdcCompact _),
+    "q_cdc_envelope" -> (cdcEnvelope _),
     "q_sessionize" -> (sessionize _),
     "q_window_agg" -> (windowAgg _),
     "q_asof_attribution" -> (asofAttribution _),
@@ -229,6 +261,24 @@ object CdcOps {
         |  round(value, 2) AS last_value,
         |  ts_ns // 1000000000 AS last_epoch_s,
         |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+        |FROM env
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) = 1
+        |  AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
+    "q_cdc_envelope" ->
+      """WITH env AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+        |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 THEN 'd'
+        |         WHEN event_type = 'signup' THEN 'c'
+        |         ELSE 'u' END AS op
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  event_id AS last_event_id,
+        |  op AS last_op,
+        |  event_type AS last_type,
+        |  round(value, 2) AS last_value,
+        |  ts_ns // 1000000000 AS last_epoch_s
         |FROM env
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) = 1
         |  AND op <> 'd'

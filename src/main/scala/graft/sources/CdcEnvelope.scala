@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Debezium-style JSON wire format for the CDC change feed — the
+  * SOURCE-CONNECTOR layer of the streaming CDC pipeline: what lands on
+  * a Kafka topic or file queue is one JSON envelope per change. This
+  * object renders the typed feed into that wire shape and parses it
+  * back into the envelope the compactors consume, routing records that
+  * fail to parse into a dead-letter frame instead of failing the
+  * pipeline (connector practice: a poison message must never stall
+  * ingestion).
+  *
+  * Envelope (Debezium field layout, trimmed): `op ∈ {c,u,d}`, `ts_ns`
+  * the commit time, `key` the entity-key struct, `after` the row image
+  * for c/u, `before` the last image for d. Reference semantics: the
+  * nightly snapshot refresh (src/services/dataManager.ts:132-187)
+  * shipped whole tables; the envelope is its per-row streaming
+  * translation.
+  *
+  * 100 TB: serialize and parse are embarrassingly parallel codegen'd
+  * projections (to_json / from_json) — no shuffle, no state; the
+  * same functions run unchanged under readStream.
+  */
+object CdcEnvelope {
+
+  /** Column carrying the raw line of a record that failed to parse. */
+  val CorruptCol = "_corrupt"
+
+  /** Wire schema. The corrupt column must be part of the schema for
+    * PERMISSIVE from_json to route bad lines into it.
+    */
+  val schema: StructType = StructType.fromDDL(
+    "op STRING, ts_ns BIGINT, key STRUCT<user_id: BIGINT>, " +
+      "before STRUCT<event_id: BIGINT, event_type: STRING, value: DOUBLE>, " +
+      s"after STRUCT<event_id: BIGINT, event_type: STRING, value: DOUBLE>, $CorruptCol STRING")
+
+  /** Renders a typed change feed (event_id, ts_ns, user_id, op,
+    * event_type, value) into the wire frame: one JSON string per
+    * change in column `value`, null image sides omitted.
+    */
+  def serialize(feed: DataFrame): DataFrame = {
+    val img = struct(col("event_id"), col("event_type"), col("value"))
+    feed.select(to_json(struct(
+      col("op"),
+      col("ts_ns"),
+      struct(col("user_id")).as("key"),
+      when(col("op") === "d", img).as("before"),
+      when(col("op") =!= "d", img).as("after"))).as("value"))
+  }
+
+  /** Parses the wire frame back into the flat typed envelope. Rows
+    * that fail JSON parsing carry the raw line in [[CorruptCol]] with
+    * null typed fields; the image is taken from whichever side the op
+    * populated (after for c/u, before for d).
+    */
+  def parse(wire: DataFrame): DataFrame =
+    wire.select(from_json(col("value"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
+      .select(
+        col("r.op").as("op"),
+        col("r.ts_ns").as("ts_ns"),
+        col("r.key.user_id").as("user_id"),
+        coalesce(col("r.after.event_id"), col("r.before.event_id")).as("event_id"),
+        coalesce(col("r.after.event_type"), col("r.before.event_type")).as("event_type"),
+        coalesce(col("r.after.value"), col("r.before.value")).as("value"),
+        col(s"r.$CorruptCol").as(CorruptCol))
+
+  /** Well-formed records of a [[parse]] result, corrupt column dropped. */
+  def records(parsed: DataFrame): DataFrame =
+    parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** Dead-letter queue: the raw lines that failed to parse. */
+  def deadLetters(parsed: DataFrame): DataFrame =
+    parsed.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw"))
+}

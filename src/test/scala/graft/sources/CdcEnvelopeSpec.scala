@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.CdcOps
+import graft.streaming.CdcStream
+
+/** The JSON wire layer of the CDC pipeline: lossless roundtrip,
+  * dead-letter routing for poison messages, and the full
+  * source-connector path under Structured Streaming.
+  */
+class CdcEnvelopeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("serialize/parse roundtrip is lossless over the real change feed") {
+    import spark.implicits._
+    val feed = CdcOps.changeFeed(spark, TestSpark.Sf)
+      .select($"event_id", $"ts_ns", $"user_id", $"op", $"event_type", $"value")
+    val back = CdcEnvelope.records(CdcEnvelope.parse(CdcEnvelope.serialize(feed)))
+      .select($"event_id", $"ts_ns", $"user_id", $"op", $"event_type", $"value")
+    val a = feed.as[(Long, Long, Long, String, String, Double)].collect().toSet
+    val b = back.as[(Long, Long, Long, String, String, Double)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    // both image sides are exercised: deletes carry before, c/u after
+    assert(a.exists(_._4 == "d") && a.exists(_._4 != "d"))
+  }
+
+  test("poison messages land in the dead-letter queue, valid lines still parse") {
+    import spark.implicits._
+    val good = CdcEnvelope.serialize(
+      Seq((1L, 10L, 7L, "c", "signup", 1.5), (2L, 20L, 7L, "d", "error", 0.0))
+        .toDF("event_id", "ts_ns", "user_id", "op", "event_type", "value"))
+    val wire = good.union(Seq("not json at all", "{\"op\":").toDF("value"))
+    val parsed = CdcEnvelope.parse(wire)
+    val recs = CdcEnvelope.records(parsed).collect()
+    val dead = CdcEnvelope.deadLetters(parsed).collect().map(_.getString(0))
+    assert(recs.length === 2)
+    assert(dead.toSet === Set("not json at all", "{\"op\":"))
+    // the delete's image came from the before side
+    val d = CdcEnvelope.records(parsed).filter(col("op") === "d").collect().head
+    assert(d.getAs[Long]("event_id") === 2L && d.getAs[String]("event_type") === "error")
+  }
+
+  test("streaming wire -> parse -> tombstone compaction equals the batch envelope query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // sf0.01: the smallest scale where some keys' newest change is a
+    // delete, so tombstones flow through the wire path too
+    val dir = "/root/testdata/sf0.01"
+    val lines = CdcEnvelope.serialize(CdcOps.changeFeed(spark, dir).select(
+        $"event_id", $"ts_ns", $"user_id", $"op", $"event_type", $"value"))
+      .as[String].collect()
+
+    val input = MemoryStream[String]
+    val changes = CdcEnvelope.records(CdcEnvelope.parse(input.toDF()))
+      .select($"event_id", $"ts_ns", $"user_id", $"op", $"event_type", $"value")
+      .as[CdcStream.Change]
+    val q = CdcStream.compactState(spark, changes, tombstoneRetentionMs = Long.MaxValue / 4)
+      .writeStream.format("memory").queryName("env_compact")
+      .outputMode(OutputMode.Update).start()
+    val (b1, b2) = lines.splitAt(lines.length / 2)
+    Seq(b1, b2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    val lastPerKey = spark.table("env_compact").as[CdcStream.Compacted].collect()
+      .groupBy(_.user_id).map { case (_, es) => es.maxBy(_.n_changes) }
+    val live = lastPerKey.filterNot(_.deleted)
+      .map(s => s.user_id -> ((s.last_event_id, s.last_op, s.last_type))).toMap
+    val batch = CdcOps.cdcEnvelope(spark, dir)
+      .select($"user_id", $"last_event_id", $"last_op", $"last_type")
+      .as[(Long, Long, String, String)].collect()
+    assert(live.size === batch.length)
+    batch.foreach { case (u, id, op, tpe) =>
+      assert(live(u) === ((id, op, tpe)), s"user $u diverges through the wire")
+    }
+  }
+}
