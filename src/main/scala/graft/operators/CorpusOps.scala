@@ -201,7 +201,94 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  private val SourceCap = 20
+  private val CapBucketWidth = 256L
+
+  /** Per-domain document cap — the web-curation pass that stops one
+    * domain from dominating the corpus: within each source, keep the
+    * [[SourceCap]] highest-quality documents (quality evaluated on
+    * the ROUNDED [[TextOps.qualityCol]] score with doc_id tiebreak,
+    * so the cut is engine-portable).
+    *
+    * Scale shape: top-N per key is computed HIERARCHICALLY, never as
+    * one window partition per domain (a mega-domain would put its
+    * whole slice through one partition): a first window over
+    * (source, doc-id-range-bucket) keeps each bucket's local top-N —
+    * thousands of balanced partitions — and only those ≤ N-per-bucket
+    * survivors reach the per-source window, a `width`-fold reduction.
+    * Correct because every global top-N document is inside its own
+    * bucket's top-N; [[sourceCapSingleWindow]] is the reference
+    * layout the spec proves equal. Like the shard packer, `width`
+    * grows with the corpus so the survivor set stays bounded.
+    */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame =
+    sourceCapBucketed(spark, dir, CapBucketWidth)
+
+  private[operators] def sourceCapBucketed(
+      spark: SparkSession, dir: String, bucketWidth: Long): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.qualityCol.as("quality"))
+      .withColumn("bkt", expr(s"doc_id DIV $bucketWidth"))
+    val local = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    d.withColumn("lrn", row_number().over(local)).filter(col("lrn") <= SourceCap)
+      .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= SourceCap)
+      .select(col("source"), col("doc_id"), col("quality"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  /** One-window-partition-per-source reference layout for the spec's
+    * equality proof — never registered.
+    */
+  private[operators] def sourceCapSingleWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.qualityCol.as("quality"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= SourceCap)
+      .select(col("source"), col("doc_id"), col("quality"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  private val TfidfK = 3
+
+  /** Top-k TF-IDF terms per document — the keyword-extraction pass of
+    * a curation pipeline (and the classic inverted-index statistic):
+    * `score = tf · ln(N / df)`, ranked on the ROUNDED score (term
+    * tiebreak) so the cut is engine-portable. Scale shape: two keyed
+    * aggregations, a keyed join on term — the df table is
+    * corpus-derived and therefore NOT broadcast-hinted (AQE may still
+    * choose to when small) — and a per-document window over that
+    * document's own terms (bounded by document length). The corpus
+    * row count joins in as a one-row broadcast literal.
+    */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = repartByKey(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs") / col("df").cast("double")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfidfK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk").cast("long").as("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_cap" -> (sourceCap _),
+    "q_tfidf_terms" -> (tfidfTerms _),
     "q_pack_shards" -> (packShards _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_train_test_split" -> (trainTestSplit _),
@@ -214,6 +301,26 @@ object CorpusOps {
   private val sqlBucket = "('0x' || substr(md5(text), 1, 8))::BIGINT % 10"
 
   val oracle: Map[String, String] = Map(
+    "q_source_cap" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ${TextOps.SqlQuality} quality FROM documents
+         |)
+         |SELECT source, doc_id, quality,
+         |       row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) rnk
+         |FROM q QUALIFY rnk <= $SourceCap ORDER BY source, rnk""".stripMargin,
+    "q_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) tf FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) n_docs FROM documents),
+         |s AS (
+         |  SELECT doc_id, term, tf, df,
+         |         round(tf * ln(n_docs / df::DOUBLE), 6) score
+         |  FROM tf JOIN df USING (term), n
+         |)
+         |SELECT doc_id, term, tf, df, score,
+         |       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) rnk
+         |FROM s QUALIFY rnk <= $TfidfK ORDER BY doc_id, rnk""".stripMargin,
     "q_pack_shards" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) est_tokens FROM documents

@@ -16,29 +16,49 @@ object TextOps {
 
   private val Stopwords = Seq("the", "a")
 
+  private def stopRatioCol: Column = {
+    val toks = split(trim(col("text")), "\\s+")
+    size(filter(toks, t => t.isInCollection(Stopwords))) /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  private def punctRatioCol: Column =
+    length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")) /
+      greatest(length(col("text")), lit(1)).cast("double")
+
+  /** The blended quality score of [[textQuality]] as a column over
+    * `text` — shared with the curation passes that rank by quality
+    * ([[CorpusOps.sourceCap]], and the keep-best resolution's oracle
+    * mirrors the same formula). Rounded, so rank cuts on it are
+    * engine-portable.
+    */
+  private[operators] def qualityCol: Column =
+    round(lit(0.5) * least(lit(1.0), length(col("text")) / lit(400.0)) +
+      lit(0.25) * stopRatioCol + lit(0.25) * (lit(1.0) - punctRatioCol), 6)
+
+  /** DuckDB mirror of [[qualityCol]] (expects `text` in scope). */
+  private[operators] val SqlQuality: String =
+    "round(0.5 * least(1.0, length(text) / 400.0) " +
+      "+ 0.25 * (len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('the', 'a'))) " +
+      "/ greatest(len(string_split_regex(trim(text), '\\s+')), 1)::DOUBLE) " +
+      "+ 0.25 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) " +
+      "/ greatest(length(text), 1)::DOUBLE), 6)"
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * word length → one blended score. Mirrors the reference's
     * rule-based filters (merchantUtils keyword heuristics) generalized
     * to corpus curation.
     */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val stopRatio = size(filter(toks, t => t.isInCollection(Stopwords))) /
-      greatest(size(toks), lit(1)).cast("double")
-    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")) /
-      greatest(length(col("text")), lit(1)).cast("double")
-    val lenScore = least(lit(1.0), length(col("text")) / lit(400.0))
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         col("n_chars"),
-        round(punct, 6).as("punct_ratio"),
-        round(stopRatio, 6).as("stop_ratio"),
+        round(punctRatioCol, 6).as("punct_ratio"),
+        round(stopRatioCol, 6).as("stop_ratio"),
         Text.avgWordLen(col("text")).as("avg_word_len"),
-        round(lit(0.5) * lenScore + lit(0.25) * stopRatio + lit(0.25) * (lit(1.0) - punct), 6)
-          .as("quality"))
+        qualityCol.as("quality"))
       .orderBy("doc_id")
-  }
 
   /** Marker-token language ID: count stopword-profile hits per
     * language, argmax with a fixed preference order. (The corpus text

@@ -73,6 +73,23 @@ class CurationOpsSpec extends AnyFunSuite {
         s"bucket width $width diverges from the single-window reference")
   }
 
+  test("bucketed per-source cap is bit-identical to the single-window top-N") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("quality"), r.getAs[Long]("rnk"))).toSeq
+    val ref = rows(CorpusOps.sourceCapSingleWindow(spark, sf))
+    assert(ref.nonEmpty)
+    // the cap must actually bite (some docs dropped), and every kept
+    // rank run is 1..n ≤ cap per source
+    ref.groupBy(_._1).foreach { case (_, docs) =>
+      assert(docs.map(_._4).sorted === (1L to docs.length))
+      assert(docs.length <= 20)
+    }
+    for (width <- Seq(7L, 64L, 256L))
+      assert(rows(CorpusOps.sourceCapBucketed(spark, sf, width)) === ref,
+        s"bucket width $width diverges from the single-window reference")
+  }
+
   test("pack shards: monotone within language, budget respected at shard starts") {
     val rows = CorpusOps.packShards(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
