@@ -141,6 +141,29 @@ object CdcOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Concurrent-session load at purchase time — a genuine range-join
+    * workload (`ts BETWEEN start AND end` against an interval table
+    * has no equi-key): each purchase counts the sessions of ANY user
+    * whose [start_s, end_s] span covers its commit second, via
+    * [[RangeJoin.pointInInterval]] with 10-minute buckets — a keyed
+    * equi-join plus exact containment verify, never the
+    * broadcast-nested-loop a raw BETWEEN join would plan.
+    */
+  def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionize(spark, dir)
+      .select(col("user_id").as("s_user"), col("session_id"),
+        col("start_s"), col("end_s"))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr(s"ts_ns DIV $NsPerSec").as("ts_s"))
+    RangeJoin.pointInInterval(purchases, "ts_s", sessions, "start_s", "end_s", width = 600L)
+      .groupBy("purchase_id", "user_id", "ts_s")
+      .agg(count(lit(1)).as("n_concurrent"),
+        countDistinct(col("s_user")).as("n_users"))
+      .orderBy("purchase_id")
+  }
+
   /** Tumbling-window aggregation per event type (hourly buckets). */
   def windowAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -221,10 +244,31 @@ object CdcOps {
     "q_cdc_compact" -> (cdcCompact _),
     "q_cdc_envelope" -> (cdcEnvelope _),
     "q_sessionize" -> (sessionize _),
+    "q_concurrent_sessions" -> (concurrentSessions _),
     "q_window_agg" -> (windowAgg _),
     "q_asof_attribution" -> (asofAttribution _),
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _))
+
+  /** Shared SQL: gap-sessionized events → `g(user_id, event_id,
+    * value, ts_ns, session_id)`, used by the sessionize and
+    * concurrent-sessions oracles.
+    */
+  private val sqlSessionCtes =
+    """e AS (
+      |  SELECT user_id, event_id, value,
+      |         epoch_ns(ts) AS ts_ns,
+      |         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+      |  FROM events
+      |), f AS (
+      |  SELECT *, CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |), g AS (
+      |  SELECT *, CAST(sum(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM f
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_retention" ->
@@ -293,25 +337,29 @@ object CdcOps {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
     "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, value,
-        |         epoch_ns(ts) AS ts_ns,
-        |         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
-        |  FROM events
-        |), f AS (
-        |  SELECT *, CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS new_session
-        |  FROM e
-        |), g AS (
-        |  SELECT *, CAST(sum(new_session) OVER
-        |    (PARTITION BY user_id ORDER BY ts_ns, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM f
-        |)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |       min(ts_ns // 1000000000) AS start_s,
-        |       max(ts_ns // 1000000000) AS end_s,
-        |       round(sum(value), 2) AS sum_value
-        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      s"""WITH $sqlSessionCtes
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |       min(ts_ns // 1000000000) AS start_s,
+         |       max(ts_ns // 1000000000) AS end_s,
+         |       round(sum(value), 2) AS sum_value
+         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_concurrent_sessions" ->
+      s"""WITH $sqlSessionCtes,
+         |s AS (
+         |  SELECT user_id s_user, session_id,
+         |         min(ts_ns // 1000000000) start_s,
+         |         max(ts_ns // 1000000000) end_s
+         |  FROM g GROUP BY user_id, session_id
+         |), p AS (
+         |  SELECT event_id purchase_id, user_id, epoch_ns(ts) // 1000000000 ts_s
+         |  FROM events WHERE event_type = 'purchase'
+         |)
+         |SELECT purchase_id, p.user_id, ts_s,
+         |       count(*) n_concurrent,
+         |       CAST(count(DISTINCT s.s_user) AS BIGINT) n_users
+         |FROM p JOIN s ON ts_s BETWEEN s.start_s AND s.end_s
+         |GROUP BY purchase_id, p.user_id, ts_s
+         |ORDER BY purchase_id""".stripMargin,
     "q_window_agg" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_s, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketized point-in-interval join — the range join Spark has no
+  * native physical strategy for: a raw `p.t BETWEEN i.lo AND i.hi`
+  * join condition plans as a broadcast-nested-loop (or worse, a
+  * cartesian product), which is exactly the plan a 100 TB corpus
+  * cannot run. Instead each interval explodes into the fixed-width
+  * buckets it overlaps, each point carries its single bucket,
+  * candidates come from a plain keyed equi-join on the bucket (plus
+  * any caller equi-keys), and containment is verified exactly on the
+  * survivors.
+  *
+  * Cost model: an interval of length L contributes ⌈L/width⌉ + 1
+  * index rows, a point exactly one — with `width` on the order of the
+  * typical interval length the index is O(|input|) and the join is a
+  * narrow keyed shuffle that AQE can balance and skew-split like any
+  * other equi-join. `width` is the fanout/selectivity dial, never a
+  * correctness one (any width yields identical results; the spec
+  * proves it).
+  */
+object RangeJoin {
+
+  private val BucketCol = "_bkt"
+
+  /** Inner-joins `points` to every `intervals` row whose CLOSED span
+    * `[loCol, hiCol]` contains `pointCol`, optionally also matching on
+    * `keys` equi-columns present on both sides. All three bound
+    * columns must be integral (cast timestamps to epoch units first);
+    * other column names must not collide across the two frames.
+    * Intervals with `hi < lo` are treated as empty.
+    */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      width: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    require(!points.columns.contains(BucketCol) && !intervals.columns.contains(BucketCol),
+      s"inputs must not carry a $BucketCol column")
+    val ib = intervals.filter(col(loCol) <= col(hiCol))
+      .withColumn(BucketCol, explode(expr(s"sequence($loCol DIV $width, $hiCol DIV $width)")))
+    val pb = points.withColumn(BucketCol, expr(s"$pointCol DIV $width"))
+    pb.join(ib, keys :+ BucketCol, "inner")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop(BucketCol)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The bucketized point-in-interval join must equal the naive
+  * cross-join + BETWEEN filter for every bucket width — width is a
+  * performance dial, never a correctness one.
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // deterministic synthetic data with deliberate edge cases: degenerate
+  // intervals (lo == hi), spans straddling many buckets, points exactly
+  // on bounds, inverted (empty) intervals, negative coordinates
+  private def fixtures = {
+    import spark.implicits._
+    val intervals = Seq(
+      (1L, 0L, 100L), (2L, 50L, 50L), (3L, 99L, 4001L), (4L, -250L, -10L),
+      (5L, 700L, 650L), // inverted: empty
+      (6L, 3999L, 4002L), (7L, -5L, 5L))
+      .toDF("iv_id", "lo", "hi")
+    val points = Seq(
+      (10L, 0L), (11L, 50L), (12L, 100L), (13L, 101L), (14L, 4001L),
+      (15L, -10L), (16L, -251L), (17L, 675L), (18L, 5L), (19L, 2048L))
+      .toDF("pt_id", "t")
+    (points, intervals)
+  }
+
+  test("equals the naive BETWEEN join for every bucket width") {
+    val (points, intervals) = fixtures
+    val naive = points.crossJoin(intervals)
+      .filter(col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    // a degenerate interval and an exact-bound hit must be present
+    assert(naive.contains((11L, 2L)) && naive.contains((12L, 1L)))
+    // the inverted interval matches nothing
+    assert(!naive.exists(_._2 == 5L))
+    for (width <- Seq(1L, 7L, 100L, 4096L)) {
+      val got = RangeJoin.pointInInterval(points, "t", intervals, "lo", "hi", width)
+        .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === naive, s"width $width diverges from the naive join")
+    }
+  }
+
+  test("emits each qualifying (point, interval) pair exactly once") {
+    val (points, intervals) = fixtures
+    // width 3 makes interval 3 span ~1300 buckets; the point still has
+    // exactly one bucket, so no pair can duplicate
+    val rows = RangeJoin.pointInInterval(points, "t", intervals, "lo", "hi", width = 3L)
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.distinct.length)
+  }
+
+  test("equi-keys restrict matches to the same key") {
+    import spark.implicits._
+    val intervals = Seq(("a", 1L, 0L, 100L), ("b", 2L, 0L, 100L))
+      .toDF("k", "iv_id", "lo", "hi")
+    val points = Seq(("a", 10L, 50L), ("b", 11L, 50L), ("c", 12L, 50L))
+      .toDF("k", "pt_id", "t")
+    val got = RangeJoin.pointInInterval(points, "t", intervals, "lo", "hi",
+        width = 64L, keys = Seq("k"))
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 1L), (11L, 2L)))
+  }
+
+  test("rejects inputs that already carry the internal bucket column") {
+    val (points, intervals) = fixtures
+    assertThrows[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points.withColumn("_bkt", lit(0L)), "t",
+        intervals, "lo", "hi", 10L)
+    }
+  }
+}
