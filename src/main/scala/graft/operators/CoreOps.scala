@@ -118,6 +118,39 @@ object CoreOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Sliding event-time window via a RANGE frame: per user, each
+    * event's count/sum over the trailing hour BY VALUE (all peers at
+    * equal timestamps included, rows at gaps excluded) — the frame
+    * semantics a ROWS window cannot express. One keyed window shuffle.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns DIV 1000000000").as("ts_s"), col("value"))
+      .withColumn("n_trailing_hour", count(lit(1)).over(w))
+      .withColumn("sum_trailing_hour", round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        col("n_trailing_hour"), col("sum_trailing_hour"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Full CUBE with grouping_id — every subtotal combination plus the
+    * bitmask identifying which dimensions each row aggregates over
+    * (the OLAP cross-tab beyond [[rollupAgg]]'s hierarchy).
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("sum_price"), col("n"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Exact interpolated quantiles of event value per type. */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -171,6 +204,8 @@ object CoreOps {
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_rollup" -> (rollupAgg _),
+    "q_cube" -> (cubeAgg _),
+    "q_sliding_window" -> (slidingWindow _),
     "q_pivot" -> (pivotEvents _),
     "q_running_total" -> (runningTotal _),
     "q_quantiles" -> (quantiles _))
@@ -217,6 +252,21 @@ object CoreOps {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS INT) gid,
+        |  round(sum(l_extendedprice), 2) sum_price, count(*) n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_sliding_window" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s,
+        |  count(*) OVER w AS n_trailing_hour,
+        |  round(sum(value) OVER w, 2) AS sum_trailing_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

@@ -125,6 +125,41 @@ object TextOps {
       .orderBy(col("n").desc, col("t"))
       .limit(20)
 
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  /** Count-min sketch of the corpus token frequencies + heavy-hitter
+    * readout — the constant-memory frequency summary corpus profiling
+    * keeps when the exact token distribution is too large to hold:
+    * [[CmsDepth]]×[[CmsWidth]] counters built in one pass (explode →
+    * keyed aggregation), estimate = min over rows of a token's bucket
+    * counters, which can only OVERcount (collisions add, never
+    * subtract; the spec proves est ≥ true for every token). Bucket
+    * hashing is md5-derived, so the sketch is bit-portable and the
+    * whole probabilistic pipeline hash-checks against the oracle. The
+    * readout joins the true top-20 against their estimates — the
+    * accuracy audit a deployment runs before trusting the sketch.
+    * 100 TB: the sketch table is depth×width rows regardless of
+    * corpus size (bounded by construction, hence broadcastable).
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tok = repartByKey(Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t")), col("doc_id"))
+      .select("t")
+    def buck(i: Int): Column =
+      conv(substring(md5(concat(lit(s"$i:"), col("t")).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % CmsWidth
+    val allBuckets = array((0 until CmsDepth).map(buck): _*)
+    val sketch = tok.select(posexplode(allBuckets).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+    val top = tok.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(20)
+    top.select(col("t"), col("n"), posexplode(allBuckets).as(Seq("r", "b")))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy("t", "n").agg(min(col("cnt")).as("est"))
+      .orderBy(col("n").desc, col("t"))
+  }
+
   /** Composite quality filter — the keep/drop decision pass a curation
     * pipeline runs after scoring: first failing rule wins (ordered
     * length → too-few-stopwords → stopword-boilerplate), keep
@@ -239,7 +274,8 @@ object TextOps {
     "q_lang_id" -> (langId _),
     "q_token_count" -> (tokenCount _),
     "q_fingerprint" -> (fingerprint _),
-    "q_top_tokens" -> (topTokens _))
+    "q_top_tokens" -> (topTokens _),
+    "q_heavy_hitters" -> (heavyHitters _))
 
   val oracle: Map[String, String] = Map(
     "q_lm_score" ->
@@ -355,5 +391,22 @@ object TextOps {
     "q_top_tokens" ->
       """SELECT t, count(*) n
         |FROM (SELECT unnest(string_split(text, ' ')) t FROM documents)
-        |GROUP BY t ORDER BY n DESC, t LIMIT 20""".stripMargin)
+        |GROUP BY t ORDER BY n DESC, t LIMIT 20""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) t FROM documents),
+         |bk AS (
+         |  SELECT t, r.i,
+         |         ('0x' || substr(md5(r.i::VARCHAR || ':' || t), 1, 8))::BIGINT % $CmsWidth b
+         |  FROM tok, range(0, $CmsDepth) r(i)
+         |), sketch AS (SELECT i, b, count(*) cnt FROM bk GROUP BY i, b),
+         |top AS (
+         |  SELECT t, count(*) n FROM tok GROUP BY t ORDER BY n DESC, t LIMIT 20
+         |), cand AS (
+         |  SELECT t, n, r.i,
+         |         ('0x' || substr(md5(r.i::VARCHAR || ':' || t), 1, 8))::BIGINT % $CmsWidth b
+         |  FROM top, range(0, $CmsDepth) r(i)
+         |)
+         |SELECT t, n, min(cnt) est
+         |FROM cand JOIN sketch USING (i, b)
+         |GROUP BY t, n ORDER BY n DESC, t""".stripMargin)
 }

@@ -203,6 +203,19 @@ class ScaleGuardsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((10L, 11L, 1.0)))
   }
 
+  test("count-min sketch readout never undercounts a heavy hitter") {
+    val rows = TextOps.heavyHitters(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 20)
+    // CMS collisions add, never subtract: every estimate bounds the
+    // true count from above
+    rows.foreach { case (t, n, est) => assert(est >= n, s"undercount for '$t'") }
+    // and the top token's bucket in a 4x64 sketch of a shared-vocab
+    // corpus certainly collides with something: est is a real estimate,
+    // not an echo of the exact count everywhere
+    assert(rows.exists { case (_, n, est) => est > n })
+  }
+
   test("hyperplane signatures match a driver-side recomputation") {
     import graft.plans.VectorExpressions
     import graft.functions.Vectors
