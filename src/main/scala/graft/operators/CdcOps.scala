@@ -164,6 +164,30 @@ object CdcOps {
       .orderBy("purchase_id")
   }
 
+  /** Overlapping-session pairs across users — a genuine
+    * interval×interval join (two range predicates, no equi-key): for
+    * every pair of sessions from DIFFERENT users whose [start_s,
+    * end_s] spans overlap, the shared seconds. Runs through
+    * [[RangeJoin.intervalOverlap]] — bucketized equi-join with
+    * ownership-bucket dedup, never the BNLJ/cartesian a raw
+    * overlap predicate would plan; the canonical co-presence /
+    * co-occurrence workload shape.
+    */
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"), col("start_s"), col("end_s"))
+    val a = s.select(col("user_id").as("a_user"), col("session_id").as("a_session"),
+      col("start_s").as("a_start"), col("end_s").as("a_end"))
+    val b = s.select(col("user_id").as("b_user"), col("session_id").as("b_session"),
+      col("start_s").as("b_start"), col("end_s").as("b_end"))
+    RangeJoin.intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end", width = 3600L)
+      .filter(col("a_user") < col("b_user")) // unordered pairs once, never self
+      .select(col("a_user"), col("a_session"), col("b_user"), col("b_session"),
+        (least(col("a_end"), col("b_end")) - greatest(col("a_start"), col("b_start")))
+          .as("overlap_s"))
+      .orderBy("a_user", "a_session", "b_user", "b_session")
+  }
+
   /** Tumbling-window aggregation per event type (hourly buckets). */
   def windowAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -239,11 +263,47 @@ object CdcOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Incremental view maintenance end to end — the refresh-economics
+    * proof: the change feed is split at the midpoint commit time into
+    * a BASE (the stored snapshot a deployment would already hold) and
+    * a DELTA (the new changes); the per-type aggregate view is then
+    * produced by [[Ivm.maintainView]] from the base view + delta
+    * alone — the base is re-read only through one keyed join against
+    * the delta's touched keys, never re-aggregated. The oracle
+    * computes the same view directly over the FULL feed's compaction,
+    * so the hash match proves incremental refresh ≡ full recompute,
+    * deletes and resurrections included.
+    *
+    * 100 TB: the base scan here is a test-scale stand-in for reading
+    * the stored snapshot; every join is keyed on the entity key and
+    * costs O(|delta| + |touched|), the property that makes a
+    * continuous refresh affordable when the base is 1000× the delta.
+    */
+  def cdcIncrementalView(spark: SparkSession, dir: String): DataFrame = {
+    val feed = changeFeed(spark, dir).select(
+      col("event_id"), col("ts_ns"), col("user_id"), col("op"),
+      col("event_type"), col("value"))
+    // deterministic split point: midpoint of the commit-time range
+    // (min + (max-min)/2 — min+max would overflow ns-epoch longs)
+    val cut = broadcast(feed.agg(
+      (min(col("ts_ns")) + (max(col("ts_ns")) - min(col("ts_ns"))) / lit(2L)).as("cut_ns")))
+    val tagged = feed.crossJoin(cut)
+    val baseState = Ivm.compactSlice(tagged.filter(col("ts_ns") <= col("cut_ns")).drop("cut_ns"))
+    val deltaCompact = Ivm.compactSlice(tagged.filter(col("ts_ns") > col("cut_ns")).drop("cut_ns"))
+    val baseView = Ivm.typeView(baseState)
+    Ivm.maintainView(baseView, baseState, deltaCompact)
+      .select(col("last_type"), col("n_entities"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("last_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_latest" -> (cdcLatest _),
     "q_cdc_compact" -> (cdcCompact _),
     "q_cdc_envelope" -> (cdcEnvelope _),
+    "q_cdc_incremental_view" -> (cdcIncrementalView _),
     "q_sessionize" -> (sessionize _),
+    "q_session_overlap" -> (sessionOverlap _),
     "q_concurrent_sessions" -> (concurrentSessions _),
     "q_window_agg" -> (windowAgg _),
     "q_asof_attribution" -> (asofAttribution _),
@@ -290,6 +350,37 @@ object CdcOps {
         |FROM a JOIN cs USING (cohort_day)
         |WHERE day_offset <= 7
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_cdc_incremental_view" ->
+      """WITH env AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+        |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 THEN 'd'
+        |         WHEN event_type = 'signup' THEN 'c'
+        |         ELSE 'u' END AS op
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, op, event_type, value
+        |  FROM env
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) = 1
+        |)
+        |SELECT event_type AS last_type,
+        |  CAST(count(*) AS BIGINT) AS n_entities,
+        |  round(sum(value), 2) AS sum_value
+        |FROM s WHERE op <> 'd'
+        |GROUP BY event_type
+        |ORDER BY last_type""".stripMargin,
+    "q_session_overlap" ->
+      s"""WITH $sqlSessionCtes, s AS (
+         |  SELECT user_id, session_id,
+         |         min(ts_ns) // 1000000000 AS start_s,
+         |         max(ts_ns) // 1000000000 AS end_s
+         |  FROM g GROUP BY user_id, session_id
+         |)
+         |SELECT a.user_id AS a_user, a.session_id AS a_session,
+         |       b.user_id AS b_user, b.session_id AS b_session,
+         |       least(a.end_s, b.end_s) - greatest(a.start_s, b.start_s) AS overlap_s
+         |FROM s a JOIN s b
+         |  ON a.start_s <= b.end_s AND b.start_s <= a.end_s AND a.user_id < b.user_id
+         |ORDER BY a_user, a_session, b_user, b_session""".stripMargin,
     "q_cdc_compact" ->
       """WITH env AS (
         |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,

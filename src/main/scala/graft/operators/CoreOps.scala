@@ -194,7 +194,103 @@ object CoreOps {
       .orderBy("c_custkey")
   }
 
+  /** HyperLogLog registers: m = 2^10 buckets over a 60-bit md5 hash.
+    * Kept as named constants so the Spark plan and the DuckDB oracle
+    * are generated from the SAME numbers.
+    */
+  private val HllM = 1024
+  private val HllRegBits = 51 // 60-bit hash minus 10 bucket bits → ≤ 50-bit w, rho ∈ [1, 51]
+  private val HllTwoPow51 = 2251799813685248L
+  /** alpha_m · m² · 2^51 — the estimate numerator, one Scala double whose
+    * shortest-repr literal is embedded identically in both engines.
+    */
+  private val HllC: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM.toDouble * HllM * HllTwoPow51
+
+  /** Approximate distinct count — the 100 TB cardinality operator: a
+    * HyperLogLog sketch (m = 1024 registers, ±3.25 % standard error)
+    * built from an md5 hash so the estimate is engine-portable and the
+    * DuckDB oracle hash-matches it bit for bit. All register math is
+    * INTEGER (the 2^-M_j sum is scaled by 2^51 into a bigint), so no
+    * float-summation-order drift exists; the only float ops are one
+    * division and the small-range ln correction, identical expressions
+    * on both engines.
+    *
+    * Scale: registers are a groupBy max — m·|groups| rows, mergeable
+    * across shards by max (the property HllSketchSpec proves); the
+    * exact countDistinct column is the test-scale audit, exactly like
+    * q_heavy_hitters' exact side.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val regs = e.select(col("event_type"), h.as("h"))
+      .withColumn("bucket", expr(s"h % $HllM"))
+      .withColumn("w", expr(s"h DIV $HllM"))
+      .withColumn("rho",
+        when(col("w") === 0, HllRegBits).otherwise(lit(HllRegBits) - length(bin(col("w")))))
+      .groupBy("event_type", "bucket").agg(max("rho").as("rho"))
+    val sketch = regs.groupBy("event_type")
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllRegBits - rho AS INT))")).as("s_present"),
+        count(lit(1)).as("nb"))
+      .withColumn("v", lit(HllM.toLong) - col("nb"))
+      .withColumn("s", col("s_present") + col("v") * lit(HllTwoPow51))
+      .withColumn("e_raw", lit(HllC) / col("s"))
+      .withColumn("est",
+        when(col("e_raw") <= lit(2.5 * HllM) && col("v") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+          .otherwise(col("e_raw")))
+    val exact = e.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+    sketch.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        round(col("est"), 2).as("hll_est"),
+        round((col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  /** (column, is-numeric) inventory [[profile]] scans — the timestamp
+    * column is excluded because min/max rendering is not
+    * engine-portable.
+    */
+  private val ProfileCols = Seq(
+    ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+    ("o_totalprice", true), ("o_orderpriority", false))
+
+  /** Table profiling — the ANALYZE-TABLE surface: one row per column
+    * with row/null/exact-distinct counts and typed min/max. ONE pass
+    * over the fact table: all per-column aggregates ride a single
+    * aggregation (Catalyst plans the multi-countDistinct via one
+    * Expand), then the single result row unpivots via explode —
+    * no per-column rescan. At 100 TB the exact multi-distinct Expand
+    * multiplies the shuffle by |columns|; the documented degrade path
+    * is the [[approxDistinct]] HLL registers per column instead.
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap { case (c, num) =>
+      Seq(
+        count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        (if (num) min(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}_minn"),
+        (if (num) max(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}_maxn"),
+        (if (num) lit(null).cast("string") else min(col(c))).as(s"${c}_mins"),
+        (if (num) lit(null).cast("string") else max(col(c))).as(s"${c}_maxs"))
+    }
+    val one = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = ProfileCols.map { case (c, _) =>
+      struct(
+        lit(c).as("column"), col("n").as("n_rows"),
+        (col("n") - col(s"${c}_nn")).as("n_null"),
+        col(s"${c}_nd").as("n_distinct"),
+        col(s"${c}_minn").as("min_num"), col(s"${c}_maxn").as("max_num"),
+        col(s"${c}_mins").as("min_str"), col(s"${c}_maxs").as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*")).orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> (approxDistinct _),
+    "q_profile" -> (profile _),
     "q_semi_join" -> (semiJoin _),
     "q_anti_join" -> (antiJoin _),
     "q_above_nation_avg" -> (aboveNationAvg _),
@@ -211,6 +307,52 @@ object CoreOps {
     "q_quantiles" -> (quantiles _))
 
   val oracle: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events
+         |), r AS (
+         |  SELECT event_type, h % $HllM AS bucket,
+         |         max(CASE WHEN h // $HllM = 0 THEN $HllRegBits
+         |                  ELSE $HllRegBits - length(bin(h // $HllM)) END) AS rho
+         |  FROM h GROUP BY event_type, bucket
+         |), s AS (
+         |  SELECT event_type,
+         |         CAST(sum(1::BIGINT << ($HllRegBits - rho)) AS BIGINT)
+         |           + ($HllM - count(*)) * $HllTwoPow51 AS s,
+         |         $HllM - count(*) AS v
+         |  FROM r GROUP BY event_type
+         |), est AS (
+         |  SELECT event_type,
+         |         CASE WHEN ($HllC / s) <= ${2.5 * HllM} AND v > 0
+         |              THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v)
+         |              ELSE $HllC / s END AS est
+         |  FROM s
+         |), ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+         |       round(est, 2) AS hll_est,
+         |       round((est - n_exact) / n_exact, 4) AS rel_err
+         |FROM est JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+    "q_profile" -> {
+      val selects = ProfileCols.map { case (c, num) =>
+        val (minN, maxN) = if (num) (s"min($c)::DOUBLE", s"max($c)::DOUBLE")
+          else ("NULL::DOUBLE", "NULL::DOUBLE")
+        val (minS, maxS) = if (num) ("NULL::VARCHAR", "NULL::VARCHAR")
+          else (s"min($c)", s"max($c)")
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $minN AS min_num, $maxN AS max_num,
+           |  $minS AS min_str, $maxS AS max_str
+           |FROM orders""".stripMargin
+      }
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

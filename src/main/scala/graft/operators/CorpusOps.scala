@@ -286,7 +286,39 @@ object CorpusOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Sample size for [[weightedSample]]. */
+  private val WeightedK = 200
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each document draws key = u^(1/w) with u an md5-derived uniform
+    * in (0, 1] and w a length-derived weight; the k largest keys ARE a
+    * weighted sample without replacement. Deterministic (no rand()),
+    * engine-portable, reshuffle-stable — the reproducibility property
+    * every corpus-sampling decision in this repo carries.
+    *
+    * Scale: orderBy(...).limit(k) plans a distributed TakeOrdered —
+    * each partition keeps its local top-k, the driver merges k·p rows,
+    * never a global sort or a single-partition window. The same keys
+    * also support distributed bottom-k-per-group via groupBy when the
+    * sample is per-stratum.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(1.152921504606846976e18) // 2^60
+    val w = lit(1.0) + log(lit(1.0) + col("n_chars"))
+    val keyed = Tables.documents(spark, dir)
+      .withColumn("es_key", pow(u, lit(1.0) / w))
+      .withColumn("weight", round(w, 4))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(WeightedK)
+    keyed
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("weight"), col("sample_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> (weightedSample _),
     "q_source_cap" -> (sourceCap _),
     "q_tfidf_terms" -> (tfidfTerms _),
     "q_pack_shards" -> (packShards _),
@@ -301,6 +333,19 @@ object CorpusOps {
   private val sqlBucket = "('0x' || substr(md5(text), 1, 8))::BIGINT % 10"
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_sample" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         pow((('0x' || substr(md5(text), 1, 15))::BIGINT + 1) / 1.152921504606846976e18,
+         |             1.0 / (1.0 + ln(1.0 + n_chars))) AS es_key,
+         |         round(1.0 + ln(1.0 + n_chars), 4) AS weight
+         |  FROM documents
+         |), top AS (
+         |  SELECT * FROM k ORDER BY es_key DESC, doc_id LIMIT $WeightedK
+         |)
+         |SELECT doc_id, lang, n_chars, weight,
+         |       row_number() OVER (ORDER BY es_key DESC, doc_id) AS sample_rank
+         |FROM top ORDER BY sample_rank""".stripMargin,
     "q_source_cap" ->
       s"""WITH q AS (
          |  SELECT doc_id, source, ${TextOps.SqlQuality} quality FROM documents

@@ -202,10 +202,14 @@ object FuzzyOps {
     val small = coPairJac(base.filter(size(col("toks")) <= 4), cap,
         bigramsOf, interFromNc, interUbFromNc, minInter = 2)
       .filter(col("inter") === 2)
+    // no presentation orderBy: at sf0.1 the output is 11.9M rows, and a
+    // range sort adds a wide exchange plus the range-partitioner
+    // sampling pass over the full pair pipeline — pure waste when the
+    // driver's checker row-sorts before hashing and every in-repo
+    // consumer (CC, resolve) is order-insensitive
     tri.union(small)
       .filter(col("inter") >= 2 && col("jac") >= 0.5)
       .select(col("k1"), col("k2"), round(col("jac"), 6).as("jac"))
-      .orderBy("k1", "k2")
   }
 
   /** Blocked co-gram pair evaluation shared by the [[tokenJaccardFrame]]

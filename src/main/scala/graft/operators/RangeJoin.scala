@@ -45,4 +45,33 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(BucketCol)
   }
+
+  /** Inner-joins every `left` interval `[lLo, lHi]` to every `right`
+    * interval `[rLo, rHi]` that OVERLAPS it (closed spans, shared
+    * points count), optionally also matching `keys` equi-columns —
+    * the interval-interval sibling of [[pointInInterval]], same
+    * discipline: both sides explode into covered buckets, candidates
+    * come from the keyed bucket equi-join, overlap is verified
+    * exactly. A candidate pair collides in EVERY bucket both spans
+    * cover, so each pair is deduplicated by an ownership rule: it is
+    * emitted only from the bucket containing the overlap's START
+    * (`greatest(lLo, rLo)`), which both sides are guaranteed to
+    * cover — exactly-once without a distinct over the pair blowup.
+    * Inverted (empty) intervals on either side match nothing.
+    */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      width: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    require(!left.columns.contains(BucketCol) && !right.columns.contains(BucketCol),
+      s"inputs must not carry a $BucketCol column")
+    val lb = left.filter(col(lLo) <= col(lHi))
+      .withColumn(BucketCol, explode(expr(s"sequence($lLo DIV $width, $lHi DIV $width)")))
+    val rb = right.filter(col(rLo) <= col(rHi))
+      .withColumn(BucketCol, explode(expr(s"sequence($rLo DIV $width, $rHi DIV $width)")))
+    lb.join(rb, keys :+ BucketCol, "inner")
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col(BucketCol) === expr(s"greatest($lLo, $rLo) DIV $width"))
+      .drop(BucketCol)
+  }
 }

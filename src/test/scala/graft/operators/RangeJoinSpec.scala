@@ -74,4 +74,51 @@ class RangeJoinSpec extends AnyFunSuite {
         intervals, "lo", "hi", 10L)
     }
   }
+
+  // interval×interval fixtures: touching endpoints (closed-span share),
+  // containment, identical spans, long-vs-short, inverted (empty),
+  // negative coordinates, disjoint
+  private def overlapFixtures = {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 0L, 100L), (2L, 100L, 200L), (3L, 5000L, 9000L),
+      (4L, -300L, -200L), (5L, 40L, 30L) /* inverted: empty */)
+      .toDF("a_id", "a_lo", "a_hi")
+    val right = Seq(
+      (10L, 100L, 150L) /* touches 1 at a point, overlaps 2 */,
+      (11L, 0L, 10000L) /* long: covers everything positive */,
+      (12L, -250L, -240L), (13L, 300L, 400L), (14L, 20L, 25L),
+      (15L, 60L, 50L) /* inverted: empty */)
+      .toDF("b_id", "b_lo", "b_hi")
+    (left, right)
+  }
+
+  test("intervalOverlap equals the naive overlap join for every bucket width") {
+    val (left, right) = overlapFixtures
+    // the naive reference must itself drop inverted (empty) spans: the
+    // raw two-predicate overlap test can "overlap" an empty interval
+    val naive = left.filter(col("a_lo") <= col("a_hi"))
+      .crossJoin(right.filter(col("b_lo") <= col("b_hi")))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // closed spans: the single shared point 100 joins pair (1, 10)
+    assert(naive.contains((1L, 10L)) && naive.contains((4L, 12L)))
+    assert(!naive.exists(p => p._1 == 5L || p._2 == 15L), "empty intervals match nothing")
+    for (width <- Seq(1L, 7L, 100L, 4096L)) {
+      val got = RangeJoin.intervalOverlap(left, "a_lo", "a_hi",
+          right, "b_lo", "b_hi", width)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === naive, s"width $width diverges from the naive overlap join")
+    }
+  }
+
+  test("intervalOverlap emits each overlapping pair exactly once (ownership bucket)") {
+    val (left, right) = overlapFixtures
+    // width 3: the (3, 11) pair shares ~1300 buckets yet must emit once
+    val rows = RangeJoin.intervalOverlap(left, "a_lo", "a_hi",
+        right, "b_lo", "b_hi", width = 3L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.distinct.length)
+    assert(rows.contains((3L, 11L)))
+  }
 }
