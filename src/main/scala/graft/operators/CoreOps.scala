@@ -288,8 +288,23 @@ object CoreOps {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*")).orderBy("column")
   }
 
+  /** The bloom-accelerated semi join registered end to end: customers
+    * with orders, probe side pruned by the broadcast bitmap BEFORE the
+    * join shuffle ([[BloomFilter.semiJoin]]). The oracle is the plain
+    * EXISTS — the hash match proves the prefilter is semantics-free
+    * (no false negatives), which is the entire contract of runtime
+    * join pruning.
+    */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    BloomFilter.semiJoin(
+        Tables.customer(spark, dir), "c_custkey",
+        Tables.orders(spark, dir), "o_custkey")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (approxDistinct _),
+    "q_bloom_semi_join" -> (bloomSemiJoin _),
     "q_profile" -> (profile _),
     "q_semi_join" -> (semiJoin _),
     "q_anti_join" -> (antiJoin _),
@@ -354,6 +369,10 @@ object CoreOps {
       selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
     "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_bloom_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
