@@ -302,9 +302,41 @@ object CoreOps {
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
 
+  /** Join-key skew profile — the pre-flight check before choosing a
+    * skew mitigation (salting, AQE skew-join, broadcast): per
+    * candidate join key of the events feed, the cardinality, the
+    * heaviest key's share, and the top-frequency histogram head. One
+    * keyed count plus a tiny top-k — the profile a planner consults
+    * before committing a 100 TB shuffle, run here over the natural
+    * fact keys (user_id: uniform-ish; event_type: 5 values, extreme).
+    */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def profileKey(keyCol: String): DataFrame = {
+      val counts = e.groupBy(col(keyCol).cast("string").as("key_value"))
+        .agg(count(lit(1)).as("n"))
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_freq"))
+      // window over the 3 post-limit rows; partitioned on a literal so
+      // the (intentional, tiny) single partition doesn't warn
+      val top = counts.orderBy(col("n").desc, col("key_value")).limit(3)
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy(lit(keyCol))
+            .orderBy(col("n").desc, col("key_value"))).cast("long"))
+      top.crossJoin(broadcast(stats))
+        .select(lit(keyCol).as("join_key"), col("rnk"), col("key_value"),
+          col("n").as("freq"), col("n_keys"), col("n_rows"),
+          round(col("max_freq") / col("n_rows").cast("double"), 6).as("max_share"))
+    }
+    profileKey("event_type").unionByName(profileKey("user_id"))
+      .orderBy("join_key", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (approxDistinct _),
     "q_bloom_semi_join" -> (bloomSemiJoin _),
+    "q_skew_profile" -> (skewProfile _),
     "q_profile" -> (profile _),
     "q_semi_join" -> (semiJoin _),
     "q_anti_join" -> (antiJoin _),
@@ -368,6 +400,32 @@ object CoreOps {
       }
       selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+    "q_skew_profile" ->
+      """WITH c1 AS (
+        |  SELECT CAST(event_type AS VARCHAR) key_value, count(*) n FROM events GROUP BY 1
+        |), s1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) n_keys, CAST(sum(n) AS BIGINT) n_rows,
+        |         max(n) max_freq FROM c1
+        |), t1 AS (
+        |  SELECT row_number() OVER (ORDER BY n DESC, key_value) rnk, key_value, n freq
+        |  FROM c1 ORDER BY n DESC, key_value LIMIT 3
+        |), c2 AS (
+        |  SELECT CAST(user_id AS VARCHAR) key_value, count(*) n FROM events GROUP BY 1
+        |), s2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) n_keys, CAST(sum(n) AS BIGINT) n_rows,
+        |         max(n) max_freq FROM c2
+        |), t2 AS (
+        |  SELECT row_number() OVER (ORDER BY n DESC, key_value) rnk, key_value, n freq
+        |  FROM c2 ORDER BY n DESC, key_value LIMIT 3
+        |)
+        |SELECT 'event_type' AS join_key, rnk, key_value, freq, n_keys, n_rows,
+        |       round(max_freq / n_rows::DOUBLE, 6) AS max_share
+        |FROM t1, s1
+        |UNION ALL
+        |SELECT 'user_id', rnk, key_value, freq, n_keys, n_rows,
+        |       round(max_freq / n_rows::DOUBLE, 6)
+        |FROM t2, s2
+        |ORDER BY join_key, rnk""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -311,9 +311,12 @@ object CorpusOps {
       .withColumn("weight", round(w, 4))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(WeightedK)
+    // window over the 200 post-limit rows; partitioned on a literal so
+    // the (intentional, tiny) single partition doesn't warn
     keyed
       .withColumn("sample_rank",
-        row_number().over(Window.orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("weight"), col("sample_rank"))
   }
 
