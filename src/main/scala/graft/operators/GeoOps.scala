@@ -125,11 +125,38 @@ object GeoOps {
       .orderBy("c_custkey")
   }
 
+  /** Z-order cells of the synthetic customer grid — the geo-layout
+    * step cross-checked against the oracle: each customer's integer
+    * grid position (the same pmod grid [[graft.functions.Geo.synthLat]]
+    * scales into coordinates) interleaves into its Morton z value
+    * ([[graft.sources.ZOrder.zValue]]), the sort key under which a
+    * z-ordered write clusters 2-D-close rows into the same files. The
+    * hash match proves the bit interleave is engine-portable, so a
+    * layout decision made here reproduces anywhere.
+    */
+  def zorderCells(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        pmod(col("c_custkey") * 40503L, lit(1000L)).as("ix"),
+        pmod(col("c_custkey") * 69427L, lit(1000L)).as("iy"))
+      .withColumn("z", graft.sources.ZOrder.zValue(col("ix"), col("iy")))
+      .orderBy("z", "c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_radius" -> (geoRadius _),
     "q_geo_knn" -> (geoKnn _),
     "q_format_distance" -> (formatDistance _),
+    "q_zorder_cells" -> (zorderCells _),
     "q_geo_fallback" -> (geoFallback _))
+
+  /** DuckDB mirror of the 10-bit Morton interleave (grid values are
+    * < 1024, so the upper bits of the 31-bit Spark expression are
+    * identically zero).
+    */
+  private val sqlZ: String = (0 until 10).flatMap { i =>
+    Seq(s"(((ix >> $i) & 1)::BIGINT << ${2 * i + 1})",
+      s"(((iy >> $i) & 1)::BIGINT << ${2 * i})")
+  }.mkString(" | ")
 
   /** Shared SQL fragments mirroring functions/Geo.scala. */
   private[operators] def sqlLat(key: String) = s"(1.25 + (($key * 40503) % 1000) / 1000.0 * 0.2)"
@@ -141,6 +168,15 @@ object GeoOps {
        |)))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_zorder_cells" ->
+      s"""WITH g AS (
+         |  SELECT c_custkey,
+         |         (c_custkey * 40503) % 1000 AS ix,
+         |         (c_custkey * 69427) % 1000 AS iy
+         |  FROM customer
+         |)
+         |SELECT c_custkey, ix, iy, ($sqlZ) AS z
+         |FROM g ORDER BY z, c_custkey""".stripMargin,
     "q_geo_radius" ->
       s"""WITH c AS (
          |  SELECT c_custkey, ${sqlLat("c_custkey")} AS lat, ${sqlLon("c_custkey")} AS lon
