@@ -26,11 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object BloomFilter {
 
-  /** `k` md5 bit positions of `key` in an `mBits`-bit filter. */
+  /** `k` bit positions of `key` in an `mBits`-bit filter. xxhash64
+    * (not md5): the membership check runs per PROBE ROW in the hot
+    * path, xxhash64 is a codegen'd native expression an order of
+    * magnitude cheaper than md5's hex round-trip, and no oracle
+    * mirrors the bitmap so cross-engine portability isn't needed —
+    * determinism within Spark is (xxhash64 is seed-stable).
+    */
   private def positions(key: Column, mBits: Int, k: Int): Seq[Column] =
     (0 until k).map { i =>
-      conv(substring(md5(concat(lit(s"bf$i|"), key.cast("string")).cast("binary")), 1, 15), 16, 10)
-        .cast("long") % mBits
+      pmod(xxhash64(lit(i), key), lit(mBits.toLong))
     }
 
   /** Builds the bitmap: one row, `bits` = dense `array<long>` of
