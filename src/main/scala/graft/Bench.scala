@@ -47,7 +47,7 @@ object Bench {
     // the min of two spaced samples strips most scheduler weather
     // while staying an honest cold-cache-free measurement of the plan
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-        pass: Int): (String, Double) = {
+        pass: Int): (Double, Boolean) = {
       // clear the previous query's broadcast/shuffle garbage so its
       // collection doesn't land inside this query's timing
       System.gc()
@@ -57,30 +57,46 @@ object Bench {
       // timed without computing their output columns
       // a red query must be diagnosable from the bench log alone:
       // carry the exception class (and first message line) to stderr
-      val ok = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); "ok"
+      val (ok, msg) = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); (true, "ok")
       } catch {
         case e: Throwable =>
-          val msg = Option(e.getMessage).map(_.linesIterator.next()).getOrElse("")
-          s"ERR ${e.getClass.getName}: $msg"
+          val m = Option(e.getMessage).map(_.linesIterator.next()).getOrElse("")
+          (false, s"ERR ${e.getClass.getName}: $m")
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $secs%8.2f s  (p$pass, $ok)")
-      name -> secs
+      System.err.println(f"[bench] $name%-24s $secs%8.2f s  (p$pass, $msg)")
+      (secs, ok)
     }
     val ordered = selected.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (n, f) => timeOnce(n, f, 1) }
     val pass2 = ordered.map { case (n, f) => timeOnce(n, f, 2) }
-    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    // seconds rounded to 2/3 decimals: the driver keeps only the LAST
-    // 2000 chars of stdout, so the one-line JSON (plus sbt's trailing
-    // success line) must stay under that or the leading total is cut off
+    // per-query MIN over SUCCESSFUL passes only: a query that throws
+    // fast must not have its failure wall-time reported as a valid
+    // measurement. Both passes failed => no number, an explicit error.
+    val results = ordered.map(_._1).zip(pass1.zip(pass2)).map {
+      case (n, ((a, okA), (b, okB))) =>
+        val good = Seq(a -> okA, b -> okB).collect { case (t, true) => t }
+        n -> (if (good.nonEmpty) Some(good.min) else None)
+    }
     def num(v: Double, decimals: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
+    val errors = results.collect { case (n, None) => n }
+    val timed = results.collect { case (n, Some(t)) => n -> t }
+    val total = timed.map(_._2).sum
+    // The driver keeps only the LAST ~2000 chars of stdout: at 88+
+    // queries the full per-query map no longer fits on one line, so
+    // stdout carries a compact, always-parseable summary and the full
+    // per-query map goes to stderr (above) and to bench_queries.json.
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","passes":2,"queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullJson =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","passes":2,"n_queries":${results.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_queries.json"),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full per-query JSON written to bench_queries.json")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","passes":2,"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

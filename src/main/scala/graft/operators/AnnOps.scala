@@ -157,17 +157,22 @@ object AnnOps {
     * centroid table — the plan is identical (broadcast assignment
     * pass, keyed cell join, per-probe top-k).
     */
-  def annIvfWith(spark: SparkSession, dir: String, anchors: DataFrame): DataFrame = {
+  def annIvfWith(spark: SparkSession, dir: String, anchors: DataFrame,
+      roundCcos: Boolean = false): DataFrame = {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .repartition(col("vec_id"))
     // cosine against a unit-norm double anchor: dot / ‖x‖ with builtin
     // zip_with/aggregate (anchors are double, the corpus is float —
-    // the native fold rejects mixed element types by design)
-    def anchorCos(emb: Column, nrm: Column): Column =
-      aggregate(zip_with(emb, col("c"), (a, b) => a.cast("double") * b),
+    // the native fold rejects mixed element types by design).
+    // `roundCcos` pins the assignment score to 6 decimals so the
+    // argmax decision is reproducible by an external SQL engine.
+    def anchorCos(emb: Column, nrm: Column): Column = {
+      val c = aggregate(zip_with(emb, col("c"), (a, b) => a.cast("double") * b),
         lit(0.0), (acc, v) => acc + v) / nrm
+      if (roundCcos) round(c, 6) else c
+    }
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
     val assigned = e.crossJoin(broadcast(anchors))
       .withColumn("ccos", anchorCos(col("embedding"), col("nrm")))
@@ -193,6 +198,23 @@ object AnnOps {
       .filter(col("rnk") <= K)
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
       .orderBy("probe_id", "rnk")
+  }
+
+  private[operators] val IvfKmeansIters = 2
+
+  /** The Lloyd-refined IVF end to end — [[annIvfWith]] fed
+    * [[Kmeans.anchors]] in portable mode (means and assignment dots
+    * pinned to 6 decimals), `roundCcos` on. Registered so the refined
+    * layout is ORACLE-checkable, not just spec-checked: the DuckDB
+    * mirror unrolls the same two Lloyd rounds (same init, same
+    * rounding, same ties) and must reproduce the anchor table — and
+    * therefore the search results — exactly.
+    */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    annIvfWith(spark, dir,
+      Kmeans.anchors(e, IvfCells, IvfKmeansIters, portable = true),
+      roundCcos = true)
   }
 
   /** Symmetric int8 scalar quantization profile — the storage-side
@@ -223,12 +245,47 @@ object AnnOps {
     "q_ann_topk" -> (annTopK _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_quant_stats" -> (quantStats _),
     "q_embedding_stats" -> (embeddingStats _))
 
   /** Cosine of `$a` and `$b` (embedding column expressions), identical
     * fold shape to the native expression and the other ANN oracles.
     */
+  /** `l / max(‖l‖, 1e-30)` over a double list — [[Kmeans.unitOf]]'s
+    * SQL mirror (same epsilon, same index-ordered sum).
+    */
+  private def sqlUnit(l: String): String =
+    s"""list_transform($l, x -> x /
+       |        greatest(sqrt(list_sum(list_transform($l, y -> y * y))), 1e-30))""".stripMargin
+
+  /** Portable-mode assignment dot: `round(Σ a·b, 6)` over double lists. */
+  private def sqlDotR6(a: String, b: String): String =
+    s"round(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), 6)"
+
+  /** One unrolled portable Lloyd round: assignment to `a${i-1}`,
+    * per-(cell, dim) 6-decimal mean, renormalize, empty cells keep the
+    * previous anchor — [[Kmeans.anchorsTrace]] in SQL.
+    */
+  private def sqlLloydRound(i: Int): String = {
+    val prev = s"a${i - 1}"
+    s"""asg$i AS (
+       |  SELECT nd.vec_id, cell, ${sqlDotR6("nv", "c")} dot
+       |  FROM nd CROSS JOIN $prev
+       |  QUALIFY row_number() OVER (PARTITION BY nd.vec_id ORDER BY dot DESC, cell) = 1
+       |), m$i AS (
+       |  SELECT cell, t.i AS dim, round(avg(nv[t.i + 1]), 6) m
+       |  FROM asg$i JOIN nd USING (vec_id), range(0, $Dim) t(i)
+       |  GROUP BY cell, t.i
+       |), a$i AS (
+       |  SELECT $prev.cell,
+       |         CASE WHEN mc IS NULL THEN $prev.c ELSE ${sqlUnit("mc")} END c
+       |  FROM $prev LEFT JOIN (SELECT cell, list(m ORDER BY dim) mc
+       |                        FROM m$i GROUP BY cell) g$i
+       |    ON $prev.cell = g$i.cell
+       |)""".stripMargin
+  }
+
   private def sqlCos(a: String, b: String): String =
     s"""round(
        |      list_sum(list_transform(range(1, len($a) + 1),
@@ -264,6 +321,45 @@ object AnnOps {
          |  SELECT p.vec_id probe_id, cell, ${sqlCos("c_emb", "p.embedding")} ccos
          |  FROM e p CROSS JOIN cents WHERE p.vec_id < $NProbes
          |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= $IvfProbeCells
+         |), cand AS (
+         |  SELECT pc.probe_id, asg.vec_id
+         |  FROM asg JOIN pc USING (cell)
+         |  WHERE asg.vec_id <> pc.probe_id
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |)
+         |SELECT probe_id, vec_id, cos,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+         |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
+    "q_ann_ivf_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |nd AS (
+         |  SELECT vec_id,
+         |    ${sqlUnit("list_transform(embedding, x -> x::DOUBLE)")} nv
+         |  FROM e
+         |), a0 AS (
+         |  SELECT vec_id::BIGINT cell, nv c FROM nd WHERE vec_id < $IvfCells
+         |), ${(1 to IvfKmeansIters).map(sqlLloydRound).mkString(", ")},
+         |corpus AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))) nrm
+         |  FROM e
+         |), asg AS (
+         |  SELECT corpus.vec_id, cell,
+         |    round(list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> embedding[i]::DOUBLE * c[i])) / nrm, 6) ccos
+         |  FROM corpus CROSS JOIN a$IvfKmeansIters
+         |  QUALIFY row_number() OVER (PARTITION BY corpus.vec_id
+         |                             ORDER BY ccos DESC, cell) = 1
+         |), pc AS (
+         |  SELECT corpus.vec_id probe_id, cell,
+         |    round(list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> embedding[i]::DOUBLE * c[i])) / nrm, 6) ccos
+         |  FROM corpus CROSS JOIN a$IvfKmeansIters WHERE corpus.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY corpus.vec_id
+         |                             ORDER BY ccos DESC, cell) <= $IvfProbeCells
          |), cand AS (
          |  SELECT pc.probe_id, asg.vec_id
          |  FROM asg JOIN pc USING (cell)

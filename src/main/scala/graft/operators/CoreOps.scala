@@ -161,6 +161,38 @@ object CoreOps {
         round(expr("percentile(value, 0.95)"), 4).as("p95"))
       .orderBy("event_type")
 
+  /** Quantile qs for [[quantilesSketch]] — shared with its oracle. */
+  private val SketchQs = Seq(0.5, 0.9, 0.95)
+
+  /** The scale-safe quantile operator: [[QuantileSketch]]'s mergeable
+    * equi-width histogram estimate next to the exact `percentile` as
+    * the audit column — the same audit pattern as [[approxDistinct]]
+    * (HLL vs exact) and q_heavy_hitters (count-min vs exact). At
+    * 100 TB only the sketch side survives: two bounded passes and a
+    * ≤ 256-rows-per-key cum-sum, vs `percentile`'s buffer-every-value
+    * sort aggregate, which [[quantiles]] keeps for test-scale truth.
+    */
+  def quantilesSketch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val rng = QuantileSketch.keyRange(e, "event_type", "value")
+    val hist = QuantileSketch.histogram(e, "event_type", "value", rng)
+    val est = QuantileSketch.estimates(hist, rng, SketchQs)
+    val exact = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("e50"),
+        expr("percentile(value, 0.9)").as("e90"),
+        expr("percentile(value, 0.95)").as("e95"))
+      .select(col("event_type"), explode(array(
+        struct(lit(0.5).as("q"), col("e50").as("p_exact")),
+        struct(lit(0.9).as("q"), col("e90").as("p_exact")),
+        struct(lit(0.95).as("q"), col("e95").as("p_exact")))).as("x"))
+      .select(col("event_type"), col("x.q").as("q"), col("x.p_exact").as("p_exact"))
+    est.join(exact, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"),
+        round(col("est"), 4).as("p_sketch"),
+        round(col("p_exact"), 4).as("p_exact"))
+      .orderBy("event_type", "q")
+  }
+
   /** Semi join: customers that have at least one order (EXISTS). */
   def semiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
@@ -221,17 +253,20 @@ object CoreOps {
     * exact countDistinct column is the test-scale audit, exactly like
     * q_heavy_hitters' exact side.
     */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    val regs = e.select(col("event_type"), h.as("h"))
+  /** The shared HLL register pipeline: input (key, h) with `h` a
+    * 60-bit md5-derived hash, output (key, est) — keyed register max,
+    * all-integer scaled sum, the standard small-range correction.
+    * Used by [[approxDistinct]] (keyed by event_type) and
+    * [[profileApprox]] (keyed by column name).
+    */
+  private def hllEstimate(keyed: DataFrame, key: String): DataFrame = {
+    val regs = keyed
       .withColumn("bucket", expr(s"h % $HllM"))
       .withColumn("w", expr(s"h DIV $HllM"))
       .withColumn("rho",
         when(col("w") === 0, HllRegBits).otherwise(lit(HllRegBits) - length(bin(col("w")))))
-      .groupBy("event_type", "bucket").agg(max("rho").as("rho"))
-    val sketch = regs.groupBy("event_type")
+      .groupBy(col(key), col("bucket")).agg(max("rho").as("rho"))
+    regs.groupBy(col(key))
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllRegBits - rho AS INT))")).as("s_present"),
         count(lit(1)).as("nb"))
       .withColumn("v", lit(HllM.toLong) - col("nb"))
@@ -241,11 +276,73 @@ object CoreOps {
         when(col("e_raw") <= lit(2.5 * HllM) && col("v") > 0,
           lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
           .otherwise(col("e_raw")))
+      .select(col(key), col("est"))
+  }
+
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val sketch = hllEstimate(e.select(col("event_type"), h.as("h")), "event_type")
     val exact = e.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
     sketch.join(exact, "event_type")
       .select(col("event_type"), col("n_exact"),
         round(col("est"), 2).as("hll_est"),
         round((col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  /** Columns [[profileApprox]] sketches. Restricted to integer/string
+    * columns on purpose: the HLL hash runs over the STRING rendering
+    * of each value, and double→string rendering is not engine-portable
+    * (Spark and the oracle may print different shortest forms), while
+    * int and string renderings are identical everywhere. Distinctness
+    * of the rendering equals distinctness of the value for these types.
+    */
+  private val ProfileApproxCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** [[profile]]'s documented 100 TB degrade path, implemented: the
+    * per-column distinct-count profile as ONE Expand-free pass —
+    * unpivot the columns into (column, value) rows, hash, and run the
+    * [[hllEstimate]] register pipeline keyed by column name. The
+    * shuffle is bounded at m registers per column regardless of data
+    * volume, where [[profile]]'s exact multi-countDistinct Expand
+    * multiplies the shuffle by |columns| × |distinct values|. The
+    * exact countDistinct (grouped, so itself Expand-free here) rides
+    * along as the test-scale audit, mirroring [[approxDistinct]].
+    */
+  def profileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val unpiv = Tables.orders(spark, dir)
+      .select(explode(array(ProfileApproxCols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("x"))
+      .select(col("x.column").as("column"), col("x.v").as("v"))
+      .filter(col("v").isNotNull)
+    val h = conv(substring(md5(col("v").cast("binary")), 1, 15), 16, 10).cast("long")
+    val sketch = hllEstimate(unpiv.select(col("column"), h.as("h")), "column")
+    val exact = unpiv.groupBy("column").agg(countDistinct(col("v")).as("n_exact"))
+    sketch.join(exact, "column")
+      .select(col("column"), col("n_exact"),
+        round(col("est"), 2).as("hll_est"),
+        round((col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+      .orderBy("column")
+  }
+
+  /** The skew mitigation [[skewProfile]] motivates, exercised end to
+    * end: events joined to a per-type dim on event_type — 5 values,
+    * the extreme-skew key the profile flags — through
+    * [[Salting.saltedJoin]] (deterministic 8-way salt on event_id, dim
+    * replicated per salt). The oracle is the PLAIN join: the hash
+    * match proves the salt is semantics-free, which is the entire
+    * contract of the mitigation.
+    */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_type", "event_id", "value")
+    val dim = e.groupBy("event_type").agg(avg(col("value")).as("type_avg"))
+    Salting.saltedJoin(e, dim, "event_type", col("event_id"), buckets = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg(abs(col("value") - col("type_avg"))), 4).as("mad"))
       .orderBy("event_type")
   }
 
@@ -351,7 +448,10 @@ object CoreOps {
     "q_sliding_window" -> (slidingWindow _),
     "q_pivot" -> (pivotEvents _),
     "q_running_total" -> (runningTotal _),
-    "q_quantiles" -> (quantiles _))
+    "q_quantiles" -> (quantiles _),
+    "q_quantiles_sketch" -> (quantilesSketch _),
+    "q_salted_join" -> (saltedJoinAgg _),
+    "q_profile_approx" -> (profileApprox _))
 
   val oracle: Map[String, String] = Map(
     "q_approx_distinct" ->
@@ -511,5 +611,83 @@ object CoreOps {
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.95), 4) AS p95
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_quantiles_sketch" -> {
+      val b = QuantileSketch.Bins
+      s"""WITH v AS (
+         |  SELECT event_type, value::DOUBLE v FROM events WHERE value IS NOT NULL
+         |), rng AS (
+         |  SELECT event_type, min(v) lo, max(v) hi, count(*) n FROM v GROUP BY 1
+         |), b AS (
+         |  SELECT v.event_type,
+         |         CASE WHEN hi = lo THEN 0
+         |              ELSE CAST(least(greatest(floor((v - lo) / ((hi - lo) / $b.0)), 0),
+         |                        ${b - 1}) AS BIGINT) END bin
+         |  FROM v JOIN rng USING (event_type)
+         |), h AS (
+         |  SELECT event_type, bin, count(*) cnt FROM b GROUP BY 1, 2
+         |), c AS (
+         |  SELECT event_type, bin, cnt,
+         |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) cum
+         |  FROM h
+         |), qs AS (
+         |  SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.95::DOUBLE]) q
+         |), sel AS (
+         |  SELECT c.event_type, q,
+         |         lo + (hi - lo) / $b.0 * (bin + (q * n - (cum - cnt)) / cnt) est
+         |  FROM c CROSS JOIN qs JOIN rng USING (event_type)
+         |  WHERE cum - cnt < q * n AND cum >= q * n
+         |), ex AS (
+         |  SELECT event_type, 0.5::DOUBLE q, quantile_cont(v, 0.5) p FROM v GROUP BY 1
+         |  UNION ALL
+         |  SELECT event_type, 0.9::DOUBLE, quantile_cont(v, 0.9) FROM v GROUP BY 1
+         |  UNION ALL
+         |  SELECT event_type, 0.95::DOUBLE, quantile_cont(v, 0.95) FROM v GROUP BY 1
+         |)
+         |SELECT sel.event_type, sel.q,
+         |       round(est, 4) p_sketch, round(p, 4) p_exact
+         |FROM sel JOIN ex ON sel.event_type = ex.event_type AND sel.q = ex.q
+         |ORDER BY sel.event_type, sel.q""".stripMargin
+    },
+    "q_salted_join" ->
+      """WITH d AS (SELECT event_type, avg(value) type_avg FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) n,
+        |       round(avg(abs(value - type_avg)), 4) mad
+        |FROM events e JOIN d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q_profile_approx" -> {
+      val ctes = ProfileApproxCols.zipWithIndex.map { case (c, i) =>
+        s"""h_$i AS (
+           |  SELECT ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT AS h
+           |  FROM orders WHERE $c IS NOT NULL
+           |), r_$i AS (
+           |  SELECT h % $HllM AS bucket,
+           |         max(CASE WHEN h // $HllM = 0 THEN $HllRegBits
+           |                  ELSE $HllRegBits - length(bin(h // $HllM)) END) AS rho
+           |  FROM h_$i GROUP BY bucket
+           |), s_$i AS (
+           |  SELECT CAST(sum(1::BIGINT << ($HllRegBits - rho)) AS BIGINT)
+           |           + ($HllM - count(*)) * $HllTwoPow51 AS s,
+           |         $HllM - count(*) AS v
+           |  FROM r_$i
+           |), e_$i AS (
+           |  SELECT CASE WHEN ($HllC / s) <= ${2.5 * HllM} AND v > 0
+           |              THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v)
+           |              ELSE $HllC / s END AS est
+           |  FROM s_$i
+           |), x_$i AS (
+           |  SELECT count(DISTINCT CAST($c AS VARCHAR)) AS n_exact
+           |  FROM orders WHERE $c IS NOT NULL
+           |)""".stripMargin
+      }
+      val selects = ProfileApproxCols.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS "column", CAST(n_exact AS BIGINT) AS n_exact,
+           |       round(est, 2) AS hll_est,
+           |       round((est - n_exact) / n_exact, 4) AS rel_err
+           |FROM e_$i CROSS JOIN x_$i""".stripMargin
+      }
+      s"""WITH ${ctes.mkString(",\n")}
+         |${selects.mkString("\nUNION ALL\n")}
+         |ORDER BY "column"""".stripMargin
+    })
 }

@@ -39,11 +39,16 @@ object Kmeans {
     unitOf(transform(emb, x => x.cast("double")))
 
   /** Nearest anchor per vector: (vec_id, cell, dot) with dot = cosine
-    * (both sides unit-norm), ties to the lowest cell.
+    * (both sides unit-norm), ties to the lowest cell. `portable` rounds
+    * the dot to 6 decimals BEFORE the argmax so the decision is
+    * reproducible across engines (the fold itself is order-fixed, but
+    * another engine's list sum may differ in the low bits).
     */
-  private def assign(nd: DataFrame, anchors: DataFrame): DataFrame = {
-    val dot = aggregate(zip_with(col("nv"), col("c"), (a, b) => a * b),
+  private def assign(nd: DataFrame, anchors: DataFrame,
+      portable: Boolean = false): DataFrame = {
+    val dotRaw = aggregate(zip_with(col("nv"), col("c"), (a, b) => a * b),
       lit(0.0), (acc, v) => acc + v)
+    val dot = if (portable) round(dotRaw, 6) else dotRaw
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cell"))
     nd.crossJoin(broadcast(anchors))
       .withColumn("dot", dot)
@@ -59,7 +64,8 @@ object Kmeans {
     * exposed so monotonicity of the quantization cost is checkable
     * per step; production callers take [[anchors]] (= the last).
     */
-  def anchorsTrace(e: DataFrame, k: Int, iters: Int): Seq[DataFrame] = {
+  def anchorsTrace(e: DataFrame, k: Int, iters: Int,
+      portable: Boolean = false): Seq[DataFrame] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
     val nd = e.select(col("vec_id"), unitDouble(col("embedding")).as("nv"))
@@ -69,10 +75,15 @@ object Kmeans {
     val trace = Seq.newBuilder[DataFrame]
     trace += cur
     for (_ <- 0 until iters) {
-      val asg = assign(nd, cur).select(col("vec_id"), col("cell"))
+      val asg = assign(nd, cur, portable).select(col("vec_id"), col("cell"))
+      // portable mode pins the per-(cell, dim) mean to 6 decimals: the
+      // ONLY engine-order-sensitive float op in the recursion is this
+      // distributed avg (everything else is an index-ordered fold), so
+      // rounding it makes the whole anchor table oracle-reproducible
+      val mean = if (portable) round(avg(col("v")), 6) else avg(col("v"))
       val means = asg.join(nd, "vec_id")
         .select(col("cell"), posexplode(col("nv")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
+        .groupBy("cell", "dim").agg(mean.as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("mc"))
@@ -86,10 +97,13 @@ object Kmeans {
   }
 
   /** Lloyd-refined anchors: (cell, c) after `iters` iterations from
-    * the deterministic lowest-id init.
+    * the deterministic lowest-id init. `portable = true` rounds the
+    * per-round mean and assignment dot (6 decimals) so an external SQL
+    * engine unrolling the same recursion reproduces the table exactly.
     */
-  def anchors(e: DataFrame, k: Int, iters: Int): DataFrame =
-    anchorsTrace(e, k, iters).last
+  def anchors(e: DataFrame, k: Int, iters: Int,
+      portable: Boolean = false): DataFrame =
+    anchorsTrace(e, k, iters, portable).last
 
   /** Mean spherical quantization cost `avg(1 − cos)` of `e` under its
     * best assignment to `anchors` — the quantity each Lloyd iteration

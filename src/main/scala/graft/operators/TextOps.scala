@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{Hashing, Text}
 import graft.sources.Tables
@@ -255,8 +254,14 @@ object TextOps {
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val ex = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    // The corpus token total is a one-row scalar aggregate broadcast
+    // onto the (billions-of-rows at web scale) vocabulary table — a
+    // partition-less window here would funnel the whole vocabulary
+    // through a single partition just to compute one number.
+    val total = ex.agg(count(lit(1)).as("n_total"))
     val freq = ex.groupBy("t").agg(count(lit(1)).as("tf"))
-      .withColumn("p", col("tf") / sum(col("tf")).over(Window.partitionBy()).cast("double"))
+      .crossJoin(broadcast(total))
+      .withColumn("p", col("tf") / col("n_total").cast("double"))
       .select("t", "p")
     ex.join(freq, "t")
       .groupBy("doc_id")
