@@ -91,8 +91,9 @@ object BloomFilter {
   def semiJoin(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
       mBits: Int = 1 << 17, k: Int = 5): DataFrame = {
-    require(!probe.columns.contains("_bf_bits") && !probe.columns.contains("_bf_tag"),
-      "probe must not carry _bf_bits/_bf_tag columns")
+    require(!probe.columns.contains("_bf_bits") && !probe.columns.contains("_bf_tag")
+        && !probe.columns.contains("_bf_build_key"),
+      "probe must not carry _bf_bits/_bf_tag/_bf_build_key columns")
     val bitmap = buildBits(build, buildKey, mBits, k)
     // _bf_tag is 0 for every row but DERIVES from the bitmap column,
     // and it rides inside the equi-join key expression: any conjunct
@@ -106,8 +107,11 @@ object BloomFilter {
       .withColumn("_bf_tag",
         call_function("shiftright", size(col("_bf_bits")), lit(31)).cast("long"))
       .drop("_bf_bits")
-      .join(build.select(col(buildKey)),
-        (col(probeKey) + col("_bf_tag")) === col(buildKey), "left_semi")
+      // the build key joins under a reserved alias: with probeKey ==
+      // buildKey (the common same-name join) a bare col(buildKey)
+      // would be ambiguous against the probe side after the join
+      .join(build.select(col(buildKey).as("_bf_build_key")),
+        (col(probeKey) + col("_bf_tag")) === col("_bf_build_key"), "left_semi")
       .drop("_bf_tag")
   }
 }

@@ -24,18 +24,31 @@ object ZOrder {
     */
   val BitsPerDim = 31
 
-  /** The Morton z-value of two NON-NEGATIVE integral columns, bits
-    * interleaved x₀y₀x₁y₁… from the most significant of the low
+  /** Largest coordinate [[zValue]] accepts: 2^[[BitsPerDim]] − 1. */
+  val MaxCoord: Long = (1L << BitsPerDim) - 1
+
+  /** The Morton z-value of two integral columns in [0, [[MaxCoord]]],
+    * bits interleaved x₀y₀x₁y₁… from the most significant of the low
     * [[BitsPerDim]] bits. Built as one expression tree of shifts and
     * masks — whole-stage codegen keeps it a tight loop-free kernel.
+    *
+    * The domain is ENFORCED, not just documented: a negative or
+    * too-wide coordinate would silently interleave only its low bits,
+    * aliasing the row onto an unrelated z cell and corrupting the
+    * layout with no error — so out-of-range values raise instead.
     */
   def zValue(x: Column, y: Column): Column = {
+    def checked(c: Column, name: String): Column =
+      when(c.cast("long").between(0L, MaxCoord), c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"zValue: $name out of [0, $MaxCoord]: "), c.cast("string"))))
+    val (cx, cy) = (checked(x, "x"), checked(y, "y"))
     val terms = (0 until BitsPerDim).flatMap { i =>
       Seq(
         call_function("shiftleft",
-          call_function("shiftright", x.cast("long"), lit(i)).bitwiseAND(lit(1L)), lit(2 * i + 1)),
+          call_function("shiftright", cx, lit(i)).bitwiseAND(lit(1L)), lit(2 * i + 1)),
         call_function("shiftleft",
-          call_function("shiftright", y.cast("long"), lit(i)).bitwiseAND(lit(1L)), lit(2 * i)))
+          call_function("shiftright", cy, lit(i)).bitwiseAND(lit(1L)), lit(2 * i)))
     }
     terms.reduce(_.bitwiseOR(_))
   }

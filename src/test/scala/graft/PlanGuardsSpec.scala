@@ -16,15 +16,15 @@ class PlanGuardsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.Sf
 
-  private def nodes(df: DataFrame): Seq[SparkPlan] = {
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
-      case q: QueryStageExec => q +: walk(q.plan)
-      case r: ReusedExchangeExec => r +: walk(r.child)
-      case other => other +: other.children.flatMap(walk)
-    }
-    walk(df.queryExecution.executedPlan)
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+    case q: QueryStageExec => q +: walk(q.plan)
+    case r: ReusedExchangeExec => r +: walk(r.child)
+    case other => other +: other.children.flatMap(walk)
   }
+
+  private def nodes(df: DataFrame): Seq[SparkPlan] =
+    walk(df.queryExecution.executedPlan)
 
   test("q1_agg scan is column-pruned to the referenced lineitem columns") {
     val scans = nodes(Queries.q1Agg(spark, sf)).collect {
@@ -53,6 +53,58 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(!ns.exists(_.isInstanceOf[CartesianProductExec]), "cartesian product planned")
     val broadcasts = ns.count(_.isInstanceOf[BroadcastHashJoinExec])
     assert(broadcasts >= 2, s"expected ≥2 broadcast dim joins, saw $broadcasts")
+  }
+
+  test("bloom semi join keeps the bloom filter BELOW the left-semi join") {
+    // the _bf_tag trick exists to stop PushDownLeftSemiAntiJoin from
+    // hoisting the semi join under the bloom filter (which would feed
+    // it the unpruned probe); a Spark upgrade that constant-folds the
+    // tag would silently undo it — pin the executed shape
+    val df = graft.operators.CoreOps.bloomSemiJoin(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    val semis = nodes(df).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, "no left-semi join in the executed plan")
+    // the membership predicate (a forall over xxhash64 positions) may
+    // surface as a FilterExec or be absorbed into the bitmap
+    // crossJoin's condition — either way it must sit in the semi
+    // join's LEFT (probe) subtree
+    val bloomBelow = semis.exists(j =>
+      walk(j.children.head).exists { p =>
+        val self = p.simpleString(10000)
+        self.contains("xxhash64") && self.contains("forall")
+      })
+    assert(bloomBelow,
+      "bloom membership filter is not below the semi join — the pushdown descent re-enabled")
+  }
+
+  test("no partition-less window over a corpus-derived frame in ANY registered query") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // a Window.partitionBy() moves its whole input through ONE
+    // partition — the classic silent scale-killer. The two allowed
+    // globals run over per-label / per-language AGGREGATE frames
+    // (≤ |labels| rows by construction, reviewed); everything else in
+    // the registry must key every window, forever.
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+    // auto-allowed: a global window whose INPUT subtree is
+    // limit-bounded (top-k frames — 3 or 200 rows by construction)
+    def limitBounded(p: SparkPlan): Boolean = walk(p).exists {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case _ => false
+    }
+    val bounded = Set("q_class_balance", "q_mixture_weights")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(bounded)
+      .filter { name =>
+        nodes(SparkEntry.queries(name)(spark, sf)).exists {
+          case w: WindowExec => w.partitionSpec.isEmpty && !limitBounded(w.child)
+          case _ => false
+        }
+      }
+    assert(offenders.isEmpty,
+      s"partition-less windows found in: ${offenders.mkString(", ")}")
   }
 
   test("heavy pair pipelines plan no cartesian product") {

@@ -47,6 +47,16 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("semiJoin works when probe and build share the key NAME") {
+    import spark.implicits._
+    val probe = spark.range(0, 500).select(col("id").as("key"))
+    val build = spark.range(0, 1000, 4).select(col("id").as("key"))
+    val got = BloomFilter.semiJoin(probe, "key", build, "key", MBits, K)
+      .as[Long].collect().sorted
+    val want = probe.join(build, Seq("key"), "left_semi").as[Long].collect().sorted
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("bitmap words build deterministically and merge by bit_or across shards") {
     import spark.implicits._
     val all = spark.range(0, 4000).select(col("id").as("key"))

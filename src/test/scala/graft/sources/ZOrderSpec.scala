@@ -39,6 +39,26 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("zValue raises on out-of-domain coordinates instead of aliasing them") {
+    import spark.implicits._
+    // silently reading only the low 31 bits would z-cluster the row
+    // with unrelated data — the contract is enforced, not documented
+    for ((x, y) <- Seq((-1L, 5L), (5L, -1L), (1L << 31, 0L), (0L, Long.MaxValue))) {
+      val ex = intercept[Exception] {
+        Seq((x, y)).toDF("x", "y")
+          .select(ZOrder.zValue(col("x"), col("y"))).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("zValue")), s"($x, $y): $ex")
+    }
+    // the domain edges themselves stay valid
+    val m = ZOrder.MaxCoord
+    val ok = Seq((0L, m), (m, 0L), (m, m)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y")).as("z")).as[Long].collect()
+    assert(ok.forall(_ >= 0L))
+  }
+
   test("z-layout shrinks per-partition bounding boxes in both dimensions") {
     import spark.implicits._
     // uniform synthetic grid: 10k points over a 1024x1024 space. The
