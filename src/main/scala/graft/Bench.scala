@@ -96,7 +96,10 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_queries.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] full per-query JSON written to bench_queries.json")
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","passes":2,"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
+    // stop BEFORE the final println: log4j's console appender writes
+    // WARN lines to stdout, and the driver keeps only the last ~2000
+    // chars — a shutdown warning after the JSON would displace it
     spark.stop()
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","passes":2,"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
   }
 }

@@ -415,8 +415,10 @@ object CoreOps {
       val stats = counts.agg(
         count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
         max(col("n")).as("max_freq"))
-      // window over the 3 post-limit rows; partitioned on a literal so
-      // the (intentional, tiny) single partition doesn't warn
+      // window over the 3 post-limit rows — intentionally a single
+      // tiny partition (Catalyst folds the literal partition key away,
+      // so the WindowExec warning still fires; PlanGuardsSpec allows
+      // exactly this limit-bounded shape)
       val top = counts.orderBy(col("n").desc, col("key_value")).limit(3)
         .withColumn("rnk",
           row_number().over(Window.partitionBy(lit(keyCol))

@@ -311,8 +311,10 @@ object CorpusOps {
       .withColumn("weight", round(w, 4))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(WeightedK)
-    // window over the 200 post-limit rows; partitioned on a literal so
-    // the (intentional, tiny) single partition doesn't warn
+    // window over the 200 post-limit rows — intentionally a single
+    // tiny partition (Catalyst folds the literal partition key away,
+    // so the WindowExec warning still fires; PlanGuardsSpec allows
+    // exactly this limit-bounded shape)
     keyed
       .withColumn("sample_rank",
         row_number().over(Window.partitionBy(lit(0))
