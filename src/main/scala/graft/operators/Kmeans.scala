@@ -68,7 +68,12 @@ object Kmeans {
       portable: Boolean = false): Seq[DataFrame] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
+    // the normalized corpus is read 2× per round (assignment + mean);
+    // persist it for the duration of the recursion, the standard
+    // iterative-algorithm discipline (at cluster scale this is the
+    // cached training set every Lloyd implementation keeps)
     val nd = e.select(col("vec_id"), unitDouble(col("embedding")).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cur = nd.filter(col("vec_id") < k)
       .select(col("vec_id").cast("long").as("cell"), col("nv").as("c"))
       .localCheckpoint(true)
@@ -93,6 +98,7 @@ object Kmeans {
         .localCheckpoint(true)
       trace += cur
     }
+    nd.unpersist() // anchors are checkpointed; the cache is round-local
     trace.result()
   }
 
