@@ -394,7 +394,72 @@ object DedupOps {
       .orderBy("new_id", "other_id")
   }
 
+  /** Window length for the content-defined chunk boundary hash. */
+  private val ChunkK = 4
+  /** Boundary divisor: a window starts a new chunk when its 32-bit
+    * md5 hash ≡ 0 (mod this) — expected chunk length ≈ this many
+    * tokens.
+    */
+  private val ChunkDiv = 16
+
+  /** Content-defined chunking dedup — the PARTIAL-overlap granularity
+    * the rest of the suite lacks: exact dedup sees identical whole
+    * documents, shingle-Jaccard sees near-identical ones, but a page
+    * that embeds a shared section (quoted article, license block,
+    * template body) inside otherwise-distinct text matches neither.
+    * Rolling-window chunking (the rsync/LBFS idea): a chunk boundary
+    * falls wherever the [[ChunkK]]-token window's hash ≡ 0 mod
+    * [[ChunkDiv]], so boundaries depend only on LOCAL content and
+    * re-synchronize inside any sufficiently long shared run — the same
+    * section chunks identically in every document containing it, at
+    * any offset. Chunks are md5'd and matched exactly across
+    * documents; per document: chunk count, chunks shared with ≥ 1
+    * other doc, and the shared fraction (the "how much of this page is
+    * copied" curation signal).
+    *
+    * 100 TB: per-token work is a per-doc window (bounded by document
+    * length — the q_pack_shards boundedness argument), the chunk table
+    * is ~n_tokens/[[ChunkDiv]] rows keyed by content hash, and the
+    * cross-doc match is one groupBy on that hash — no pair explosion
+    * at any step (a chunk shared by d docs costs d rows, not d²).
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = repartByKey(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+    // boundary flags per window start; padded with zeros to |toks| so
+    // tokens and flags zip BEFORE the explode (carrying the array
+    // through the generate would copy it into every token row)
+    val flags = transform(Hashing.shingles(col("toks"), ChunkK),
+      s => when(Hashing.hex32(s) % ChunkDiv === 0, lit(1L)).otherwise(lit(0L)))
+    val padded = slice(concat(flags, array_repeat(lit(0L), ChunkK)), 1, size(col("toks")))
+    val tok = base
+      .select(col("doc_id"), posexplode(
+        zip_with(col("toks"), padded, (t, f) => struct(t.as("tok"), f.as("flag"))))
+        .as(Seq("pos", "x")))
+      .select(col("doc_id"), col("pos"),
+        col("x.tok").as("tok"), col("x.flag").as("flag"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val chunks = tok
+      .withColumn("chunk", sum(col("flag")).over(w))
+      .groupBy("doc_id", "chunk")
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).cast("binary")).as("chunk_hash"))
+    val shared = chunks.groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("chunk_hash"), lit(1).as("sh"))
+    chunks.join(shared, Seq("chunk_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), count(col("sh")).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared") / col("n_chunks").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_dedup" -> (chunkDedup _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -437,6 +502,34 @@ object DedupOps {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_chunk_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') toks FROM documents
+         |), tok AS (
+         |  SELECT doc_id, i.i AS pos, toks[i.i + 1] AS tok,
+         |         CASE WHEN i.i + $ChunkK <= len(toks) AND
+         |                   ('0x' || substr(md5(array_to_string(
+         |                      toks[i.i + 1 : i.i + $ChunkK], ' ')), 1, 8))::BIGINT
+         |                     % $ChunkDiv = 0
+         |              THEN 1 ELSE 0 END AS flag
+         |  FROM t, range(0, len(toks)) i(i)
+         |), wc AS (
+         |  SELECT doc_id, pos, tok,
+         |         sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) chunk
+         |  FROM tok
+         |), ch AS (
+         |  SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY pos)) chunk_hash
+         |  FROM wc GROUP BY doc_id, chunk
+         |), sh AS (
+         |  SELECT chunk_hash FROM ch GROUP BY chunk_hash
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |)
+         |SELECT ch.doc_id, count(*) AS n_chunks,
+         |       CAST(count(sh.chunk_hash) AS BIGINT) AS n_shared,
+         |       round(count(sh.chunk_hash) / count(*)::DOUBLE, 4) AS shared_frac
+         |FROM ch LEFT JOIN sh USING (chunk_hash)
+         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH t AS (
          |  SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 >= 8 is_new, $sqlShingles sh
