@@ -395,12 +395,12 @@ object DedupOps {
   }
 
   /** Window length for the content-defined chunk boundary hash. */
-  private val ChunkK = 4
+  private[operators] val ChunkK = 4
   /** Boundary divisor: a window starts a new chunk when its 32-bit
     * md5 hash ≡ 0 (mod this) — expected chunk length ≈ this many
     * tokens.
     */
-  private val ChunkDiv = 16
+  private[operators] val ChunkDiv = 16
 
   /** Content-defined chunking dedup — the PARTIAL-overlap granularity
     * the rest of the suite lacks: exact dedup sees identical whole
@@ -423,16 +423,23 @@ object DedupOps {
     * cross-doc match is one groupBy on that hash — no pair explosion
     * at any step (a chunk shared by d docs costs d rows, not d²).
     */
-  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = repartByKey(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** Frame-based core of [[chunkDedup]]: `docs` must carry
+    * (doc_id, text). Exposed within the package so specs can feed
+    * synthetic corpora with known boundary structure.
+    */
+  private[operators] def chunkDedupFrame(docs: DataFrame): DataFrame = {
+    val base = repartByKey(docs, col("doc_id"))
       .select(col("doc_id"), toks(col("text")).as("toks"))
     // boundary flags per window start; padded with zeros to |toks| so
     // tokens and flags zip BEFORE the explode (carrying the array
     // through the generate would copy it into every token row)
     val flags = transform(Hashing.shingles(col("toks"), ChunkK),
       s => when(Hashing.hex32(s) % ChunkDiv === 0, lit(1L)).otherwise(lit(0L)))
-    val padded = slice(concat(flags, array_repeat(lit(0L), ChunkK)), 1, size(col("toks")))
+    val padded =
+      slice(concat(flags, array_repeat(lit(0L), ChunkK)), lit(1), size(col("toks")))
     val tok = base
       .select(col("doc_id"), posexplode(
         zip_with(col("toks"), padded, (t, f) => struct(t.as("tok"), f.as("flag"))))
@@ -506,13 +513,13 @@ object DedupOps {
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') toks FROM documents
          |), tok AS (
-         |  SELECT doc_id, i.i AS pos, toks[i.i + 1] AS tok,
-         |         CASE WHEN i.i + $ChunkK <= len(toks) AND
+         |  SELECT doc_id, pos, toks[pos + 1] AS tok,
+         |         CASE WHEN pos + $ChunkK <= len(toks) AND
          |                   ('0x' || substr(md5(array_to_string(
-         |                      toks[i.i + 1 : i.i + $ChunkK], ' ')), 1, 8))::BIGINT
+         |                      toks[pos + 1 : pos + $ChunkK], ' ')), 1, 8))::BIGINT
          |                     % $ChunkDiv = 0
          |              THEN 1 ELSE 0 END AS flag
-         |  FROM t, range(0, len(toks)) i(i)
+         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM t)
          |), wc AS (
          |  SELECT doc_id, pos, tok,
          |         sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
