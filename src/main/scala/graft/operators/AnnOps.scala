@@ -217,6 +217,68 @@ object AnnOps {
       roundCcos = true)
   }
 
+  private[operators] val Sq8Rerank = 20
+
+  /** SQ8-quantized ANN search — the "go" path the [[quantStats]]
+    * profile exists to authorize (its go/no-go check previously had no
+    * consumer). Per vector: symmetric int8 quantization with the SAME
+    * scale formula as the profile (`max|x|/127`, floored at 1e-30);
+    * candidate generation runs INTEGER dot products over the quantized
+    * arrays — exact integer arithmetic, so the scores are reproducible
+    * bit for bit by any engine — rescaled by the two scale factors and
+    * the exact norms into an approximate cosine (rounded to 6 decimals
+    * because it feeds the top-[[Sq8Rerank]] DECISION); the candidate
+    * set is then re-ranked with the exact float cosine and cut to
+    * top-[[K]].
+    *
+    * 100 TB: the int8 arrays are 4× smaller than the float corpus (and
+    * SIMD-friendly on a real cluster), candidate generation is one
+    * streaming pass against broadcast probes with only (probe_id,
+    * vec_id, qcos) ever entering the shuffle, and the exact re-rank
+    * touches [[Sq8Rerank]] rows per probe — the expensive float math
+    * runs on a bounded candidate set, not the corpus.
+    */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val qsCol = greatest(array_max(transform(col("embedding"),
+      x => abs(x.cast("double")))), lit(1e-30)) / lit(127.0)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("qs", qsCol)
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .withColumn("qv", transform(col("embedding"),
+        x => round(x.cast("double") / col("qs"), 0).cast("long")))
+      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+    val probes = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("qs").as("p_qs"),
+        col("nrm").as("p_nrm"), col("qv").as("p_qv"))
+    // integer dot over the two quantized arrays — engine-exact
+    val dotq = aggregate(zip_with(col("qv"), col("p_qv"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val cw = Window.partitionBy(col("probe_id")).orderBy(col("qcos").desc, col("vec_id"))
+    val cand = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      // slim (probe_id, vec_id, qcos) before the window: no arrays in
+      // the rank shuffle
+      .select(col("probe_id"), col("vec_id"),
+        round(dotq.cast("double") * col("qs") * col("p_qs")
+          / (col("nrm") * col("p_nrm")), 6).as("qcos"))
+      .withColumn("crn", row_number().over(cw))
+      .filter(col("crn") <= Sq8Rerank)
+      .select(col("probe_id"), col("vec_id"), col("qcos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .join(broadcast(e.filter(col("vec_id") < NProbes).select(col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"), col("nrm").as("p_nrm"))), "probe_id")
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("probe_id"), col("vec_id"), col("qcos"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Symmetric int8 scalar quantization profile — the storage-side
     * prep for ANN at corpus scale (4× smaller vectors, SIMD-friendly
     * dot products): per vector, the scale (max|x|/127) and the
@@ -246,6 +308,7 @@ object AnnOps {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
+    "q_ann_sq8" -> (annSq8 _),
     "q_quant_stats" -> (quantStats _),
     "q_embedding_stats" -> (embeddingStats _))
 
@@ -296,6 +359,36 @@ object AnnOps {
        |               i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ann_sq8" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, qs, nrm,
+         |         list_transform(embedding,
+         |           x -> CAST(round(x::DOUBLE / qs, 0) AS BIGINT)) qv
+         |  FROM (SELECT vec_id, embedding,
+         |          greatest(list_max(list_transform(embedding,
+         |            x -> abs(x::DOUBLE))), 1e-30) / 127.0 qs,
+         |          sqrt(list_sum(list_transform(embedding,
+         |            y -> y::DOUBLE * y::DOUBLE))) nrm
+         |        FROM e)
+         |), cand AS (
+         |  SELECT p.vec_id probe_id, c.vec_id,
+         |    round(list_sum(list_transform(range(1, len(c.qv) + 1),
+         |            i -> c.qv[i] * p.qv[i]))::DOUBLE
+         |          * c.qs * p.qs / (c.nrm * p.nrm), 6) qcos
+         |  FROM q c CROSS JOIN q p
+         |  WHERE p.vec_id < $NProbes AND c.vec_id <> p.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+         |                             ORDER BY qcos DESC, c.vec_id) <= $Sq8Rerank
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, cand.qcos,
+         |         ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |)
+         |SELECT probe_id, vec_id, qcos, cos,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+         |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
     "q_quant_stats" ->
       """WITH ex AS (
         |  SELECT vec_id, embedding[t.i + 1]::DOUBLE x
