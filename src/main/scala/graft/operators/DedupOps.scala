@@ -76,11 +76,18 @@ object DedupOps {
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
       .orderBy("d1", "d2")
 
-  /** Frame-based core of [[dedupNgram]]: `docs` must carry
-    * (doc_id, text). Exposed within the package so specs can feed
-    * synthetic hot-key corpora.
+  /** Shared pair-intersection engine behind [[dedupNgramFrame]] and
+    * [[dedupContainmentFrame]]: df-capped inverted-index candidates
+    * with EXACT `inter = |sh1 ∩ sh2|` per (d1 < d2) pair — arithmetic
+    * co-count for pairs where at most one side touched a dropped hot
+    * shingle (a dropped SHARED shingle is hot on both sides by
+    * definition, so the kept co-count is the full intersection), exact
+    * array verification only where both sides are tainted. Returns
+    * (d1, d2, inter, n1, n2): every set-overlap measure — Jaccard,
+    * containment, overlap coefficient — is arithmetic over these, so
+    * shingle arrays never ride the pair shuffle.
     */
-  private[operators] def dedupNgramFrame(docs: DataFrame, dfCap: Int): DataFrame = {
+  private def pairCoCounts(docs: DataFrame, dfCap: Int): DataFrame = {
     // repartition barrier ABOVE the shingle projection: exchange reuse
     // makes every consumer (explode, sizes, the exact-verify joins)
     // share one evaluation of the shingle transform
@@ -104,17 +111,55 @@ object DedupOps {
       .join(meta.select(col("doc_id").as("d1"), col("n").as("n1"), col("tf").as("tf1")), "d1")
       .join(meta.select(col("doc_id").as("d2"), col("n").as("n2"), col("tf").as("tf2")), "d2")
     val clean = m.filter(col("tf1").isNull || col("tf2").isNull)
-      .withColumn("jac",
-        col("inter") / (col("n1") + col("n2") - col("inter")).cast("double"))
     val dirty = m.filter(col("tf1").isNotNull && col("tf2").isNotNull)
       .join(d.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(d.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+    clean.select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
+      .union(dirty.select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2")))
+  }
+
+  /** Frame-based core of [[dedupNgram]]: `docs` must carry
+    * (doc_id, text). Exposed within the package so specs can feed
+    * synthetic hot-key corpora.
+    */
+  private[operators] def dedupNgramFrame(docs: DataFrame, dfCap: Int): DataFrame =
+    pairCoCounts(docs, dfCap)
       .withColumn("jac",
-        size(array_intersect(col("sh1"), col("sh2"))) /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
-    clean.select(col("d1"), col("d2"), col("jac"))
-      .union(dirty.select(col("d1"), col("d2"), col("jac")))
+        col("inter") / (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), col("jac"))
+
+  private[operators] val ContainmentThreshold = 0.8
+
+  /** Containment near-dup — the ASYMMETRIC overlap measure Jaccard
+    * misses on size-mismatched pairs: a 100-shingle excerpt fully
+    * embedded in a 2000-shingle page has Jaccard ≈ 0.05 but
+    * containment C(excerpt→page) = |S_a ∩ S_b| / |S_a| = 1.0. The
+    * standard quote/excerpt/mirror-fragment detector a curation
+    * pipeline runs beside symmetric near-dup. Directed: one row per
+    * (src, dst) with C(src→dst) ≥ [[ContainmentThreshold]].
+    *
+    * 100 TB: identical cost shape to [[dedupNgram]] — the pair engine
+    * is shared ([[pairCoCounts]]), containment is arithmetic over
+    * (inter, n_src), and the two directions of a pair are derived from
+    * ONE undirected co-count row, not generated twice.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentFrame(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), DfCap)
+      .select(col("src"), col("dst"), round(col("cont"), 6).as("cont"))
+      .orderBy("src", "dst")
+
+  /** Frame-based core of [[dedupContainment]] (spec entry point). */
+  private[operators] def dedupContainmentFrame(docs: DataFrame, dfCap: Int): DataFrame = {
+    val cc = pairCoCounts(docs, dfCap)
+    cc.select(col("d1").as("src"), col("d2").as("dst"),
+        (col("inter") / col("n1").cast("double")).as("cont"))
+      .union(cc.select(col("d2"), col("d1"),
+        col("inter") / col("n2").cast("double")))
+      .filter(col("cont") >= ContainmentThreshold)
   }
 
   /** Qualifying pair EDGES only — the [[dedupNgramFrame]] pipeline
@@ -467,6 +512,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_dedup" -> (chunkDedup _),
+    "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -560,6 +606,25 @@ object DedupOps {
       """SELECT doc_id, md5(text) AS h FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlShingles sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+         |), ex AS (SELECT doc_id k, unnest(sh) s FROM t),
+         |kept AS (SELECT k, s FROM ex QUALIFY count(*) OVER (PARTITION BY s) <= $DfCap),
+         |cand AS (
+         |  SELECT DISTINCT a.k d1, b.k d2 FROM kept a JOIN kept b ON a.s = b.s AND a.k < b.k
+         |), pairs AS (
+         |  SELECT d1, d2, len(list_intersect(t1.sh, t2.sh)) inter,
+         |         len(t1.sh) n1, len(t2.sh) n2
+         |  FROM cand JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
+         |), dirs AS (
+         |  SELECT d1 src, d2 dst, inter / n1::DOUBLE cont FROM pairs
+         |  UNION ALL
+         |  SELECT d2, d1, inter / n2::DOUBLE FROM pairs
+         |)
+         |SELECT src, dst, round(cont, 6) cont FROM dirs
+         |WHERE cont >= $ContainmentThreshold ORDER BY src, dst""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH t AS (
          |  SELECT doc_id, $sqlShingles sh
