@@ -153,14 +153,18 @@ object DedupOps {
       .orderBy("src", "dst")
 
   /** Frame-based core of [[dedupContainment]] (spec entry point). */
-  private[operators] def dedupContainmentFrame(docs: DataFrame, dfCap: Int): DataFrame = {
-    val cc = pairCoCounts(docs, dfCap)
-    cc.select(col("d1").as("src"), col("d2").as("dst"),
-        (col("inter") / col("n1").cast("double")).as("cont"))
-      .union(cc.select(col("d2"), col("d1"),
-        col("inter") / col("n2").cast("double")))
+  private[operators] def dedupContainmentFrame(docs: DataFrame, dfCap: Int): DataFrame =
+    // both directions from ONE evaluation of the pair engine: a
+    // two-element explode, not a union of two selects over the same
+    // subtree (which would run the co-count pipeline twice)
+    pairCoCounts(docs, dfCap)
+      .select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst"),
+          (col("inter") / col("n1").cast("double")).as("cont")),
+        struct(col("d2").as("src"), col("d1").as("dst"),
+          (col("inter") / col("n2").cast("double")).as("cont")))).as("x"))
+      .select(col("x.src").as("src"), col("x.dst").as("dst"), col("x.cont").as("cont"))
       .filter(col("cont") >= ContainmentThreshold)
-  }
 
   /** Qualifying pair EDGES only — the [[dedupNgramFrame]] pipeline
     * minus the presentation sort/rounding, for consumers (connected
@@ -478,31 +482,48 @@ object DedupOps {
   private[operators] def chunkDedupFrame(docs: DataFrame): DataFrame = {
     val base = repartByKey(docs, col("doc_id"))
       .select(col("doc_id"), toks(col("text")).as("toks"))
-    // boundary flags per window start; padded with zeros to |toks| so
-    // tokens and flags zip BEFORE the explode (carrying the array
-    // through the generate would copy it into every token row)
+    // boundary flags per window start; padded with zeros to |toks|
     val flags = transform(Hashing.shingles(col("toks"), ChunkK),
       s => when(Hashing.hex32(s) % ChunkDiv === 0, lit(1L)).otherwise(lit(0L)))
     val padded =
       slice(concat(flags, array_repeat(lit(0L), ChunkK)), lit(1), size(col("toks")))
-    val tok = base
-      .select(col("doc_id"), posexplode(
-        zip_with(col("toks"), padded, (t, f) => struct(t.as("tok"), f.as("flag"))))
-        .as(Seq("pos", "x")))
-      .select(col("doc_id"), col("pos"),
-        col("x.tok").as("tok"), col("x.flag").as("flag"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val chunks = tok
-      .withColumn("chunk", sum(col("flag")).over(w))
-      .groupBy("doc_id", "chunk")
-      .agg(md5(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok"))).cast("binary")).as("chunk_hash"))
-    val shared = chunks.groupBy("chunk_hash")
+    // chunking stays ARRAY-NATIVE end to end: chunk start positions =
+    // {0} ∪ {p : flag(p) = 1} (the running-sum-over-exploded-tokens
+    // formulation, re-expressed as slices between consecutive starts),
+    // each chunk md5'd in place. No token-level explode exists at any
+    // point — the only generated rows are the ~|toks|/ChunkDiv chunk
+    // hashes, so the shuffle carries chunk rows, never token rows
+    // (at web scale that is a ~16× smaller exchange and no per-doc
+    // sort at all).
+    // positions derived via ONE zip_with so the padded-flag expression
+    // is evaluated once per ROW — an element_at(padded, p) inside a
+    // filter lambda would let CollapseProject inline the whole O(L)
+    // flag computation into the per-ELEMENT lambda body, going O(L²)
+    // per document (measured: 1.6 s → 133 s at sf0.1)
+    val flagPos = zip_with(padded, sequence(lit(0), size(col("toks")) - 1),
+      (f, p) => when(f === 1L, p).otherwise(lit(-1)))
+    val startsExpr = array_distinct(concat(array(lit(0)), array_remove(flagPos, -1)))
+    // ONE evaluation of the O(L)-md5 starts expression: behind a
+    // Generate barrier (explode of a 1-element array) it becomes an
+    // attribute, so CollapseProject cannot inline the window-hash
+    // computation into each of its three downstream references
+    // (measured: the collapsed plan carried 14 copies of the
+    // window-md5 subtree and ran 2.7× slower)
+    val prepared = base
+      .select(col("doc_id"), col("toks"),
+        explode(array(startsExpr)).as("starts"))
+      .withColumn("ends", concat(
+        slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+        array(size(col("toks")))))
+      .withColumn("chs", zip_with(col("starts"), col("ends"),
+        (s, e) => md5(concat_ws(" ", slice(col("toks"), s + 1, e - s)).cast("binary"))))
+    // a repeated section WITHIN one doc yields two chunk rows with the
+    // same hash — explode, not explode∘distinct, preserves that
+    val perChunk = prepared.select(col("doc_id"), explode(col("chs")).as("chunk_hash"))
+    val shared = perChunk.groupBy("chunk_hash")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("chunk_hash"), lit(1).as("sh"))
-    chunks.join(shared, Seq("chunk_hash"), "left")
+    perChunk.join(shared, Seq("chunk_hash"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), count(col("sh")).as("n_shared"))
       .withColumn("shared_frac",
