@@ -279,6 +279,72 @@ object AnnOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** IVF × SQ8 — the production composition of the suite's two scale
+    * paths (the FAISS IVF-SQ layout): coarse cells bound WHICH vectors
+    * a probe scans (~nprobe/k of the corpus), int8 dots bound WHAT the
+    * scan costs per vector (4× smaller rows, integer arithmetic), and
+    * the exact re-rank confines float math to [[Sq8Rerank]] candidates
+    * per probe. Cell assignment and probe-cell selection are identical
+    * to [[annIvf]] (deterministic lowest-id anchors, exact cosine
+    * rounded at the decision), so the whole composed pipeline stays
+    * oracle-checkable.
+    */
+  def annIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val qsCol = greatest(array_max(transform(col("embedding"),
+      x => abs(x.cast("double")))), lit(1e-30)) / lit(127.0)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("qs", qsCol)
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .withColumn("qv", transform(col("embedding"),
+        x => round(x.cast("double") / col("qs"), 0).cast("long")))
+      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(VectorExpressions.cosineNative(
+        col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
+      .select(col("vec_id"), col("cell"), col("ccos"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cell"))
+      .join(e.select(col("vec_id"), col("qs"), col("nrm"), col("qv")), "vec_id")
+    val pw = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("cell"))
+    val probeCells = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("qs").as("p_qs"), col("nrm").as("p_nrm"), col("qv").as("p_qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(VectorExpressions.cosineNative(
+        col("c_emb"), col("c_nrm"), col("p_emb"), col("p_nrm")), 6))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= IvfProbeCells)
+      .select(col("probe_id"), col("p_qs"), col("p_nrm"), col("p_qv"), col("cell"))
+    val dotq = aggregate(zip_with(col("qv"), col("p_qv"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val cw = Window.partitionBy(col("probe_id")).orderBy(col("qcos").desc, col("vec_id"))
+    val cand = assigned.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dotq.cast("double") * col("qs") * col("p_qs")
+          / (col("nrm") * col("p_nrm")), 6).as("qcos"))
+      .withColumn("crn", row_number().over(cw))
+      .filter(col("crn") <= Sq8Rerank)
+      .select(col("probe_id"), col("vec_id"), col("qcos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .join(broadcast(e.filter(col("vec_id") < NProbes).select(col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"), col("nrm").as("p_nrm"))), "probe_id")
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("probe_id"), col("vec_id"), col("qcos"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Symmetric int8 scalar quantization profile — the storage-side
     * prep for ANN at corpus scale (4× smaller vectors, SIMD-friendly
     * dot products): per vector, the scale (max|x|/127) and the
@@ -309,6 +375,7 @@ object AnnOps {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_sq8" -> (annSq8 _),
+    "q_ann_ivf_sq8" -> (annIvfSq8 _),
     "q_quant_stats" -> (quantStats _),
     "q_embedding_stats" -> (embeddingStats _))
 
@@ -359,6 +426,47 @@ object AnnOps {
        |               i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ann_ivf_sq8" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, qs, nrm,
+         |         list_transform(embedding,
+         |           x -> CAST(round(x::DOUBLE / qs, 0) AS BIGINT)) qv
+         |  FROM (SELECT vec_id, embedding,
+         |          greatest(list_max(list_transform(embedding,
+         |            x -> abs(x::DOUBLE))), 1e-30) / 127.0 qs,
+         |          sqrt(list_sum(list_transform(embedding,
+         |            y -> y::DOUBLE * y::DOUBLE))) nrm
+         |        FROM e)
+         |), cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT e.vec_id, cell, ${sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), pc AS (
+         |  SELECT p.vec_id probe_id, cell, ${sqlCos("c_emb", "p.embedding")} ccos
+         |  FROM e p CROSS JOIN cents WHERE p.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= $IvfProbeCells
+         |), cand AS (
+         |  SELECT pc.probe_id, asg.vec_id,
+         |    round(list_sum(list_transform(range(1, len(c.qv) + 1),
+         |            i -> c.qv[i] * p.qv[i]))::DOUBLE
+         |          * c.qs * p.qs / (c.nrm * p.nrm), 6) qcos
+         |  FROM asg JOIN pc USING (cell)
+         |       JOIN q c ON c.vec_id = asg.vec_id
+         |       JOIN q p ON p.vec_id = pc.probe_id
+         |  WHERE asg.vec_id <> pc.probe_id
+         |  QUALIFY row_number() OVER (PARTITION BY pc.probe_id
+         |                             ORDER BY qcos DESC, asg.vec_id) <= $Sq8Rerank
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, cand.qcos,
+         |         ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |)
+         |SELECT probe_id, vec_id, qcos, cos,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+         |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
     "q_ann_sq8" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (

@@ -33,6 +33,17 @@ class AnnSq8Spec extends AnyFunSuite {
     }
   }
 
+  test("IVF×SQ8 composition recovers nearly all of the float IVF's results") {
+    // same cells, same probed cohorts — int8 scoring inside the cells
+    // should almost never change which candidates survive the re-rank
+    val ivf = AnnOps.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSq8 = AnnOps.annIvfSq8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivfSq8.intersect(ivf).size.toDouble / ivf.size
+    assert(recall >= 0.9, s"recall vs float IVF = $recall")
+  }
+
   test("sq8 recall recovers nearly all of the exact top-k") {
     val exact = AnnOps.annTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
