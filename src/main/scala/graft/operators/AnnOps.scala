@@ -239,29 +239,55 @@ object AnnOps {
     * runs on a bounded candidate set, not the corpus.
     */
   def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = sq8Corpus(spark, dir)
+    val probes = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("qs").as("p_qs"),
+        col("nrm").as("p_nrm"), col("qv").as("p_qv"))
+    // slim (probe_id, vec_id, qcos) before the rank window: no arrays
+    // in the rank shuffle
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sq8Qcos.as("qcos"))
+    sq8Rerank(scored, e)
+  }
+
+  /** Corpus with the SQ8 search artifacts attached: (vec_id,
+    * embedding, qs = the [[quantStats]] scale, nrm = exact float norm,
+    * qv = the int8-quantized array as longs).
+    */
+  private def sq8Corpus(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.VectorExpressions
     val qsCol = greatest(array_max(transform(col("embedding"),
       x => abs(x.cast("double")))), lit(1e-30)) / lit(127.0)
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("qs", qsCol)
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .withColumn("qv", transform(col("embedding"),
         x => round(x.cast("double") / col("qs"), 0).cast("long")))
       .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
-    val probes = e.filter(col("vec_id") < NProbes)
-      .select(col("vec_id").as("probe_id"), col("qs").as("p_qs"),
-        col("nrm").as("p_nrm"), col("qv").as("p_qv"))
-    // integer dot over the two quantized arrays — engine-exact
+  }
+
+  /** Approximate cosine from the two quantized sides: integer dot
+    * (engine-exact) rescaled by the scales and exact norms, rounded to
+    * 6 decimals because it feeds the top-[[Sq8Rerank]] DECISION.
+    * Expects (qv, qs, nrm) and (p_qv, p_qs, p_nrm) in scope.
+    */
+  private def sq8Qcos: Column = {
     val dotq = aggregate(zip_with(col("qv"), col("p_qv"), (a, b) => a * b),
       lit(0L), (acc, v) => acc + v)
+    round(dotq.cast("double") * col("qs") * col("p_qs")
+      / (col("nrm") * col("p_nrm")), 6)
+  }
+
+  /** Shared SQ8 tail: cut `scored` (probe_id, vec_id, qcos) to the
+    * top-[[Sq8Rerank]] per probe, re-rank with the exact float cosine,
+    * keep top-[[K]] — float math touches only the bounded candidate
+    * set.
+    */
+  private def sq8Rerank(scored: DataFrame, e: DataFrame): DataFrame = {
+    import graft.plans.VectorExpressions
     val cw = Window.partitionBy(col("probe_id")).orderBy(col("qcos").desc, col("vec_id"))
-    val cand = e.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("probe_id"))
-      // slim (probe_id, vec_id, qcos) before the window: no arrays in
-      // the rank shuffle
-      .select(col("probe_id"), col("vec_id"),
-        round(dotq.cast("double") * col("qs") * col("p_qs")
-          / (col("nrm") * col("p_nrm")), 6).as("qcos"))
+    val cand = scored
       .withColumn("crn", row_number().over(cw))
       .filter(col("crn") <= Sq8Rerank)
       .select(col("probe_id"), col("vec_id"), col("qcos"))
@@ -291,14 +317,7 @@ object AnnOps {
     */
   def annIvfSq8(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.VectorExpressions
-    val qsCol = greatest(array_max(transform(col("embedding"),
-      x => abs(x.cast("double")))), lit(1e-30)) / lit(127.0)
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-      .withColumn("qs", qsCol)
-      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .withColumn("qv", transform(col("embedding"),
-        x => round(x.cast("double") / col("qs"), 0).cast("long")))
-      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+    val e = sq8Corpus(spark, dir)
     val cents = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
@@ -320,29 +339,10 @@ object AnnOps {
       .withColumn("prn", row_number().over(pw))
       .filter(col("prn") <= IvfProbeCells)
       .select(col("probe_id"), col("p_qs"), col("p_nrm"), col("p_qv"), col("cell"))
-    val dotq = aggregate(zip_with(col("qv"), col("p_qv"), (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v)
-    val cw = Window.partitionBy(col("probe_id")).orderBy(col("qcos").desc, col("vec_id"))
-    val cand = assigned.join(broadcast(probeCells), "cell")
+    val scored = assigned.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        round(dotq.cast("double") * col("qs") * col("p_qs")
-          / (col("nrm") * col("p_nrm")), 6).as("qcos"))
-      .withColumn("crn", row_number().over(cw))
-      .filter(col("crn") <= Sq8Rerank)
-      .select(col("probe_id"), col("vec_id"), col("qcos"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    cand
-      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
-      .join(broadcast(e.filter(col("vec_id") < NProbes).select(col("vec_id").as("probe_id"),
-        col("embedding").as("p_emb"), col("nrm").as("p_nrm"))), "probe_id")
-      .withColumn("cos", round(VectorExpressions.cosineNative(
-        col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select(col("probe_id"), col("vec_id"), col("qcos"), col("cos"),
-        col("rnk").cast("long").as("rnk"))
-      .orderBy("probe_id", "rnk")
+      .select(col("probe_id"), col("vec_id"), sq8Qcos.as("qcos"))
+    sq8Rerank(scored, e)
   }
 
   /** Symmetric int8 scalar quantization profile — the storage-side
