@@ -28,6 +28,23 @@ class CrossOperatorConsistencySpec extends AnyFunSuite {
     assert(incr.nonEmpty)
   }
 
+  test("containment dominates jaccard: every high-jaccard ngram pair appears in both directions") {
+    // C(a→b) = |∩|/|S_a| ≥ |∩|/|union| = J, so any ngram pair with
+    // jac ≥ the containment threshold must be emitted by the
+    // containment query in BOTH directions, with cont ≥ jac
+    val thr = DedupOps.ContainmentThreshold
+    val ngram = DedupOps.dedupNgram(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter(_._2 >= thr)
+    val cont = DedupOps.dedupContainment(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ngram.nonEmpty)
+    ngram.foreach { case ((a, b), jac) =>
+      assert(cont.get((a, b)).exists(_ >= jac - 1e-6), s"missing $a->$b (jac $jac)")
+      assert(cont.get((b, a)).exists(_ >= jac - 1e-6), s"missing $b->$a (jac $jac)")
+    }
+  }
+
   test("minhash-LSH pairs are a subset of the ngram pairs with identical jaccard (below the cap)") {
     val ngram = DedupOps.dedupNgram(spark, sf).collect()
       .map(r => (unordered(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
