@@ -345,6 +345,42 @@ object AnnOps {
     sq8Rerank(scored, e)
   }
 
+  /** Cell-occupancy profile of the IVF layout — the ANN counterpart of
+    * [[CoreOps.skewProfile]]'s join-key pre-flight: per cell the member
+    * count, corpus share, and balance factor (n·k/total; 1.0 = even).
+    * A degenerate coarse quantizer (one cell swallowing the corpus)
+    * silently destroys nprobe pruning — probes search ~everything —
+    * and this is the check that catches it BEFORE committing the
+    * layout. Empty cells are reported as zero rows, not dropped: they
+    * waste a probe's nprobe budget. The corpus total is a one-row
+    * scalar aggregate broadcast-crossJoined (the tfidf/lm_score shape
+    * — never a partition-less window).
+    */
+  def ivfCellStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val counts = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(VectorExpressions.cosineNative(
+        col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
+      .select(col("vec_id"), col("cell"), col("ccos"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val withZero = cents.select(col("cell")).join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_members"))
+    val total = withZero.agg(sum(col("n_members")).as("tot"))
+    withZero.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_members"),
+        round(col("n_members") / col("tot").cast("double"), 6).as("share"),
+        round(col("n_members") * lit(IvfCells) / col("tot").cast("double"), 6).as("balance"))
+      .orderBy("cell")
+  }
+
   /** Symmetric int8 scalar quantization profile — the storage-side
     * prep for ANN at corpus scale (4× smaller vectors, SIMD-friendly
     * dot products): per vector, the scale (max|x|/127) and the
@@ -376,6 +412,7 @@ object AnnOps {
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_sq8" -> (annSq8 _),
     "q_ann_ivf_sq8" -> (annIvfSq8 _),
+    "q_ivf_cell_stats" -> (ivfCellStats _),
     "q_quant_stats" -> (quantStats _),
     "q_embedding_stats" -> (embeddingStats _))
 
@@ -426,6 +463,22 @@ object AnnOps {
        |               i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ivf_cell_stats" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT e.vec_id, cell, ${sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), counts AS (SELECT cell, count(*) n FROM asg GROUP BY cell),
+         |cz AS (
+         |  SELECT cents.cell, coalesce(n, 0) n_members
+         |  FROM cents LEFT JOIN counts ON cents.cell = counts.cell
+         |), t AS (SELECT sum(n_members) tot FROM cz)
+         |SELECT cell, n_members,
+         |       round(n_members / tot::DOUBLE, 6) AS "share",
+         |       round(n_members * $IvfCells / tot::DOUBLE, 6) balance
+         |FROM cz CROSS JOIN t ORDER BY cell""".stripMargin,
     "q_ann_ivf_sq8" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (

@@ -22,6 +22,17 @@ class AnnIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("cell stats cover every cell, sum to the corpus, and average balance 1.0") {
+    val rows = AnnOps.ivfCellStats(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until 16L))
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === n)
+    // balance = n·k/total, so the mean over cells is exactly 1 (up to
+    // the per-cell rounding)
+    val meanBalance = rows.map(_.getDouble(3)).sum / rows.length
+    assert(math.abs(meanBalance - 1.0) < 1e-4, s"mean balance $meanBalance")
+  }
+
   test("IVF recall overlaps the exact top-k (approximate, nprobe/cells of the corpus)") {
     val exact = AnnOps.annTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
