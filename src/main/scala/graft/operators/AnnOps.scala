@@ -268,13 +268,14 @@ object AnnOps {
   }
 
   /** Approximate cosine from the two quantized sides: integer dot
-    * (engine-exact) rescaled by the scales and exact norms, rounded to
-    * 6 decimals because it feeds the top-[[Sq8Rerank]] DECISION.
-    * Expects (qv, qs, nrm) and (p_qv, p_qs, p_nrm) in scope.
+    * (engine-exact; codegen'd [[graft.plans.VectorExpressions.LongDotExpr]]
+    * so the corpus scan stays inside whole-stage codegen) rescaled by
+    * the scales and exact norms, rounded to 6 decimals because it
+    * feeds the top-[[Sq8Rerank]] DECISION. Expects (qv, qs, nrm) and
+    * (p_qv, p_qs, p_nrm) in scope.
     */
   private def sq8Qcos: Column = {
-    val dotq = aggregate(zip_with(col("qv"), col("p_qv"), (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v)
+    val dotq = graft.plans.VectorExpressions.longDotNative(col("qv"), col("p_qv"))
     round(dotq.cast("double") * col("qs") * col("p_qs")
       / (col("nrm") * col("p_nrm")), 6)
   }

@@ -230,6 +230,62 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Σ aᵢ·bᵢ over two `array<bigint>` in LONG arithmetic — the SQ8
+    * candidate-scan kernel. Exact integer math (engine-portable by
+    * construction — no rounding question at all), codegen'd so the
+    * quantized corpus scan runs inside whole-stage codegen instead of
+    * an interpreted higher-order-function fold.
+    */
+  case class LongDotExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left.dataType, right.dataType).forall {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_long_dot expects array<bigint> on both sides, " +
+          s"got ${left.dataType} vs ${right.dataType}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (y.numElements() != n) lengthMismatch("graft_long_dot", n, y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  throw new IllegalArgumentException(
+           |    "graft_long_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
+           |${ev.value} = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def longDotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(LongDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
