@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorExpressions.L2NormExpr].getName, "graft_l2norm"),
       (exprs: Seq[Expression]) => VectorExpressions.L2NormExpr(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_long_dot"),
+      new ExpressionInfo(classOf[VectorExpressions.LongDotExpr].getName, "graft_long_dot"),
+      (exprs: Seq[Expression]) => VectorExpressions.LongDotExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[VectorExpressions.DotProductExpr].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => GraftExtensions.cosineExpr(exprs)))

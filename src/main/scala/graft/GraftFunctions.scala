@@ -38,6 +38,8 @@ object GraftFunctions {
       exprs => VectorExpressions.DotProductExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_l2norm",
       exprs => VectorExpressions.L2NormExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_long_dot",
+      exprs => VectorExpressions.LongDotExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => GraftExtensions.cosineExpr(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_sigs",

@@ -19,6 +19,27 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getDouble(3) === 5.0)
   }
 
+  test("graft_long_dot: exact integer dot, codegen and interpreted agree, mismatch raises") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_long_dot(array(127L, -127L, 3L), array(127L, 127L, 0L)) d,
+        |       graft_long_dot(CAST(array() AS ARRAY<BIGINT>),
+        |                      CAST(array() AS ARRAY<BIGINT>)) z
+        |""".stripMargin).collect()(0)
+    assert(row.getLong(0) === 127L * 127 - 127L * 127)
+    assert(row.getLong(1) === 0L)
+    // interpreted path (nullSafeEval) must agree with codegen
+    import graft.plans.VectorExpressions
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+    assert(df.select(VectorExpressions.longDotNative(col("a"), col("b"))).head.getLong(0) === 32L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_long_dot(array(1L), array(1L, 2L))").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("cosine, content key and hyperplane signatures evaluate from SQL") {
     GraftFunctions.register(spark)
     val row = spark.sql(
