@@ -270,10 +270,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model scoring — the next rung of the LM-filter
+    * ladder above [[lmScore]]'s unigram model (the direction of
+    * CCNet's real 5-gram KenLM): per document, the cross-entropy of
+    * its bigrams against the corpus bigram model
+    * p(t2 | t1) = c(t1 t2) / c(t1 ·). MLE needs no smoothing because
+    * the corpus scores itself — every scored bigram was counted.
+    * Unigram xent flags skewed VOCABULARY; bigram xent additionally
+    * flags unnatural SEQUENCES (word-salad with common words scores
+    * high here but normal there). Docs shorter than two tokens carry
+    * no bigram and drop out.
+    *
+    * 100 TB shape: two keyed aggregations (bigram counts, prefix
+    * counts) + keyed joins back — both model tables are CORPUS-derived
+    * so neither is broadcast-hinted (the [[lmScore]] discipline); no
+    * windows anywhere.
+    */
+  def lmBigram(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Hashing.shingles(split(col("text"), " "), 2)).as("b"))
+      .withColumn("t1", substring_index(col("b"), " ", 1))
+    val cb = bg.groupBy("b", "t1").agg(count(lit(1)).as("cb"))
+    val c1 = bg.groupBy("t1").agg(count(lit(1)).as("c1"))
+    val model = cb.join(c1, "t1")
+      .withColumn("p", col("cb") / col("c1").cast("double"))
+      .select("b", "p")
+    bg.join(model, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(-log(col("p"))), 6).as("xent2"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_filter" -> (qualityFilter _),
     "q_repetition" -> (repetition _),
     "q_lm_score" -> (lmScore _),
+    "q_lm_bigram" -> (lmBigram _),
     "q_boilerplate" -> (boilerplate _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
@@ -283,6 +317,19 @@ object TextOps {
     "q_heavy_hitters" -> (heavyHitters _))
 
   val oracle: Map[String, String] = Map(
+    "q_lm_bigram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(toks[i : i + 1], ' ') b, toks[i] t1
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+        |), cb AS (SELECT b, t1, count(*) cb FROM bg GROUP BY b, t1),
+        |c1 AS (SELECT t1, count(*) c1 FROM bg GROUP BY t1),
+        |model AS (SELECT b, cb / c1::DOUBLE p FROM cb JOIN c1 USING (t1))
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) n_bigrams,
+        |       round(avg(-ln(p)), 6) xent2
+        |FROM bg JOIN model USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH ex AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents

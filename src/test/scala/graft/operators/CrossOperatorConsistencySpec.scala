@@ -45,6 +45,17 @@ class CrossOperatorConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM: n_bigrams = n_tokens - 1 per doc, and unigram/bigram agree on doc coverage") {
+    val uni = TextOps.lmScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bi = TextOps.lmBigram(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bi.nonEmpty)
+    // same whitespace tokenization on both rungs of the ladder
+    bi.foreach { case (doc, nb) => assert(nb === uni(doc) - 1, s"doc $doc") }
+    assert(uni.keySet.filter(uni(_) >= 2) === bi.keySet)
+  }
+
   test("minhash-LSH pairs are a subset of the ngram pairs with identical jaccard (below the cap)") {
     val ngram = DedupOps.dedupNgram(spark, sf).collect()
       .map(r => (unordered(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
