@@ -99,6 +99,49 @@ object AnnOps {
   private val IvfCells = 16
   private[operators] val IvfProbeCells = 4
 
+  /** Deterministic lowest-id float anchors: (cell, c_emb, c_nrm).
+    * `e` must carry (vec_id, embedding, nrm).
+    */
+  private def ivfAnchors(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+
+  /** Nearest-anchor cell per corpus vector → (vec_id, cell). The
+    * assignment DECISION discipline — cosine rounded to 6 decimals,
+    * ties to the lowest cell — is the oracle-portability contract
+    * every deterministic-anchor IVF query shares; it lives HERE so it
+    * cannot drift between them. The window input is the slim (vec_id,
+    * cell, ccos) triple, never the embedding.
+    */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.plans.VectorExpressions
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(VectorExpressions.cosineNative(
+        col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
+      .select(col("vec_id"), col("cell"), col("ccos"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Probe → its [[IvfProbeCells]] nearest cells, same decision
+    * discipline as [[assignCells]]. `probes` must carry (probe_id,
+    * p_emb, p_nrm, ...); `carry` names the probe columns to keep
+    * beside (probe_id, cell) for the downstream scoring join.
+    */
+  private def nearestProbeCells(probes: DataFrame, cents: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    import graft.plans.VectorExpressions
+    val pw = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("cell"))
+    probes.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(VectorExpressions.cosineNative(
+        col("c_emb"), col("c_nrm"), col("p_emb"), col("p_nrm")), 6))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= IvfProbeCells)
+      .select((Seq("probe_id") ++ carry ++ Seq("cell")).map(col): _*)
+  }
+
   /** IVF-style ANN — the other classic scale path beside LSH: the
     * corpus is coarse-quantized into [[IvfCells]] cells (nearest
     * anchor by cosine), and each probe searches only its
@@ -116,28 +159,12 @@ object AnnOps {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
-    val cents = e.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    // nearest anchor per corpus vector; the window input is the slim
-    // (vec_id, cell, ccos) triple, never the embedding
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(VectorExpressions.cosineNative(
-        col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
-      .select(col("vec_id"), col("cell"), col("ccos"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cell"))
-      .join(e, "vec_id")
-    val pw = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("cell"))
-    val probeCells = e.filter(col("vec_id") < NProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(VectorExpressions.cosineNative(
-        col("c_emb"), col("c_nrm"), col("p_emb"), col("p_nrm")), 6))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= IvfProbeCells)
-      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cell"))
+    val cents = ivfAnchors(e)
+    val assigned = assignCells(e, cents).join(e, "vec_id")
+    val probeCells = nearestProbeCells(
+      e.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm")),
+      cents, Seq("p_emb", "p_nrm"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= col("probe_id"))
@@ -317,29 +344,15 @@ object AnnOps {
     * oracle-checkable.
     */
   def annIvfSq8(spark: SparkSession, dir: String): DataFrame = {
-    import graft.plans.VectorExpressions
     val e = sq8Corpus(spark, dir)
-    val cents = e.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(VectorExpressions.cosineNative(
-        col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
-      .select(col("vec_id"), col("cell"), col("ccos"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cell"))
+    val cents = ivfAnchors(e)
+    val assigned = assignCells(e, cents)
       .join(e.select(col("vec_id"), col("qs"), col("nrm"), col("qv")), "vec_id")
-    val pw = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("cell"))
-    val probeCells = e.filter(col("vec_id") < NProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("qs").as("p_qs"), col("nrm").as("p_nrm"), col("qv").as("p_qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(VectorExpressions.cosineNative(
-        col("c_emb"), col("c_nrm"), col("p_emb"), col("p_nrm")), 6))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= IvfProbeCells)
-      .select(col("probe_id"), col("p_qs"), col("p_nrm"), col("p_qv"), col("cell"))
+    val probeCells = nearestProbeCells(
+      e.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("qs").as("p_qs"), col("nrm").as("p_nrm"), col("qv").as("p_qv")),
+      cents, Seq("p_qs", "p_nrm", "p_qv"))
     val scored = assigned.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), sq8Qcos.as("qcos"))
@@ -362,15 +375,8 @@ object AnnOps {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
-    val cents = e.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    val counts = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(VectorExpressions.cosineNative(
-        col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
-      .select(col("vec_id"), col("cell"), col("ccos"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
+    val cents = ivfAnchors(e)
+    val counts = assignCells(e, cents)
       .groupBy("cell").agg(count(lit(1)).as("n"))
     val withZero = cents.select(col("cell")).join(counts, Seq("cell"), "left")
       .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_members"))

@@ -33,7 +33,7 @@ import graft.sources.Tables
   */
 object DedupOps {
 
-  private val ShingleK = 3
+  private[graft] val ShingleK = 3
   private val JaccardThreshold = 0.6
 
   /** Blocking keys with document frequency above this are dropped from
@@ -174,8 +174,8 @@ object DedupOps {
     dedupNgramFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")), DfCap)
       .select(col("d1"), col("d2"))
 
-  private val Bands = 4
-  private val Rows = 2
+  private[graft] val Bands = 4
+  private[graft] val Rows = 2
 
   /** MinHash + LSH banding: md5-string minhashes → band keys → bucket
     * join for candidates → exact-Jaccard verification. The oracle SQL

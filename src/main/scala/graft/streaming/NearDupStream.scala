@@ -24,9 +24,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object NearDupStream {
 
-  private[graft] val ShingleK = 3
-  private[graft] val Bands = 4
-  private[graft] val Rows = 2
+  // the batch pipeline's own tuning — referenced, not duplicated, so
+  // retuning DedupOps retunes this mirror with it
+  private[graft] def ShingleK: Int = graft.operators.DedupOps.ShingleK
+  private[graft] def Bands: Int = graft.operators.DedupOps.Bands
+  private[graft] def Rows: Int = graft.operators.DedupOps.Rows
+
+  private val HexDigits = "0123456789abcdef".toCharArray
 
   /** One doc's membership in one band bucket. */
   case class BandMember(band_key: String, doc_id: Long)
@@ -35,24 +39,39 @@ object NearDupStream {
   /** Emitted candidate: `doc_id` collided with the bucket owner. */
   case class Cand(band_key: String, owner_id: Long, doc_id: Long)
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def md5hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val bytes = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** JVM-side mirror of the [[graft.functions.Hashing]] md5-string
     * minhash band keys (identical input strings ⇒ identical hex), so
-    * these buckets ARE the batch pipeline's buckets. Docs with no
-    * 3-token shingle produce no membership, matching the batch
-    * `size(sh) > 0` filter.
+    * these buckets ARE the batch pipeline's buckets. Tokenization uses
+    * `split(" ", -1)`: Spark's `split` keeps trailing empty tokens and
+    * Scala's default `split` drops them — the mirror must keep them or
+    * any text with a trailing space buckets differently from batch.
+    * Docs with no [[ShingleK]]-token shingle produce no membership,
+    * matching the batch `size(sh) > 0` filter. One reused digest per
+    * call, table-driven hex — this runs per document on the ingest hot
+    * path (Bands×Rows digests per shingle).
     */
   private[graft] def bandKeys(text: String): Seq[String] = {
-    val sh = text.split(" ").sliding(ShingleK)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sh = text.split(" ", -1).sliding(ShingleK)
       .filter(_.length == ShingleK).map(_.mkString(" ")).toSet
     if (sh.isEmpty) Seq.empty
     else (0 until Bands).map { b =>
       val parts = (0 until Rows).map(r =>
-        sh.map(s => md5hex(s"${b * Rows + r}:" + s)).min)
-      md5hex(parts.mkString("|"))
+        sh.map(s => md5hex(md, s"${b * Rows + r}:" + s)).min)
+      md5hex(md, parts.mkString("|"))
     }.distinct
   }
 

@@ -28,12 +28,17 @@ class GraftFunctionsSpec extends AnyFunSuite {
         |""".stripMargin).collect()(0)
     assert(row.getLong(0) === 127L * 127 - 127L * 127)
     assert(row.getLong(1) === 0L)
-    // interpreted path (nullSafeEval) must agree with codegen
+    // interpreted path: direct Expression.eval never goes through
+    // whole-stage codegen (a df.select would), so this genuinely pins
+    // nullSafeEval against the codegen result above
     import graft.plans.VectorExpressions
-    import org.apache.spark.sql.functions.{col, expr}
-    import spark.implicits._
-    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
-    assert(df.select(VectorExpressions.longDotNative(col("a"), col("b"))).head.getLong(0) === 32L)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def arr(xs: Seq[Long]) = Literal.create(xs, ArrayType(LongType))
+    assert(VectorExpressions.LongDotExpr(arr(Seq(1L, 2L, 3L)), arr(Seq(4L, 5L, 6L)))
+      .eval(null) === 32L)
+    assert(VectorExpressions.LongDotExpr(arr(Seq(127L, -127L, 3L)), arr(Seq(127L, 127L, 0L)))
+      .eval(null) === 0L)
     val err = intercept[Exception] {
       spark.sql("SELECT graft_long_dot(array(1L), array(1L, 2L))").collect()
     }

@@ -23,7 +23,15 @@ class NearDupStreamSpec extends AnyFunSuite {
 
   test("JVM band keys mirror the Column pipeline bit for bit") {
     import spark.implicits._
+    // corpus docs PLUS tokenizer edge cases: Spark's split keeps
+    // trailing/interior empty tokens, so the mirror must too
+    val edge = Seq(
+      (900001L, "alpha beta gamma delta "),
+      (900002L, "alpha  beta gamma"),
+      (900003L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
     val docs = sources.Tables.documents(spark, TestSpark.Sf).select($"doc_id", $"text")
+      .unionByName(edge)
     val sh = array_distinct(functions.Hashing.shingles(split($"text", " "), NearDupStream.ShingleK))
     val colKeys = docs
       .withColumn("sh", sh).filter(size($"sh") > 0)
@@ -31,9 +39,14 @@ class NearDupStreamSpec extends AnyFunSuite {
         functions.Hashing.bandKey($"sh", b, NearDupStream.Rows)): _*).as("keys"))
       .as[(Long, Seq[String])].collect()
       .map { case (id, ks) => id -> ks.distinct.toSet }.toMap
-    val jvmKeys = corpus.map { case (id, t) => id -> NearDupStream.bandKeys(t).toSet }
+    val jvmKeys = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> NearDupStream.bandKeys(t).toSet }
       .filter(_._2.nonEmpty).toMap
     assert(jvmKeys === colKeys)
+    // the trailing-space doc must bucket DIFFERENTLY from its trimmed
+    // twin (the empty token changes the final shingles) — if the
+    // mirror dropped trailing tokens these would collide on all bands
+    assert(jvmKeys(900001L) !== jvmKeys(900003L))
   }
 
   test("owner-star emission equals min-owner stars over the batch buckets; batch-boundary invariant") {

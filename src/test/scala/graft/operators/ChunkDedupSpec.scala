@@ -37,7 +37,9 @@ class ChunkDedupSpec extends AnyFunSuite {
   /** Expected (n_chunks, n_shared, shared_frac) per doc_id. */
   private def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Double)] = {
     val chunked: Seq[(Long, Seq[String])] = docs.map { case (id, text) =>
-      val toks = text.split(" ").toSeq
+      // limit -1: Spark's split KEEPS trailing empty tokens, Scala's
+      // default drops them — the reference must tokenize identically
+      val toks = text.split(" ", -1).toSeq
       val flags = toks.indices.map(p =>
         if (p + K <= toks.length && isBoundary(toks.slice(p, p + K))) 1L else 0L)
       val chunkIds = flags.scanLeft(0L)(_ + _).tail // inclusive running sum
@@ -89,6 +91,15 @@ class ChunkDedupSpec extends AnyFunSuite {
     assert(out === reference(docs))
     assert(out(1L) === ((1L, 0L, 0.0)))
     assert(out(2L) === ((1L, 0L, 0.0)))
+  }
+
+  test("trailing and double spaces produce empty tokens, handled identically to Spark's split") {
+    val rng = new scala.util.Random(31)
+    val docs = Seq(
+      (1L, randDoc(rng, 9) + " "),          // trailing empty token
+      (2L, randDoc(rng, 4) + "  " + randDoc(rng, 4)), // interior empty token
+      (3L, randDoc(rng, 9) + " "))
+    assert(run(docs) === reference(docs))
   }
 
   test("doc of exactly K tokens aligns the single window with the zero padding") {

@@ -14,8 +14,9 @@ class ContainmentSpec extends AnyFunSuite {
 
   private val K = 3
 
+  // limit -1: Spark's split keeps trailing empty tokens
   private def shingleSet(text: String): Set[String] =
-    text.split(" ").sliding(K).filter(_.length == K).map(_.mkString(" ")).toSet
+    text.split(" ", -1).sliding(K).filter(_.length == K).map(_.mkString(" ")).toSet
 
   /** Reference mirror: df-capped candidate generation, containment on
     * the FULL shingle sets, round-6 at the output boundary.
