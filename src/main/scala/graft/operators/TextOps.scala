@@ -303,7 +303,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Percentile-based quality cutoff — the corpus-statistics filter a
+    * real curation pipeline runs ("keep the top half per language"),
+    * composed from two existing primitives: [[qualityCol]] and the
+    * mergeable [[QuantileSketch]]. The per-language median comes from
+    * the SKETCH estimate, not an exact percentile — at 100 TB a
+    * language's scores don't fit one aggregation buffer, while the
+    * sketch is two bounded passes and the threshold table is one row
+    * per language (broadcast). Both the scores and the threshold are
+    * rounded to 6 decimals BEFORE the keep decision, so the cut
+    * reproduces on any engine.
+    */
+  def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), qualityCol.as("quality"))
+    val rng = QuantileSketch.keyRange(scored, "lang", "quality")
+    val hist = QuantileSketch.histogram(scored, "lang", "quality", rng)
+    val thr = QuantileSketch.estimates(hist, rng, Seq(0.5))
+      .select(col("lang"), round(col("est"), 6).as("thr"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col("quality") >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("thr"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_percentile" -> (qualityPercentile _),
     "q_quality_filter" -> (qualityFilter _),
     "q_repetition" -> (repetition _),
     "q_lm_score" -> (lmScore _),
@@ -317,6 +342,34 @@ object TextOps {
     "q_heavy_hitters" -> (heavyHitters _))
 
   val oracle: Map[String, String] = Map(
+    "q_quality_percentile" -> {
+      val b = QuantileSketch.Bins
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, $SqlQuality quality FROM documents
+         |), rng AS (
+         |  SELECT lang, min(quality) lo, max(quality) hi, count(*) n FROM v GROUP BY 1
+         |), bn AS (
+         |  SELECT v.lang,
+         |         CASE WHEN hi = lo THEN 0
+         |              ELSE CAST(least(greatest(floor((quality - lo) / ((hi - lo) / $b.0)), 0),
+         |                        ${b - 1}) AS BIGINT) END bin
+         |  FROM v JOIN rng USING (lang)
+         |), h AS (
+         |  SELECT lang, bin, count(*) cnt FROM bn GROUP BY 1, 2
+         |), c AS (
+         |  SELECT lang, bin, cnt,
+         |         sum(cnt) OVER (PARTITION BY lang ORDER BY bin) cum
+         |  FROM h
+         |), sel AS (
+         |  SELECT c.lang,
+         |         round(lo + (hi - lo) / $b.0 * (bin + (0.5 * n - (cum - cnt)) / cnt), 6) thr
+         |  FROM c JOIN rng USING (lang)
+         |  WHERE cum - cnt < 0.5 * n AND cum >= 0.5 * n
+         |)
+         |SELECT doc_id, v.lang, quality, thr
+         |FROM v JOIN sel ON v.lang = sel.lang
+         |WHERE quality >= thr ORDER BY doc_id""".stripMargin
+    },
     "q_lm_bigram" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
         |bg AS (

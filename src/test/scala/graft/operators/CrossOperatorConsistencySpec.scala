@@ -45,6 +45,21 @@ class CrossOperatorConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("quality-percentile keeps roughly the top half per language, never below the threshold") {
+    import spark.implicits._
+    val kept = TextOps.qualityPercentile(spark, sf).collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r => assert(r.getDouble(2) >= r.getDouble(3))) // quality >= thr
+    val total = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    kept.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val frac = rows.length.toDouble / total(lang)
+      // a median cut keeps ~half; score ties at the sketch bin can
+      // push it above, the interpolation slightly below
+      assert(frac > 0.3 && frac < 0.8, s"$lang kept $frac")
+    }
+  }
+
   test("bigram LM: n_bigrams = n_tokens - 1 per doc, and unigram/bigram agree on doc coverage") {
     val uni = TextOps.lmScore(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
