@@ -531,8 +531,28 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source exact-duplicate telemetry — the dedup dashboard a
+    * crawl pipeline tracks per domain: how many documents each source
+    * contributed, how many distinct contents, and the excess
+    * (dup_rate = what fraction of the source's volume dedup would
+    * delete). One two-phase distinct aggregation keyed on (source,
+    * content key) — no pair generation at all, so this stays a single
+    * bounded shuffle at any corpus size.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), Hashing.contentKey(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"))
+      .withColumn("dup_excess", col("n_docs") - col("n_distinct"))
+      .withColumn("dup_rate",
+        round(col("dup_excess") / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_dedup" -> (chunkDedup _),
+    "q_dup_rate_by_source" -> (dupRateBySource _),
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -576,6 +596,14 @@ object DedupOps {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dup_rate_by_source" ->
+      """SELECT source,
+        |       count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_distinct,
+        |       count(*) - count(DISTINCT md5(text)) AS dup_excess,
+        |       round((count(*) - count(DISTINCT md5(text)))
+        |             / count(*)::DOUBLE, 6) AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_chunk_dedup" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') toks FROM documents
