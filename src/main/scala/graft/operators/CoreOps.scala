@@ -615,31 +615,10 @@ object CoreOps {
         |  round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_quantiles_sketch" -> {
-      val b = QuantileSketch.Bins
       s"""WITH v AS (
          |  SELECT event_type, value::DOUBLE v FROM events WHERE value IS NOT NULL
-         |), rng AS (
-         |  SELECT event_type, min(v) lo, max(v) hi, count(*) n FROM v GROUP BY 1
-         |), b AS (
-         |  SELECT v.event_type,
-         |         CASE WHEN hi = lo THEN 0
-         |              ELSE CAST(least(greatest(floor((v - lo) / ((hi - lo) / $b.0)), 0),
-         |                        ${b - 1}) AS BIGINT) END bin
-         |  FROM v JOIN rng USING (event_type)
-         |), h AS (
-         |  SELECT event_type, bin, count(*) cnt FROM b GROUP BY 1, 2
-         |), c AS (
-         |  SELECT event_type, bin, cnt,
-         |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) cum
-         |  FROM h
-         |), qs AS (
-         |  SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.95::DOUBLE]) q
-         |), sel AS (
-         |  SELECT c.event_type, q,
-         |         lo + (hi - lo) / $b.0 * (bin + (q * n - (cum - cnt)) / cnt) est
-         |  FROM c CROSS JOIN qs JOIN rng USING (event_type)
-         |  WHERE cum - cnt < q * n AND cum >= q * n
-         |), ex AS (
+         |), ${QuantileSketch.sqlSketchCtes("event_type",
+               "0.5::DOUBLE, 0.9::DOUBLE, 0.95::DOUBLE")}, ex AS (
          |  SELECT event_type, 0.5::DOUBLE q, quantile_cont(v, 0.5) p FROM v GROUP BY 1
          |  UNION ALL
          |  SELECT event_type, 0.9::DOUBLE, quantile_cont(v, 0.9) FROM v GROUP BY 1

@@ -540,7 +540,17 @@ object DedupOps {
     * bounded shuffle at any corpus size.
     */
   def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    dupRateBySourceFrame(
+      Tables.documents(spark, dir).select(col("source"), col("text")))
+
+  /** Frame-based core of [[dupRateBySource]]: `docs` must carry
+    * (source, text). Exposed within the package because the shipped
+    * corpus has no exact duplicates at sf0.01 — the spec feeds a
+    * synthetic corpus with KNOWN dups so the excess/rate arithmetic is
+    * pinned somewhere the all-zeros default scale cannot.
+    */
+  private[operators] def dupRateBySourceFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), Hashing.contentKey(col("text")).as("h"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

@@ -67,6 +67,40 @@ object QuantileSketch {
       .groupBy(a.columns.dropRight(1).map(col).toSeq: _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** DuckDB mirror of the sketch arithmetic as a CTE chain
+    * (rng → bn → h → c → qs → sel), shared by every sketch-backed
+    * oracle so the bin formula, clamping, rank selection and NULL
+    * discipline cannot drift between hand-maintained copies. Callers
+    * prepend `WITH v AS (<rows carrying $key and a DOUBLE column v>)`
+    * — `v` MUST already exclude NULL values, mirroring
+    * [[keyRange]]/[[histogram]]'s non-null counting — and join `sel`
+    * (key, q, est). `est` is the raw interpolated estimate; callers
+    * round at their own output/decision boundary.
+    */
+  def sqlSketchCtes(key: String, qsSql: String, bins: Int = Bins): String =
+    s"""rng AS (
+       |  SELECT $key, min(v) lo, max(v) hi, count(*) n FROM v GROUP BY 1
+       |), bn AS (
+       |  SELECT v.$key,
+       |         CASE WHEN hi = lo THEN 0
+       |              ELSE CAST(least(greatest(floor((v - lo) / ((hi - lo) / $bins.0)), 0),
+       |                        ${bins - 1}) AS BIGINT) END bin
+       |  FROM v JOIN rng USING ($key)
+       |), h AS (
+       |  SELECT $key, bin, count(*) cnt FROM bn GROUP BY 1, 2
+       |), c AS (
+       |  SELECT $key, bin, cnt,
+       |         sum(cnt) OVER (PARTITION BY $key ORDER BY bin) cum
+       |  FROM h
+       |), qs AS (
+       |  SELECT unnest([$qsSql]) q
+       |), sel AS (
+       |  SELECT c.$key, q,
+       |         lo + (hi - lo) / $bins.0 * (bin + (q * n - (cum - cnt)) / cnt) est
+       |  FROM c CROSS JOIN qs JOIN rng USING ($key)
+       |  WHERE cum - cnt < q * n AND cum >= q * n
+       |)""".stripMargin
+
   /** Quantile estimates from a sketch: for each key and each q, the
     * bin holding rank q·n, linearly interpolated by rank inside it —
     * (key, q, est). The cum-sum window is per key over ≤ `bins` rows.

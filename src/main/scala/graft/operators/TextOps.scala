@@ -317,7 +317,14 @@ object TextOps {
   def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), qualityCol.as("quality"))
+    // cache the RANGE table (one row per language): both histogram and
+    // estimates consume it, and without the cache each consumer would
+    // re-run the full corpus scan + regex scoring behind it. `scored`
+    // itself is deliberately NOT persisted: caching the corpus
+    // projection would survive into a second bench pass and fake the
+    // recompute cost, while this per-language table is negligible.
     val rng = QuantileSketch.keyRange(scored, "lang", "quality")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = QuantileSketch.histogram(scored, "lang", "quality", rng)
     val thr = QuantileSketch.estimates(hist, rng, Seq(0.5))
       .select(col("lang"), round(col("est"), 6).as("thr"))
@@ -343,32 +350,16 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q_quality_percentile" -> {
-      val b = QuantileSketch.Bins
+      // v filters NULL scores, mirroring keyRange/histogram's non-null
+      // counting (a NULL-text doc must not shift the rank target)
       s"""WITH v AS (
-         |  SELECT doc_id, lang, $SqlQuality quality FROM documents
-         |), rng AS (
-         |  SELECT lang, min(quality) lo, max(quality) hi, count(*) n FROM v GROUP BY 1
-         |), bn AS (
-         |  SELECT v.lang,
-         |         CASE WHEN hi = lo THEN 0
-         |              ELSE CAST(least(greatest(floor((quality - lo) / ((hi - lo) / $b.0)), 0),
-         |                        ${b - 1}) AS BIGINT) END bin
-         |  FROM v JOIN rng USING (lang)
-         |), h AS (
-         |  SELECT lang, bin, count(*) cnt FROM bn GROUP BY 1, 2
-         |), c AS (
-         |  SELECT lang, bin, cnt,
-         |         sum(cnt) OVER (PARTITION BY lang ORDER BY bin) cum
-         |  FROM h
-         |), sel AS (
-         |  SELECT c.lang,
-         |         round(lo + (hi - lo) / $b.0 * (bin + (0.5 * n - (cum - cnt)) / cnt), 6) thr
-         |  FROM c JOIN rng USING (lang)
-         |  WHERE cum - cnt < 0.5 * n AND cum >= 0.5 * n
-         |)
-         |SELECT doc_id, v.lang, quality, thr
+         |  SELECT doc_id, lang, quality, quality v
+         |  FROM (SELECT doc_id, lang, $SqlQuality quality FROM documents)
+         |  WHERE quality IS NOT NULL
+         |), ${QuantileSketch.sqlSketchCtes("lang", "0.5::DOUBLE")}
+         |SELECT doc_id, v.lang, quality, round(est, 6) thr
          |FROM v JOIN sel ON v.lang = sel.lang
-         |WHERE quality >= thr ORDER BY doc_id""".stripMargin
+         |WHERE quality >= round(est, 6) ORDER BY doc_id""".stripMargin
     },
     "q_lm_bigram" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),

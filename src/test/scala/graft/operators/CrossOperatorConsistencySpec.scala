@@ -45,6 +45,22 @@ class CrossOperatorConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("dup-rate-by-source: exact excess and rate on a corpus with planted duplicates") {
+    import spark.implicits._
+    // srcA: 5 docs, 2 sharing content (excess 1); srcB: 4 docs all the
+    // same (excess 3); srcC: 2 distinct docs (excess 0)
+    val docs = Seq(
+      ("srcA", "one"), ("srcA", "two"), ("srcA", "three"), ("srcA", "two"), ("srcA", "four"),
+      ("srcB", "same"), ("srcB", "same"), ("srcB", "same"), ("srcB", "same"),
+      ("srcC", "x"), ("srcC", "y")).toDF("source", "text")
+    val out = DedupOps.dupRateBySourceFrame(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("srcA") === ((5L, 4L, 1L, 0.2)))
+    assert(out("srcB") === ((4L, 1L, 3L, 0.75)))
+    assert(out("srcC") === ((2L, 2L, 0L, 0.0)))
+  }
+
   test("quality-percentile keeps roughly the top half per language, never below the threshold") {
     import spark.implicits._
     val kept = TextOps.qualityPercentile(spark, sf).collect()
