@@ -49,6 +49,51 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(jvmKeys(900001L) !== jvmKeys(900003L))
   }
 
+  test("bucket-owner state survives a checkpoint restart: late collisions pair with the original owner") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toFile
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+
+    def feedFile(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+
+    def startQuery() = {
+      val docs = spark.readStream.schema("doc_id BIGINT, text STRING")
+        .parquet(feed.getAbsolutePath).as[CdcStream.Doc]
+      NearDupStream.candidates(spark, docs)
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[NearDupStream.Cand], _: Long) =>
+            ds.write.mode("append").parquet(out)
+        }
+        .start()
+    }
+
+    val text = "alpha beta gamma delta epsilon"
+    val nBands = NearDupStream.bandKeys(text).size
+
+    // phase 1: the owner and one collider, then the stream goes down
+    feedFile(Seq((1L, text), (5L, text)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+
+    // phase 2: a late collider lands while the stream is down; restart
+    // from the checkpoint — it must pair with the PHASE-1 owner (a
+    // lost state store would crown doc 9 a fresh owner and emit
+    // nothing; a re-read of phase-1 input would duplicate its pairs)
+    feedFile(Seq((9L, text)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val cands = spark.read.parquet(out).as[NearDupStream.Cand].collect()
+    assert(cands.length === 2 * nBands)
+    assert(cands.forall(_.owner_id == 1L))
+    assert(cands.count(_.doc_id == 5L) === nBands)
+    assert(cands.count(_.doc_id == 9L) === nBands)
+  }
+
   test("owner-star emission equals min-owner stars over the batch buckets; batch-boundary invariant") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
