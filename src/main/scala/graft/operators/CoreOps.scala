@@ -432,9 +432,31 @@ object CoreOps {
       .orderBy("join_key", "rnk")
   }
 
+  /** Per-type z-score outliers over the events feed — the anomaly
+    * monitoring pass a pipeline runs on every metric stream: one keyed
+    * aggregation for (mean, sample stddev) per event_type, the tiny
+    * stats table broadcast back, |z| ≥ 3 flagged. The z-score is
+    * rounded to 6 decimals BEFORE the threshold comparison (it is the
+    * keep DECISION), so the cut reproduces across engines despite the
+    * distributed float summation behind mean/stddev.
+    */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val stats = e.groupBy("event_type")
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mu")) / col("sd"), 6))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 6).as("value"), col("z"))
+      .orderBy("event_type", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (approxDistinct _),
     "q_bloom_semi_join" -> (bloomSemiJoin _),
+    "q_value_outliers" -> (valueOutliers _),
     "q_skew_profile" -> (skewProfile _),
     "q_profile" -> (profile _),
     "q_semi_join" -> (semiJoin _),
@@ -456,6 +478,17 @@ object CoreOps {
     "q_profile_approx" -> (profileApprox _))
 
   val oracle: Map[String, String] = Map(
+    "q_value_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) mu, stddev_samp(value) sd
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, event_id,
+        |       round(value, 6) AS value,
+        |       round((value - mu) / sd, 6) z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs(round((value - mu) / sd, 6)) >= 3.0
+        |ORDER BY event_type, event_id""".stripMargin,
     "q_approx_distinct" ->
       s"""WITH h AS (
          |  SELECT event_type,
