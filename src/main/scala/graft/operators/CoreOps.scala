@@ -453,10 +453,39 @@ object CoreOps {
       .orderBy("event_type", "event_id")
   }
 
+  /** Robust (median/MAD) outliers — [[valueOutliers]]'s z-score uses
+    * mean and stddev, which the outliers themselves inflate (masking);
+    * the median absolute deviation is breakdown-resistant: robust z =
+    * (v − median) / (1.4826 · MAD), flagged at |rz| ≥ 3.5 (the
+    * standard consistency constant and cut). Two exact-percentile
+    * aggregations (median, then MAD) with the same per-group buffering
+    * caveat as q_quantiles — [[QuantileSketch]] is the documented
+    * degrade path when a group's values outgrow one buffer. The robust
+    * z is rounded to 6 decimals BEFORE the threshold decision.
+    */
+  def valueOutliersRobust(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val med = e.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = e.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    val stats = med.join(mad, "event_type")
+    e.join(broadcast(stats), "event_type")
+      .withColumn("rz",
+        round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 6))
+      .filter(abs(col("rz")) >= 3.5)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 6).as("value"), col("rz"))
+      .orderBy("event_type", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (approxDistinct _),
     "q_bloom_semi_join" -> (bloomSemiJoin _),
     "q_value_outliers" -> (valueOutliers _),
+    "q_value_outliers_robust" -> (valueOutliersRobust _),
     "q_skew_profile" -> (skewProfile _),
     "q_profile" -> (profile _),
     "q_semi_join" -> (semiJoin _),
@@ -478,6 +507,20 @@ object CoreOps {
     "q_profile_approx" -> (profileApprox _))
 
   val oracle: Map[String, String] = Map(
+    "q_value_outliers_robust" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) med
+        |  FROM events GROUP BY 1
+        |), mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(value - med), 0.5) mad
+        |  FROM events e JOIN med USING (event_type) GROUP BY 1
+        |), s AS (SELECT event_type, med, mad FROM med JOIN mad USING (event_type))
+        |SELECT e.event_type, event_id,
+        |       round(value, 6) AS value,
+        |       round((value - med) / (1.4826 * mad), 6) rz
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs(round((value - med) / (1.4826 * mad), 6)) >= 3.5
+        |ORDER BY event_type, event_id""".stripMargin,
     "q_value_outliers" ->
       """WITH s AS (
         |  SELECT event_type, avg(value) mu, stddev_samp(value) sd
