@@ -216,38 +216,72 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
-  /** 16-bit SimHash over the 3-token shingle set (token-level simhash
-    * degenerates on shared-vocabulary corpora); candidate pairs from
-    * 4-bit band blocking (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 band equal),
-    * verified by exact hamming ≤ 1.
+  /** SimHash geometry: a 64-bit fingerprint held as [[SimBands]] ×
+    * [[SimBandBits]]-bit band values. 16-bit bands give 65 536
+    * blocking values per band, so band buckets SHRINK as the corpus
+    * grows — the 16-bit-signature/4-bit-band geometry this replaced
+    * had ≤ 16 values per band, i.e. buckets of ~n/16 docs and an
+    * effectively quadratic bucket join at 100× scale.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] val SimBands = 4
+  private[operators] val SimBandBits = 16
+  private[operators] val SimHammingMax = 3
+
+  /** 64-bit SimHash over the 3-token shingle set (token-level simhash
+    * degenerates on shared-vocabulary corpora); candidate pairs from
+    * 16-bit band blocking — pigeonhole: ≤ [[SimHammingMax]] = 3
+    * differing bits can touch at most 3 of the 4 bands, so every
+    * qualifying pair collides on ≥ 1 exact band (completeness proved
+    * by SimhashBandSpec) — then verified by exact hamming ≤ 3.
+    * Vote bits come from two 32-bit chunks of the shingle md5 (hex
+    * chars 1-8 and 9-16), keeping the signature engine-portable.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** Per-doc 64-bit SimHash as four 16-bit band values (doc_id, b0..b3);
+    * docs with no 3-token shingle are dropped (mirrored by the oracle's
+    * `len(toks) >= 3`). Exposed within the package so SimhashBandSpec
+    * can pin the vote/pack arithmetic against a JVM reference.
+    */
+  private[operators] def simhashBands(docs: DataFrame): DataFrame = {
     // Votes via explode → keyed sums: per-shingle md5 runs codegen'd
     // exactly once (the fold-over-array form re-evaluates the hash
     // array per bit, interpreted), and the corpus parallelizes.
     // Integer sums are order-free, so results are identical.
-    val exploded = Tables.documents(spark, dir)
+    val exploded = docs
       .select(col("doc_id"), explode(shingleSet(col("text"))).as("s"))
       .repartition(col("doc_id"))
-      .withColumn("h", conv(substring(md5(col("s").cast("binary")), 1, 8), 16, 10).cast("long"))
-    val voteCols = (0 until 16).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2L - 1L).as(s"v$b"))
-    val sig = (0 until 16).map(b =>
-      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    val d = exploded.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), sig.as("sig"))
-    val banded = d.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("band"), shiftright(col("sig"), 4 * i).bitwiseAND(15L).as("bv"))): _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .withColumn("h1", conv(substring(md5(col("s").cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("s").cast("binary")), 9, 8), 16, 10).cast("long"))
+    val voteCols = (0 until SimBands * SimBandBits).map { g =>
+      val (src, sh) = if (g < 32) (col("h1"), g) else (col("h2"), g - 32)
+      sum(shiftright(src, sh).bitwiseAND(1L) * 2L - 1L).as(s"v$g")
+    }
+    // band values stay in [0, 65535]: no sign-bit hazard anywhere, in
+    // either engine, unlike a single packed 64-bit signature
+    def bandVal(i: Int): Column =
+      (0 until SimBandBits).map(j =>
+        when(col(s"v${SimBandBits * i + j}") >= 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    exploded.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id") +: (0 until SimBands).map(i => bandVal(i).as(s"b$i")): _*)
+  }
+
+  private[operators] def dedupSimhashFrame(docs: DataFrame): DataFrame = {
+    val d = simhashBands(docs)
+    val banded = d.select(col("doc_id") +: (0 until SimBands).map(i => col(s"b$i")) :+
+      explode(array((0 until SimBands).map(i =>
+        struct(lit(i).as("band"), col(s"b$i").as("bv"))): _*)).as("bk"): _*)
+      .select(col("doc_id") +: (0 until SimBands).map(i => col(s"b$i")) :+
+        col("bk.band").as("band") :+ col("bk.bv").as("bv"): _*)
+    val ham = (0 until SimBands).map(i =>
+      bit_count(col(s"a.b$i").bitwiseXOR(col(s"b.b$i")))).reduce(_ + _)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), ham.as("hamming"))
+      .filter(col("hamming") <= SimHammingMax)
       .distinct()
-      .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
-      .filter(col("hamming") <= 1)
       .orderBy("d1", "d2")
   }
 
@@ -580,6 +614,23 @@ object DedupOps {
 
   private def mh(j: Int) = s"list_min(list_transform(sh, s -> md5('$j:' || s)))"
 
+  /** SQL: 16-bit SimHash band `i` (bits 16i..16i+15 of the 64-bit
+    * fingerprint) — per-bit majority vote over the h1/h2 32-bit md5
+    * chunk arrays, mirroring [[dedupSimhash]]'s vote/sign/pack
+    * arithmetic term for term. Generated, not hand-written: 64 vote
+    * terms drift when maintained by hand.
+    */
+  private def sqlSimhashBand(i: Int): String =
+    (0 until SimBandBits).map { j =>
+      val g = SimBandBits * i + j
+      val (arr, sh) = if (g < 32) ("h1", g) else ("h2", g - 32)
+      s"CASE WHEN CAST(list_sum(list_transform($arr, x -> ((x >> $sh) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", "\n     + ", ")::BIGINT")
+
+  /** SQL: hamming distance over the four 16-bit band values. */
+  private val sqlSimhashHam =
+    (0 until SimBands).map(i => s"bit_count(xor(a.b$i, b.b$i))").mkString(" + ")
+
   /** SQL: the near-dup pair graph → transitive closure (`reach`),
     * shared by the clusters and keep-best oracles. Callers prepend
     * `WITH RECURSIVE` and aggregate reach to min-label components.
@@ -757,38 +808,27 @@ object DedupOps {
         |), h AS (
         |  SELECT doc_id,
         |         list_transform($sqlShingles,
-        |                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) harr
-        |  FROM tt
+        |                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) h1,
+        |         list_transform($sqlShingles,
+        |                        t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) h2
+        |  FROM tt WHERE len(toks) >= 3
         |), s AS (
         |  SELECT doc_id,
-        |    (CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 0) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 1 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 1) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 2 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 2) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 4 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 3) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 8 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 4) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 16 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 5) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 32 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 6) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 64 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 7) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 128 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 8) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 256 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 9) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 512 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 10) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 1024 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 11) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 2048 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 12) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 4096 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 13) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 8192 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 14) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 16384 ELSE 0 END
-        |   + CASE WHEN CAST(list_sum(list_transform(harr, x -> ((x >> 15) & 1) * 2 - 1)) AS BIGINT) >= 0 THEN 32768 ELSE 0 END
-        |    )::BIGINT sig
+        |    ${sqlSimhashBand(0)} b0,
+        |    ${sqlSimhashBand(1)} b1,
+        |    ${sqlSimhashBand(2)} b2,
+        |    ${sqlSimhashBand(3)} b3
         |  FROM h
         |), banded AS (
-        |  SELECT doc_id, sig, band, (sig >> (4 * band)) & 15 bv
+        |  SELECT doc_id, b0, b1, b2, b3, band,
+        |         CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END bv
         |  FROM s, (VALUES (0), (1), (2), (3)) bands(band)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id d1, b.doc_id d2, a.sig sig1, b.sig sig2
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
         |)
-        |SELECT d1, d2, sig1, sig2, CAST(bit_count(xor(sig1, sig2)) AS INT) hamming
-        |FROM cand WHERE bit_count(xor(sig1, sig2)) <= 1
+        |SELECT DISTINCT a.doc_id d1, b.doc_id d2,
+        |       CAST($sqlSimhashHam AS INT) hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |WHERE $sqlSimhashHam <= $SimHammingMax
         |ORDER BY d1, d2""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
