@@ -440,11 +440,22 @@ object CoreOps {
     * keep DECISION), so the cut reproduces across engines despite the
     * distributed float summation behind mean/stddev.
     */
-  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"), col("value"))
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame =
+    valueOutliersFrame(Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value")))
+
+  /** Frame-based core of [[valueOutliers]] (`e` carries event_type,
+    * event_id, value) — exposed so the degenerate-group guard is
+    * pinned by spec on a corpus that actually contains a constant
+    * group (the shipped testdata has none at any scale).
+    */
+  private[operators] def valueOutliersFrame(e: DataFrame): DataFrame = {
     val stats = e.groupBy("event_type")
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      // sd = 0 (a constant group) would divide to NULL here but ±inf in
+      // DuckDB — degenerate groups are an explicit no-outlier case,
+      // filtered identically on both sides
+      .filter(col("sd") > 0)
     e.join(broadcast(stats), "event_type")
       .withColumn("z", round((col("value") - col("mu")) / col("sd"), 6))
       .filter(abs(col("z")) >= 3.0)
@@ -457,27 +468,57 @@ object CoreOps {
     * mean and stddev, which the outliers themselves inflate (masking);
     * the median absolute deviation is breakdown-resistant: robust z =
     * (v − median) / (1.4826 · MAD), flagged at |rz| ≥ 3.5 (the
-    * standard consistency constant and cut). Two exact-percentile
-    * aggregations (median, then MAD) with the same per-group buffering
-    * caveat as q_quantiles — [[QuantileSketch]] is the documented
-    * degrade path when a group's values outgrow one buffer. The robust
-    * z is rounded to 6 decimals BEFORE the threshold decision.
+    * standard consistency constant and cut).
+    *
+    * The KEEP path rides [[QuantileSketch]]: median and MAD are each
+    * two bounded passes (per-key min/max/count, then a ≤ 256-rows-per-
+    * key histogram) — nothing buffers a group's values, so the plan
+    * survives 100× where exact `percentile` OOMs its aggregation
+    * buffer. The exact medians stay as the `rz_exact` AUDIT column
+    * (the q_quantiles_sketch discipline: sketch decides, exact
+    * attests). Sketch median and MAD are rounded to 6 decimals at the
+    * sketch/usage boundary and the robust z again at the threshold
+    * DECISION, so the cut reproduces across engines. Groups with
+    * MAD = 0 (≥ 50 % identical values) are an explicit no-outlier
+    * case: Spark would divide to NULL but DuckDB to ±inf, so both
+    * sides filter them identically.
     */
-  def valueOutliersRobust(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"), col("value"))
-    val med = e.groupBy("event_type")
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
-    val mad = e.join(broadcast(med), "event_type")
+  def valueOutliersRobust(spark: SparkSession, dir: String): DataFrame =
+    valueOutliersRobustFrame(Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value")))
+
+  /** Frame-based core of [[valueOutliersRobust]] — see
+    * [[valueOutliersFrame]] for why it is exposed.
+    */
+  private[operators] def valueOutliersRobustFrame(e: DataFrame): DataFrame = {
+    val ev = e.select(col("event_type"), col("value"))
+    val rng = QuantileSketch.keyRange(ev, "event_type", "value")
+    val hist = QuantileSketch.histogram(ev, "event_type", "value", rng)
+    val med = QuantileSketch.estimates(hist, rng, Seq(0.5))
+      .select(col("event_type"), round(col("est"), 6).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("adev"))
+    val rng2 = QuantileSketch.keyRange(dev, "event_type", "adev")
+    val hist2 = QuantileSketch.histogram(dev, "event_type", "adev", rng2)
+    val mad = QuantileSketch.estimates(hist2, rng2, Seq(0.5))
+      .select(col("event_type"), round(col("est"), 6).as("mad"))
+    val medX = e.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med_x"))
+    val madX = e.join(broadcast(medX), "event_type")
       .groupBy("event_type")
-      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      .agg(percentile(abs(col("value") - col("med_x")), lit(0.5)).as("mad_x"))
     val stats = med.join(mad, "event_type")
+      .join(medX, "event_type").join(madX, "event_type")
+      .filter(col("mad") > 0)
     e.join(broadcast(stats), "event_type")
       .withColumn("rz",
         round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 6))
       .filter(abs(col("rz")) >= 3.5)
+      .withColumn("rz_exact",
+        when(col("mad_x") > 0,
+          round((col("value") - col("med_x")) / (lit(1.4826) * col("mad_x")), 6)))
       .select(col("event_type"), col("event_id"),
-        round(col("value"), 6).as("value"), col("rz"))
+        round(col("value"), 6).as("value"), col("rz"), col("rz_exact"))
       .orderBy("event_type", "event_id")
   }
 
@@ -508,16 +549,31 @@ object CoreOps {
 
   val oracle: Map[String, String] = Map(
     "q_value_outliers_robust" ->
-      """WITH med AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) med
-        |  FROM events GROUP BY 1
-        |), mad AS (
-        |  SELECT e.event_type, quantile_cont(abs(value - med), 0.5) mad
-        |  FROM events e JOIN med USING (event_type) GROUP BY 1
-        |), s AS (SELECT event_type, med, mad FROM med JOIN mad USING (event_type))
+      s"""WITH v AS (
+        |  SELECT event_type, value::DOUBLE v FROM events WHERE value IS NOT NULL
+        |), ${QuantileSketch.sqlSketchCtes("event_type", "0.5::DOUBLE")},
+        |med AS (SELECT event_type, round(est, 6) med FROM sel),
+        |v2 AS (
+        |  SELECT e.event_type, abs(value - med) v
+        |  FROM events e JOIN med USING (event_type) WHERE value IS NOT NULL
+        |), ${QuantileSketch.sqlSketchCtes("event_type", "0.5::DOUBLE", sfx = "2")},
+        |mad AS (SELECT event_type, round(est, 6) mad FROM sel2),
+        |medx AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) med_x FROM events GROUP BY 1
+        |), madx AS (
+        |  SELECT e.event_type, quantile_cont(abs(value - med_x), 0.5) mad_x
+        |  FROM events e JOIN medx USING (event_type) GROUP BY 1
+        |), s AS (
+        |  SELECT event_type, med, mad, med_x, mad_x
+        |  FROM med JOIN mad USING (event_type)
+        |       JOIN medx USING (event_type) JOIN madx USING (event_type)
+        |  WHERE mad > 0
+        |)
         |SELECT e.event_type, event_id,
         |       round(value, 6) AS value,
-        |       round((value - med) / (1.4826 * mad), 6) rz
+        |       round((value - med) / (1.4826 * mad), 6) rz,
+        |       CASE WHEN mad_x > 0
+        |            THEN round((value - med_x) / (1.4826 * mad_x), 6) END rz_exact
         |FROM events e JOIN s USING (event_type)
         |WHERE abs(round((value - med) / (1.4826 * mad), 6)) >= 3.5
         |ORDER BY event_type, event_id""".stripMargin,
@@ -530,7 +586,7 @@ object CoreOps {
         |       round(value, 6) AS value,
         |       round((value - mu) / sd, 6) z
         |FROM events e JOIN s USING (event_type)
-        |WHERE abs(round((value - mu) / sd, 6)) >= 3.0
+        |WHERE sd > 0 AND abs(round((value - mu) / sd, 6)) >= 3.0
         |ORDER BY event_type, event_id""".stripMargin,
     "q_approx_distinct" ->
       s"""WITH h AS (

@@ -71,33 +71,36 @@ object QuantileSketch {
     * (rng → bn → h → c → qs → sel), shared by every sketch-backed
     * oracle so the bin formula, clamping, rank selection and NULL
     * discipline cannot drift between hand-maintained copies. Callers
-    * prepend `WITH v AS (<rows carrying $key and a DOUBLE column v>)`
-    * — `v` MUST already exclude NULL values, mirroring
-    * [[keyRange]]/[[histogram]]'s non-null counting — and join `sel`
-    * (key, q, est). `est` is the raw interpolated estimate; callers
-    * round at their own output/decision boundary.
+    * prepend `WITH v$sfx AS (<rows carrying $key and a DOUBLE column
+    * v>)` — `v$sfx` MUST already exclude NULL values, mirroring
+    * [[keyRange]]/[[histogram]]'s non-null counting — and join
+    * `sel$sfx` (key, q, est). `est` is the raw interpolated estimate;
+    * callers round at their own output/decision boundary. `sfx`
+    * disambiguates CTE names when one oracle sketches twice (the
+    * robust-outliers oracle sketches the values, then the deviations).
     */
-  def sqlSketchCtes(key: String, qsSql: String, bins: Int = Bins): String =
-    s"""rng AS (
-       |  SELECT $key, min(v) lo, max(v) hi, count(*) n FROM v GROUP BY 1
-       |), bn AS (
-       |  SELECT v.$key,
+  def sqlSketchCtes(key: String, qsSql: String, bins: Int = Bins,
+      sfx: String = ""): String =
+    s"""rng$sfx AS (
+       |  SELECT $key, min(v) lo, max(v) hi, count(*) n FROM v$sfx GROUP BY 1
+       |), bn$sfx AS (
+       |  SELECT v$sfx.$key,
        |         CASE WHEN hi = lo THEN 0
        |              ELSE CAST(least(greatest(floor((v - lo) / ((hi - lo) / $bins.0)), 0),
        |                        ${bins - 1}) AS BIGINT) END bin
-       |  FROM v JOIN rng USING ($key)
-       |), h AS (
-       |  SELECT $key, bin, count(*) cnt FROM bn GROUP BY 1, 2
-       |), c AS (
+       |  FROM v$sfx JOIN rng$sfx USING ($key)
+       |), h$sfx AS (
+       |  SELECT $key, bin, count(*) cnt FROM bn$sfx GROUP BY 1, 2
+       |), c$sfx AS (
        |  SELECT $key, bin, cnt,
        |         sum(cnt) OVER (PARTITION BY $key ORDER BY bin) cum
-       |  FROM h
-       |), qs AS (
+       |  FROM h$sfx
+       |), qs$sfx AS (
        |  SELECT unnest([$qsSql]) q
-       |), sel AS (
-       |  SELECT c.$key, q,
+       |), sel$sfx AS (
+       |  SELECT c$sfx.$key, q,
        |         lo + (hi - lo) / $bins.0 * (bin + (q * n - (cum - cnt)) / cnt) est
-       |  FROM c CROSS JOIN qs JOIN rng USING ($key)
+       |  FROM c$sfx CROSS JOIN qs$sfx JOIN rng$sfx USING ($key)
        |  WHERE cum - cnt < q * n AND cum >= q * n
        |)""".stripMargin
 
