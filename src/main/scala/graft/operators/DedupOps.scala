@@ -363,18 +363,27 @@ object DedupOps {
     * label with its label's label — halving the distance to the
     * component minimum, so convergence is O(log diameter) rounds, not
     * O(diameter) (a web-crawl dup chain of diameter 10⁶ converges in
-    * ~20 rounds). Lineage is truncated per round via localCheckpoint.
-    * THROWS if the round cap is hit before convergence — silently
-    * emitting unconverged labels would mislabel deep chains.
+    * ~20 rounds). Lineage is truncated per round by checkpointing:
+    * RELIABLE `checkpoint` (HDFS/object-store) when the session has a
+    * checkpoint dir configured — a localCheckpoint lineage lives in
+    * executor memory/disk, so one lost executor kills a cluster-scale
+    * run mid-iteration — falling back to `localCheckpoint` when none
+    * is set (local iteration, tests). Cluster deployments should
+    * `sc.setCheckpointDir(...)`; CheckpointModeSpec proves both modes
+    * converge to identical labels. THROWS if the round cap is hit
+    * before convergence — silently emitting unconverged labels would
+    * mislabel deep chains.
     */
   private[operators] def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
     // materialize the (expensive) upstream pair query exactly once —
     // every loop round reads this checkpointed RDD, never the lineage
-    val p = pairs.toDF("pa", "pb").localCheckpoint(true)
+    val p = materialize(pairs.toDF("pa", "pb"))
     val edges = p.union(p.select(col("pb"), col("pa"))).toDF("ea", "eb")
-    var labels = edges.select(col("ea").as("id")).distinct()
-      .select(col("id"), col("id").as("lab"))
-      .localCheckpoint(true)
+    var labels = materialize(edges.select(col("ea").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -392,8 +401,8 @@ object DedupOps {
       // ONE eager job per round: checkpoint (new lab, old lab)
       // together, then the convergence check is a cheap count over
       // the materialized RDD instead of a separate join job
-      val stepped = next.join(labels.select(col("id"), col("lab").as("old")), "id")
-        .localCheckpoint(true)
+      val stepped = materialize(
+        next.join(labels.select(col("id"), col("lab").as("old")), "id"))
       changed = stepped.filter(col("lab") =!= col("old")).count()
       labels = stepped.select(col("id"), col("lab"))
       rounds += 1
