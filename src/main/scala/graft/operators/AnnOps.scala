@@ -286,6 +286,13 @@ object AnnOps {
     import graft.plans.VectorExpressions
     val qsCol = greatest(array_max(transform(col("embedding"),
       x => abs(x.cast("double")))), lit(1e-30)) / lit(127.0)
+    // PORTABILITY ASSUMPTION: round(x/qs, 0) relies on Spark's HALF_UP
+    // and DuckDB's half-away-from-zero agreeing on exact .5 ties of the
+    // float quotient. A quotient landing exactly on .5 requires
+    // x/(max|x|/127) to be representable as k + 0.5 — never observed at
+    // any shipped scale (qcos hash-matches at sf0.001/0.01/0.1). If a
+    // corpus ever trips it, bias the quotient by a sub-ulp epsilon
+    // IDENTICALLY here and in the sq8 oracle SQL before re-verifying.
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("qs", qsCol)
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))

@@ -317,14 +317,18 @@ object TextOps {
   def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), qualityCol.as("quality"))
-    // cache the RANGE table (one row per language): both histogram and
-    // estimates consume it, and without the cache each consumer would
-    // re-run the full corpus scan + regex scoring behind it. `scored`
-    // itself is deliberately NOT persisted: caching the corpus
-    // projection would survive into a second bench pass and fake the
-    // recompute cost, while this per-language table is negligible.
+    // materialize the RANGE table (one row per language) eagerly: both
+    // histogram and estimates consume it, and without materialization
+    // each consumer would re-run the full corpus scan + regex scoring
+    // behind it. localCheckpoint, NOT persist: a persist here leaked a
+    // cached plan per invocation for the session's lifetime (no safe
+    // point to unpersist inside a lazily-consumed query), while
+    // localCheckpoint blocks are dropped by the ContextCleaner when
+    // the RDD is collected. `scored` itself is deliberately NOT
+    // materialized: caching the corpus projection would survive into a
+    // second bench pass and fake the recompute cost.
     val rng = QuantileSketch.keyRange(scored, "lang", "quality")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val hist = QuantileSketch.histogram(scored, "lang", "quality", rng)
     val thr = QuantileSketch.estimates(hist, rng, Seq(0.5))
       .select(col("lang"), round(col("est"), 6).as("thr"))
