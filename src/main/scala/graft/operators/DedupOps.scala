@@ -204,8 +204,26 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    cand
+    // verifyPairs dedupes the per-band repeats before the shingle join
+    verifyPairs(cand, Tables.documents(spark, dir))
+      .orderBy("d1", "d2")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (d1, d2) against
+    * `docs` (doc_id, text): join both sides' 3-token shingle sets,
+    * keep jac ≥ the suite-wide threshold — [[dedupMinhash]]'s verify
+    * stage factored for reuse, notably by the streaming near-dup
+    * connector, whose foreachBatch runs exactly this over each
+    * micro-batch of [[graft.streaming.NearDupStream]] candidates (the
+    * LSH stage prunes, never invents; the verify stage is shared, so
+    * stream and batch accept the SAME pairs — NearDupConnectorE2ESpec
+    * proves the composition). Input pairs may repeat (one per shared
+    * band); output is distinct.
+    */
+  def verifyPairs(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    cands.select(col("d1"), col("d2")).distinct()
       .join(d.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(d.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("jac",
@@ -213,7 +231,6 @@ object DedupOps {
           size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
-      .orderBy("d1", "d2")
   }
 
   /** SimHash geometry: a 64-bit fingerprint held as [[SimBands]] ×
