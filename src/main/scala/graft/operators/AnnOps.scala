@@ -314,17 +314,19 @@ object AnnOps {
       / (col("nrm") * col("p_nrm")), 6)
   }
 
-  /** Shared SQ8 tail: cut `scored` (probe_id, vec_id, qcos) to the
-    * top-[[Sq8Rerank]] per probe, re-rank with the exact float cosine,
-    * keep top-[[K]] — float math touches only the bounded candidate
-    * set.
+  /** Shared quantized-search tail: cut `scored` (probe_id, vec_id,
+    * qcos) to the top-`rerank` per probe, re-rank with the exact float
+    * cosine, keep top-[[K]] — float math touches only the bounded
+    * candidate set. `rerank` defaults to [[Sq8Rerank]]; coarser codes
+    * (PQ) pass a larger budget, the standard precision dial.
     */
-  private def sq8Rerank(scored: DataFrame, e: DataFrame): DataFrame = {
+  private def sq8Rerank(scored: DataFrame, e: DataFrame,
+      rerank: Int = Sq8Rerank): DataFrame = {
     import graft.plans.VectorExpressions
     val cw = Window.partitionBy(col("probe_id")).orderBy(col("qcos").desc, col("vec_id"))
     val cand = scored
       .withColumn("crn", row_number().over(cw))
-      .filter(col("crn") <= Sq8Rerank)
+      .filter(col("crn") <= rerank)
       .select(col("probe_id"), col("vec_id"), col("qcos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     cand
@@ -364,6 +366,85 @@ object AnnOps {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), sq8Qcos.as("qcos"))
     sq8Rerank(scored, e)
+  }
+
+  private[operators] val PqM = 8
+  private[operators] val PqSub = Dim / PqM
+  private[operators] val PqK = 16
+  private[operators] val PqRerank = 40
+
+  /** Product-quantized ANN — the third compression rung beside SQ8:
+    * the vector is split into [[PqM]] = 8 subvectors of [[PqSub]] = 8
+    * dims; each subvector is replaced by the id of its nearest entry
+    * in a per-subspace codebook of [[PqK]] = 16 codewords, so a
+    * vector costs M·log₂(K) = 32 bits instead of 256 bytes — far
+    * below SQ8's 64 bytes. Search is the classic ADC scan: per probe
+    * ONE M×K lookup table of subvector dots, a corpus pass that SUMS
+    * M table lookups per vector, exact re-rank confined to the
+    * [[PqRerank]] = 40 candidates (shared [[sq8Rerank]] tail — PQ's
+    * coarser codes take a 2× rerank budget over SQ8's 20, the
+    * standard precision dial for lossier codes).
+    *
+    * Oracle portability: codebooks are DETERMINISTIC (the subvectors
+    * of the lowest-[[PqK]] ids — the [[ivfAnchors]] discipline; the
+    * Lloyd-refined codebook is a centroid-table swap, as
+    * [[annIvfKmeans]] demonstrates for IVF); encode argmin runs on the
+    * 6-decimal-rounded squared L2 with ties to the lowest code; and
+    * the ADC tables are INTEGERS — each dot is scaled by 1e6 and
+    * rounded to a long, so the per-vector sum of M lookups is exact
+    * integer arithmetic, order-free under any shuffle or grouping (the
+    * same reasoning as the SQ8 integer dot, and the same half-up tie
+    * assumption documented at [[sq8Corpus]]).
+    *
+    * 100 TB: codes are 32 bits/vector (the corpus fits ~64× fewer
+    * bytes than float32), the LUT join broadcasts M·K·nprobes rows,
+    * only (vec_id, m, code) and the slim (probe_id, vec_id, qdot)
+    * aggregate ever enter a shuffle, and float math touches the
+    * re-rank candidates only.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+    // (id, m, sub): the M 8-dim subvectors, sliced once per row behind
+    // the posexplode Generate barrier
+    def subs(df: DataFrame, id: String): DataFrame = df.select(col(id),
+      posexplode(array((0 until PqM).map(m =>
+        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "sub")))
+    val cb = subs(e.filter(col("vec_id") < PqK), "vec_id")
+      .select(col("m"), col("vec_id").as("code"), col("sub").as("c_sub"))
+    // encode: nearest codeword per (vec_id, m) by rounded squared L2,
+    // ties to the lowest code — the assignCells decision discipline
+    val d2 = round(aggregate(zip_with(col("sub"), col("c_sub"), (a, b) =>
+        (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, v) => acc + v), 6)
+    val ew = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("code"))
+    val codes = subs(e, "vec_id").join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"), d2.as("d2"))
+      .withColumn("ern", row_number().over(ew))
+      .filter(col("ern") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+    // probe ADC table: integer-scaled subvector dots, (probe_id, m,
+    // code, pdotq) — M·K rows per probe, broadcast
+    val pdotq = round(aggregate(zip_with(col("sub"), col("c_sub"), (a, b) =>
+        a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, v) => acc + v) * lit(1e6), 0).cast("long")
+    val lut = subs(e.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding")), "probe_id")
+      .join(broadcast(cb), "m")
+      .select(col("probe_id"), col("m"), col("code"), pdotq.as("pdotq"))
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdotq")).as("qdot")) // exact long sum — order-free
+      .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+      .join(broadcast(e.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("nrm").as("p_nrm"))), "probe_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(col("qdot").cast("double") / lit(1e6) / (col("nrm") * col("p_nrm")), 6)
+          .as("qcos"))
+    sq8Rerank(scored, e, PqRerank)
   }
 
   /** Cell-occupancy profile of the IVF layout — the ANN counterpart of
@@ -426,6 +507,7 @@ object AnnOps {
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_sq8" -> (annSq8 _),
     "q_ann_ivf_sq8" -> (annIvfSq8 _),
+    "q_ann_pq" -> (annPq _),
     "q_ivf_cell_stats" -> (ivfCellStats _),
     "q_quant_stats" -> (quantStats _),
     "q_embedding_stats" -> (embeddingStats _))
@@ -555,6 +637,51 @@ object AnnOps {
          |  WHERE p.vec_id < $NProbes AND c.vec_id <> p.vec_id
          |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
          |                             ORDER BY qcos DESC, c.vec_id) <= $Sq8Rerank
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, cand.qcos,
+         |         ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |)
+         |SELECT probe_id, vec_id, qcos, cos,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+         |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
+    "q_ann_pq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))) nrm
+         |  FROM embeddings
+         |), ms AS (SELECT unnest(range(0, $PqM)) m),
+         |sub AS (
+         |  SELECT vec_id, m, list_slice(embedding, m * $PqSub + 1, m * $PqSub + $PqSub) sub
+         |  FROM e, ms
+         |), cb AS (
+         |  SELECT m, vec_id code, sub c_sub FROM sub WHERE vec_id < $PqK
+         |), enc AS (
+         |  SELECT s.vec_id, s.m, code,
+         |    round(list_sum(list_transform(range(1, $PqSub + 1),
+         |      i -> (s.sub[i]::DOUBLE - c.c_sub[i]::DOUBLE)
+         |         * (s.sub[i]::DOUBLE - c.c_sub[i]::DOUBLE))), 6) d2
+         |  FROM sub s JOIN cb c USING (m)
+         |  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY d2, code) = 1
+         |), lut AS (
+         |  SELECT s.vec_id probe_id, s.m, c.code,
+         |    CAST(round(list_sum(list_transform(range(1, $PqSub + 1),
+         |      i -> s.sub[i]::DOUBLE * c.c_sub[i]::DOUBLE)) * 1000000.0, 0) AS BIGINT) pdotq
+         |  FROM sub s JOIN cb c USING (m)
+         |  WHERE s.vec_id < $NProbes
+         |), adc AS (
+         |  SELECT lut.probe_id, enc.vec_id, sum(pdotq) qdot
+         |  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT a.probe_id, a.vec_id,
+         |    round(a.qdot::DOUBLE / 1000000.0 / (c.nrm * p.nrm), 6) qcos
+         |  FROM adc a JOIN e c ON c.vec_id = a.vec_id
+         |             JOIN e p ON p.vec_id = a.probe_id
+         |  WHERE a.vec_id <> a.probe_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.probe_id
+         |                             ORDER BY qcos DESC, a.vec_id) <= $PqRerank
          |), scored AS (
          |  SELECT cand.probe_id, cand.vec_id, cand.qcos,
          |         ${sqlCos("pe.embedding", "ce.embedding")} cos
