@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed loaders for the driver-generated star schema.
   *
@@ -24,15 +26,38 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * map to its µs TimestampType. Read the raw INT64 nanos instead
-    * (exact, no truncation) and expose it as `ts_ns`; downstream time
-    * arithmetic is integer ns — portable bit-for-bit to the oracle
-    * (DuckDB `epoch_ns`).
+  /** The loader CONTRACT for event commit time: downstream sees
+    * `ts_ns: LongType` (exact integer nanoseconds since the epoch),
+    * whatever the file's physical encoding is. The driver's testdata
+    * has shipped two encodings so far — TIMESTAMP(NANOS) parquet
+    * (which Spark 4 can only read as raw INT64 ns via the legacy
+    * conf) and plain `timestamp[us]` — and a loader that assumes one
+    * of them silently mistypes on the other, breaking every query
+    * doing integer-ns arithmetic. Normalize BY DTYPE here, the only
+    * place that knows about physical encodings; time arithmetic
+    * everywhere else is integer ns from this contract, never from the
+    * file's physical type. Bit-for-bit portable to the oracle
+    * (DuckDB `epoch_ns`); session TZ is pinned UTC, so the NTZ →
+    * micros conversion is wall-clock exact.
     */
+  def normalizeEventTime(df: DataFrame, src: String = "ts", dst: String = "ts_ns"): DataFrame = {
+    val tsNs: Column = df.schema(src).dataType match {
+      case LongType => col(src) // INT64 ns read raw (nanosAsLong)
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(src).cast(TimestampType)) * lit(1000L)
+      case other => throw new IllegalStateException(
+        s"events.$src has unsupported physical type $other; " +
+          "expected INT64 nanos or a timestamp type")
+    }
+    df.select(df.columns.toIndexedSeq.map(c =>
+      if (c == src) tsNs.cast(LongType).as(dst) else col(c)): _*)
+  }
+
   def events(spark: SparkSession, d: String): DataFrame = {
+    // lets a TIMESTAMP(NANOS) file surface as LongType instead of
+    // failing; a µs file ignores it and surfaces as a timestamp
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events").withColumnRenamed("ts", "ts_ns")
+    normalizeEventTime(load(spark, d, "events"))
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

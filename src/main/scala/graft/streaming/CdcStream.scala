@@ -235,10 +235,23 @@ object CdcStream {
     */
   def fileSourceEvents(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the feed files carry the nanosecond commit time as `ts`
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumnRenamed("ts", "ts_ns").as[Event]
+    // The feed carries the commit time as `ts`, but its PHYSICAL type
+    // has varied (INT64 ns vs timestamp[us] — see
+    // Tables.normalizeEventTime). A streaming source needs the schema
+    // declared up front, so peek at the files already landed (a CDC
+    // landing dir always holds at least the seed snapshot) and declare
+    // what is actually there; default to the µs-timestamp shape for an
+    // empty dir. Downstream always sees the ts_ns LongType contract.
+    val tsType: DataType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    graft.sources.Tables.normalizeEventTime(
+      spark.readStream.schema(schema).parquet(dir)).as[Event]
   }
 }
