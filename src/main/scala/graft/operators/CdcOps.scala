@@ -104,7 +104,7 @@ object CdcOps {
     val wire = CdcEnvelope.serialize(changeFeed(spark, dir).select(
       col("event_id"), col("ts_ns"), col("user_id"), col("op"),
       col("event_type"), col("value")))
-    val rec = CdcEnvelope.records(CdcEnvelope.parse(wire))
+    val rec = CdcEnvelope.guardedRecords(CdcEnvelope.parse(wire))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns").desc, col("event_id").desc)
     rec
@@ -283,10 +283,7 @@ object CdcOps {
     val feed = changeFeed(spark, dir).select(
       col("event_id"), col("ts_ns"), col("user_id"), col("op"),
       col("event_type"), col("value"))
-    // deterministic split point: midpoint of the commit-time range
-    // (min + (max-min)/2 — min+max would overflow ns-epoch longs)
-    val cut = broadcast(feed.agg(
-      (min(col("ts_ns")) + (max(col("ts_ns")) - min(col("ts_ns"))) / lit(2L)).as("cut_ns")))
+    val cut = midpointCut(feed)
     val tagged = feed.crossJoin(cut)
     val baseState = Ivm.compactSlice(tagged.filter(col("ts_ns") <= col("cut_ns")).drop("cut_ns"))
     val deltaCompact = Ivm.compactSlice(tagged.filter(col("ts_ns") > col("cut_ns")).drop("cut_ns"))
@@ -296,6 +293,19 @@ object CdcOps {
         round(col("sum_value"), 2).as("sum_value"))
       .orderBy("last_type")
   }
+
+  /** Deterministic split point for [[cdcIncrementalView]]: midpoint
+    * of the commit-time range in INTEGER ns (min + (max−min) DIV 2 —
+    * min+max would overflow ns-epoch longs). Pinned to the long
+    * `ts_ns` contract: round 8 showed a float `/` here silently
+    * switches to interval arithmetic when ts_ns regresses to a
+    * timestamp, computing a different cut type without failing; `DIV`
+    * on a non-integral operand fails analysis loudly instead.
+    * Exposed package-private so the contract is spec-pinned.
+    */
+  private[operators] def midpointCut(feed: DataFrame): DataFrame =
+    broadcast(feed.agg(
+      expr("CAST(min(ts_ns) + (max(ts_ns) - min(ts_ns)) DIV 2 AS BIGINT)").as("cut_ns")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_latest" -> (cdcLatest _),

@@ -470,18 +470,21 @@ object CoreOps {
     * (v − median) / (1.4826 · MAD), flagged at |rz| ≥ 3.5 (the
     * standard consistency constant and cut).
     *
-    * The KEEP path rides [[QuantileSketch]]: median and MAD are each
+    * The whole path rides [[QuantileSketch]]: median and MAD are each
     * two bounded passes (per-key min/max/count, then a ≤ 256-rows-per-
     * key histogram) — nothing buffers a group's values, so the plan
     * survives 100× where exact `percentile` OOMs its aggregation
-    * buffer. The exact medians stay as the `rz_exact` AUDIT column
-    * (the q_quantiles_sketch discipline: sketch decides, exact
-    * attests). Sketch median and MAD are rounded to 6 decimals at the
-    * sketch/usage boundary and the robust z again at the threshold
-    * DECISION, so the cut reproduces across engines. Groups with
-    * MAD = 0 (≥ 50 % identical values) are an explicit no-outlier
-    * case: Spark would divide to NULL but DuckDB to ±inf, so both
-    * sides filter them identically.
+    * buffer. The exact-median AUDIT (sketch decides, exact attests)
+    * lives in [[valueOutliersRobustAuditedFrame]], exercised at TEST
+    * scale by OutlierGuardSpec only: exact `percentile` is the one
+    * shape that cannot ride to 100 TB, so it is not in the registered
+    * query's plan (and was 4× the local cost, BENCH_r08). Sketch
+    * median and MAD are rounded to 6 decimals at the sketch/usage
+    * boundary and the robust z again at the threshold DECISION, so
+    * the cut reproduces across engines. Groups with MAD = 0 (≥ 50 %
+    * identical values) are an explicit no-outlier case: Spark would
+    * divide to NULL but DuckDB to ±inf, so both sides filter them
+    * identically.
     */
   def valueOutliersRobust(spark: SparkSession, dir: String): DataFrame =
     valueOutliersRobustFrame(Tables.events(spark, dir)
@@ -502,23 +505,36 @@ object CoreOps {
     val hist2 = QuantileSketch.histogram(dev, "event_type", "adev", rng2)
     val mad = QuantileSketch.estimates(hist2, rng2, Seq(0.5))
       .select(col("event_type"), round(col("est"), 6).as("mad"))
+    val stats = med.join(mad, "event_type").filter(col("mad") > 0)
+    e.join(broadcast(stats), "event_type")
+      .withColumn("rz",
+        round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 6))
+      .filter(abs(col("rz")) >= 3.5)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 6).as("value"), col("rz"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** [[valueOutliersRobustFrame]] plus the EXACT median/MAD audit
+    * column `rz_exact` — TEST-SCALE ONLY, never registered: exact
+    * `percentile` buffers every per-key value in its aggregation
+    * buffer, the one shape that cannot ride to 100 TB. The audit
+    * discipline (sketch decides, exact attests) is enforced by
+    * OutlierGuardSpec over corpora small enough to buffer.
+    */
+  private[operators] def valueOutliersRobustAuditedFrame(e: DataFrame): DataFrame = {
     val medX = e.groupBy("event_type")
       .agg(percentile(col("value"), lit(0.5)).as("med_x"))
     val madX = e.join(broadcast(medX), "event_type")
       .groupBy("event_type")
       .agg(percentile(abs(col("value") - col("med_x")), lit(0.5)).as("mad_x"))
-    val stats = med.join(mad, "event_type")
-      .join(medX, "event_type").join(madX, "event_type")
-      .filter(col("mad") > 0)
-    e.join(broadcast(stats), "event_type")
-      .withColumn("rz",
-        round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 6))
-      .filter(abs(col("rz")) >= 3.5)
+    valueOutliersRobustFrame(e)
+      .join(broadcast(medX), "event_type")
+      .join(broadcast(madX), "event_type")
       .withColumn("rz_exact",
         when(col("mad_x") > 0,
           round((col("value") - col("med_x")) / (lit(1.4826) * col("mad_x")), 6)))
-      .select(col("event_type"), col("event_id"),
-        round(col("value"), 6).as("value"), col("rz"), col("rz_exact"))
+      .select(col("event_type"), col("event_id"), col("value"), col("rz"), col("rz_exact"))
       .orderBy("event_type", "event_id")
   }
 
@@ -558,22 +574,14 @@ object CoreOps {
         |  FROM events e JOIN med USING (event_type) WHERE value IS NOT NULL
         |), ${QuantileSketch.sqlSketchCtes("event_type", "0.5::DOUBLE", sfx = "2")},
         |mad AS (SELECT event_type, round(est, 6) mad FROM sel2),
-        |medx AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) med_x FROM events GROUP BY 1
-        |), madx AS (
-        |  SELECT e.event_type, quantile_cont(abs(value - med_x), 0.5) mad_x
-        |  FROM events e JOIN medx USING (event_type) GROUP BY 1
-        |), s AS (
-        |  SELECT event_type, med, mad, med_x, mad_x
+        |s AS (
+        |  SELECT event_type, med, mad
         |  FROM med JOIN mad USING (event_type)
-        |       JOIN medx USING (event_type) JOIN madx USING (event_type)
         |  WHERE mad > 0
         |)
         |SELECT e.event_type, event_id,
         |       round(value, 6) AS value,
-        |       round((value - med) / (1.4826 * mad), 6) rz,
-        |       CASE WHEN mad_x > 0
-        |            THEN round((value - med_x) / (1.4826 * mad_x), 6) END rz_exact
+        |       round((value - med) / (1.4826 * mad), 6) rz
         |FROM events e JOIN s USING (event_type)
         |WHERE abs(round((value - med) / (1.4826 * mad), 6)) >= 3.5
         |ORDER BY event_type, event_id""".stripMargin,

@@ -37,11 +37,32 @@ object CdcEnvelope {
       "before STRUCT<event_id: BIGINT, event_type: STRING, value: DOUBLE>, " +
       s"after STRUCT<event_id: BIGINT, event_type: STRING, value: DOUBLE>, $CorruptCol STRING")
 
+  /** The dtypes [[serialize]] requires of its input. Serializing a
+    * mistyped frame (e.g. ts_ns as a TIMESTAMP after an upstream
+    * loader regression) would render values the typed parse cannot
+    * read back — every record dead-letters and the pipeline emits an
+    * EMPTY snapshot instead of an error, the worst failure shape a
+    * connector can have. Refuse at plan time instead.
+    */
+  private val wireInputTypes: Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Seq("event_id" -> LongType, "ts_ns" -> LongType, "user_id" -> LongType,
+      "op" -> StringType, "event_type" -> StringType, "value" -> DoubleType)
+  }
+
   /** Renders a typed change feed (event_id, ts_ns, user_id, op,
     * event_type, value) into the wire frame: one JSON string per
-    * change in column `value`, null image sides omitted.
+    * change in column `value`, null image sides omitted. Throws
+    * (loudly, at plan time) if any input column deviates from the
+    * wire dtypes — see [[wireInputTypes]].
     */
   def serialize(feed: DataFrame): DataFrame = {
+    for ((c, t) <- wireInputTypes) {
+      val actual = feed.schema(c).dataType
+      require(actual == t,
+        s"CDC envelope input column $c is $actual but the wire schema requires $t — " +
+          "refusing to serialize a frame whose records would all dead-letter on parse")
+    }
     val img = struct(col("event_id"), col("event_type"), col("value"))
     feed.select(to_json(struct(
       col("op"),
@@ -71,6 +92,35 @@ object CdcEnvelope {
   /** Well-formed records of a [[parse]] result, corrupt column dropped. */
   def records(parsed: DataFrame): DataFrame =
     parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** Default ceiling on the tolerable dead-letter fraction: isolated
+    * poison messages are connector reality, but a systemic parse
+    * failure (schema drift, wrong topic) must stop the pipeline, not
+    * quietly drain it.
+    */
+  val MaxDeadLetterFrac = 0.01
+
+  /** [[records]] behind a dead-letter-rate guard: one counting pass
+    * over the parsed frame, and if more than `maxFrac` of records
+    * dead-lettered the batch FAILS instead of returning the survivors
+    * — a mistyped or mis-routed wire produces a loud error, never a
+    * silently shrunken snapshot. The guard pass is a cheap count
+    * aggregate; in a deployed connector the wire frame is the
+    * materialized topic/landing files, so the extra pass re-reads
+    * storage rather than recomputing upstream.
+    */
+  def guardedRecords(parsed: DataFrame, maxFrac: Double = MaxDeadLetterFrac): DataFrame = {
+    val r = parsed.agg(
+      count(lit(1)).as("total"), count(col(CorruptCol)).as("dead")).head()
+    val (total, dead) = (r.getLong(0), r.getLong(1))
+    if (total > 0 && dead.toDouble / total > maxFrac)
+      throw new IllegalStateException(
+        s"CDC parse dead-lettered $dead of $total records " +
+          f"(${100.0 * dead / total}%.1f%% > ${100.0 * maxFrac}%.1f%%) — systemic " +
+          "wire/schema mismatch, failing the batch instead of emitting a " +
+          "silently incomplete snapshot")
+    records(parsed)
+  }
 
   /** Dead-letter queue: the raw lines that failed to parse. */
   def deadLetters(parsed: DataFrame): DataFrame =

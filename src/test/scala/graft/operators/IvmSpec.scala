@@ -79,6 +79,20 @@ class IvmSpec extends AnyFunSuite {
     assert(m(maintained).values.forall(_._1 > 0))
   }
 
+  test("midpoint cut is LongType integer ns, and a timestamp feed fails loudly") {
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.col
+    // the contract: the cut is integer-ns arithmetic from ts_ns: Long,
+    // never interval arithmetic on a timestamp (round 8's silent drift)
+    val cut = CdcOps.midpointCut(feedDf(Seq((1L, 10L, 1L, "c", "signup", 1.0))))
+    assert(cut.schema("cut_ns").dataType === LongType)
+    val tsFeed = feedDf(Seq((1L, 10L, 1L, "c", "signup", 1.0)))
+      .withColumn("ts_ns", col("ts_ns").cast("timestamp"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      CdcOps.midpointCut(tsFeed).head()
+    }
+  }
+
   test("maintainView on the real feed: midpoint split equals full recompute (sf0.001)") {
     val feed = CdcOps.changeFeed(spark, "/root/testdata/sf0.001").select(
       col("event_id"), col("ts_ns"), col("user_id"), col("op"),

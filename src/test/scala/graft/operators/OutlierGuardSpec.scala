@@ -52,7 +52,7 @@ class OutlierGuardSpec extends AnyFunSuite {
   }
 
   test("robust: majority-identical group flags the minority, exact audit goes NULL") {
-    val out = CoreOps.valueOutliersRobustFrame(frame(majority)).collect()
+    val out = CoreOps.valueOutliersRobustAuditedFrame(frame(majority)).collect()
     assert(out.nonEmpty)
     // flagged rows are exactly the 6.0 minority; every audit is NULL
     // because mad_x = 0 is guarded, never divided through
@@ -62,7 +62,7 @@ class OutlierGuardSpec extends AnyFunSuite {
   }
 
   test("robust: sketch decision carries a non-null exact audit that agrees") {
-    val out = CoreOps.valueOutliersRobustFrame(frame(spiked)).collect()
+    val out = CoreOps.valueOutliersRobustAuditedFrame(frame(spiked)).collect()
     assert(out.length == 1)
     val r = out.head
     val rz = r.getDouble(3)

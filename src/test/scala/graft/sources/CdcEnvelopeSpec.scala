@@ -45,6 +45,33 @@ class CdcEnvelopeSpec extends AnyFunSuite {
     assert(d.getAs[Long]("event_id") === 2L && d.getAs[String]("event_type") === "error")
   }
 
+  test("serialize refuses a mistyped feed at plan time instead of dead-lettering it all") {
+    import spark.implicits._
+    // the exact regression shape round 8 shipped: ts_ns arriving as a
+    // timestamp after a loader change — serialize must throw, because
+    // downstream the typed parse would dead-letter EVERY record and
+    // the envelope query would return an empty snapshot
+    val mistyped = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 7L, "c", "signup", 1.5))
+      .toDF("event_id", "ts_ns", "user_id", "op", "event_type", "value")
+    val e = intercept[IllegalArgumentException](CdcEnvelope.serialize(mistyped))
+    assert(e.getMessage.contains("ts_ns"))
+  }
+
+  test("systemic dead-letter rate fails the batch; isolated poison passes the guard") {
+    import spark.implicits._
+    val good = CdcEnvelope.serialize(
+      (1 to 200).map(i => (i.toLong, i * 10L, i % 7L, "u", "click", 0.5))
+        .toDF("event_id", "ts_ns", "user_id", "op", "event_type", "value"))
+    // 1 poison line in 201 (~0.5%) is tolerable connector reality
+    val fewBad = good.union(Seq("not json").toDF("value"))
+    assert(CdcEnvelope.guardedRecords(CdcEnvelope.parse(fewBad)).count() === 200)
+    // 50 in 250 (20%) is a systemic wire/schema mismatch — loud failure
+    val manyBad = good.union((1 to 50).map(i => s"garbage $i").toDF("value"))
+    val e = intercept[IllegalStateException](
+      CdcEnvelope.guardedRecords(CdcEnvelope.parse(manyBad)).count())
+    assert(e.getMessage.contains("dead-lettered"))
+  }
+
   test("streaming wire -> parse -> tombstone compaction equals the batch envelope query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
