@@ -92,7 +92,10 @@ object CdcOps {
   /** The change feed carried through the JSON wire format and back —
     * the source-connector path end to end: envelope render
     * ([[graft.sources.CdcEnvelope.serialize]], the Kafka-shaped value
-    * column), typed parse with dead-letter routing, then the same
+    * column), typed parse with dead-letter routing behind the
+    * dead-letter-rate guard (a systemic parse failure stops the batch
+    * instead of draining it — see
+    * [[graft.sources.CdcEnvelope.guardedRecords]]), then the same
     * op-aware tombstone compaction as [[cdcCompact]] (minus the
     * per-key change counter — the wire carries single records, not
     * key history). The oracle computes the snapshot DIRECTLY from the
