@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.types.StructType
 
 /** Debezium-style JSON wire format for the CDC change feed — the
@@ -125,4 +126,62 @@ object CdcEnvelope {
   /** Dead-letter queue: the raw lines that failed to parse. */
   def deadLetters(parsed: DataFrame): DataFrame =
     parsed.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw"))
+
+  /** Name of the observed-metrics node [[DeadLetterGuard]] watches. */
+  val GuardMetric = "cdc_wire_guard"
+
+  /** [[parse]] with per-micro-batch observed metrics (total records,
+    * dead-lettered records) attached — ZERO extra passes, unlike the
+    * batch [[guardedRecords]] count: the numbers ride the micro-batch
+    * execution already happening and surface in each
+    * QueryProgressEvent for [[DeadLetterGuard]] to act on.
+    */
+  def observedParse(wire: DataFrame): DataFrame =
+    parse(wire).observe(GuardMetric,
+      count(lit(1)).as("total"), count(col(CorruptCol)).as("dead"))
+
+  /** Streaming twin of [[guardedRecords]]: watches [[observedParse]]'s
+    * metrics on every progress event and STOPS the query once the
+    * cumulative dead-letter fraction exceeds `maxFrac` — a mis-routed
+    * topic or an upstream schema change halts the connector loudly
+    * (stopped query + recorded reason) instead of draining the whole
+    * feed into the dead-letter queue record by record. A listener
+    * cannot make the query itself throw; stop-with-reason is the
+    * Structured Streaming kill-switch shape. Isolated poison below the
+    * threshold flows to [[deadLetters]] as before — a poison message
+    * must never stall ingestion, but a systemic failure must.
+    */
+  class DeadLetterGuard(spark: SparkSession, maxFrac: Double = MaxDeadLetterFrac)
+      extends StreamingQueryListener {
+    // cumulative (total, dead) per query id: several wire streams can
+    // run under one session, and one stream's poison must not trip —
+    // or dilute — another's guard
+    private val counts =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, (Long, Long)]
+    @volatile private var reason: Option[String] = None
+    /** Why the guard stopped the query, if it did. */
+    def trippedReason: Option[String] = reason
+    def tripped: Boolean = reason.isDefined
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val m = e.progress.observedMetrics.get(GuardMetric)
+      if (m != null) {
+        val (t, d) = counts.merge(e.progress.id,
+          (m.getAs[Long]("total"), m.getAs[Long]("dead")),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+        if (t > 0 && d.toDouble / t > maxFrac && reason.isEmpty) {
+          reason = Some(
+            s"CDC stream dead-lettered $d of $t records (> ${100 * maxFrac}%) — " +
+              s"systemic wire/schema mismatch, stopping query ${e.progress.id}")
+          // stop() joins the stream's microbatch thread; the listener
+          // runs on the progress path, so stop from a separate thread
+          new Thread(() => {
+            try Option(spark.streams.get(e.progress.id)).foreach(_.stop())
+            catch { case _: Throwable => () }
+          }, "cdc-wire-guard-stop").start()
+        }
+      }
+    }
+  }
 }

@@ -72,6 +72,66 @@ class CdcEnvelopeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dead-lettered"))
   }
 
+  test("streaming dead-letter guard stops a poisoned stream, leaves a healthy one running") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def goodLines(n: Int): Seq[String] = CdcEnvelope.serialize(
+      (1 to n).map(i => (i.toLong, i * 10L, i % 7L, "u", "click", 0.5))
+        .toDF("event_id", "ts_ns", "user_id", "op", "event_type", "value"))
+      .as[String].collect().toSeq
+
+    def drive(lines: Seq[String], name: String, guard: CdcEnvelope.DeadLetterGuard)(
+        done: org.apache.spark.sql.streaming.StreamingQuery => Boolean) = {
+      spark.streams.addListener(guard)
+      val input = MemoryStream[String]
+      val q = CdcEnvelope.records(CdcEnvelope.observedParse(input.toDF().select($"value")))
+        .writeStream.format("memory").queryName(name).start()
+      try {
+        input.addData(lines)
+        q.processAllAvailable()
+        // listener events are async; wait (bounded) for the expected
+        // terminal state instead of sampling a race
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!done(q) && System.nanoTime() < deadline) Thread.sleep(50)
+        (guard.tripped, q.isActive)
+      } finally {
+        if (q.isActive) q.stop()
+        spark.streams.removeListener(guard)
+      }
+    }
+
+    // 40% poison: systemic — the guard must trip and stop the query
+    val poisoned = scala.util.Random.shuffle(
+      goodLines(60) ++ (1 to 40).map(i => s"junk line $i"))
+    val g1 = new CdcEnvelope.DeadLetterGuard(spark)
+    val (tripped1, active1) = drive(poisoned, "guard_poisoned", g1)(q => g1.tripped && !q.isActive)
+    assert(tripped1, "guard did not trip on 40% dead letters")
+    assert(!active1, "guard tripped but the query kept running")
+    assert(g1.trippedReason.exists(_.contains("dead-lettered")))
+
+    // clean stream: the guard must stay quiet
+    // the clean stream never reaches a "tripped" state — wait only for
+    // one progress round to have been seen by the listener
+    val g2 = new CdcEnvelope.DeadLetterGuard(spark)
+    val seenProgress = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val witness = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == "guard_clean" &&
+            e.progress.observedMetrics.get(CdcEnvelope.GuardMetric) != null)
+          seenProgress.set(true)
+    }
+    spark.streams.addListener(witness)
+    val (tripped2, active2) =
+      try drive(goodLines(100), "guard_clean", g2)(_ => seenProgress.get)
+      finally spark.streams.removeListener(witness)
+    assert(!tripped2, s"guard tripped on a clean stream: ${g2.trippedReason}")
+    assert(active2, "clean query should still be active")
+  }
+
   test("streaming wire -> parse -> tombstone compaction equals the batch envelope query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
