@@ -203,6 +203,31 @@ class ScaleGuardsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((10L, 11L, 1.0)))
   }
 
+  test("no registered query plans a buffer-every-value Percentile outside the declared exact pair") {
+    // `percentile` sorts EVERY per-group value inside its aggregation
+    // buffer — the one aggregate shape that cannot ride to 100 TB.
+    // Exactly two queries are allowed to carry it: q_quantiles (the
+    // declared exact-truth operator) and q_quantiles_sketch (whose
+    // OUTPUT is the sketch-vs-exact comparison). Everything else must
+    // use QuantileSketch / approx_percentile; round 9 moved
+    // q_value_outliers_robust's exact audit out of the registry, and
+    // this guard keeps it (and every future query) out.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    val allowed = Set("q_quantiles", "q_quantiles_sketch")
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .filter { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, TestSpark.Sf)
+          .queryExecution.optimizedPlan
+        plan.exists(_.expressions.exists(_.exists {
+          case _: Percentile => true
+          case _ => false
+        }))
+      }
+    assert(offenders.isEmpty,
+      s"exact Percentile planned outside the declared pair: ${offenders.mkString(", ")}")
+  }
+
   test("count-min sketch readout never undercounts a heavy hitter") {
     val rows = TextOps.heavyHitters(spark, sf01).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
