@@ -46,6 +46,23 @@ class PlanGuardsSpec extends AnyFunSuite {
       "shipdate predicate not pushed to the scan")
   }
 
+  test("events loader: pruning and pushdown survive the ts-normalize projection") {
+    // Tables.events wraps the scan in a Project (dtype-normalized
+    // ts_ns) — a seam that could silently block column pruning and
+    // predicate pushdown for every event query; pin both through it
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"))
+    val scans = nodes(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // referenced: ts (pre-normalize), user_id, event_type — never all 6
+    assert(scans.forall(_.requiredSchema.fieldNames.length <= 3),
+      s"events read schema not pruned: ${scans.map(_.requiredSchema.fieldNames.toSeq)}")
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("EqualTo(event_type"))),
+      "event_type predicate not pushed through the normalize projection")
+  }
+
   test("star join plans every dimension as a broadcast join, no cartesian product") {
     val df = graft.operators.CoreOps.joinAggNation(spark, sf)
     df.write.format("noop").mode("overwrite").save() // let AQE finalize
