@@ -52,11 +52,17 @@ class StreamingConnectorE2ESpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("e2e_dead")
       .outputMode(OutputMode.Append).start()
 
+    // ---- the dead-letter-rate guard rides the main leg: isolated
+    // poison (2 lines in thousands, below the 1% ceiling) must flow to
+    // the dead-letter queue WITHOUT the guard stopping the connector
+    val guard = new CdcEnvelope.DeadLetterGuard(spark)
+    spark.streams.addListener(guard)
+
     // ---- main leg: parse → typed changes → keyed compaction → store,
     // capturing each micro-batch so the replay can be re-driven
     val captured = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Row], DataFrame)]
     val changes = CdcEnvelope.records(
-        CdcEnvelope.parse(spark.readStream.text(feedDir.toString)))
+        CdcEnvelope.observedParse(spark.readStream.text(feedDir.toString)))
       .select($"event_id", $"ts_ns", $"user_id", $"op", $"event_type", $"value")
       .as[CdcStream.Change]
     val mainQ = CdcStream.compactState(spark, changes,
@@ -74,6 +80,11 @@ class StreamingConnectorE2ESpec extends AnyFunSuite {
     Files.write(feedDir.resolve("part2.json"), (h2 :+ corrupt(1)).toSeq.asJava)
     mainQ.processAllAvailable(); deadQ.processAllAvailable()
     mainQ.stop(); deadQ.stop()
+    spark.streams.removeListener(guard)
+
+    // ---- the guard saw the whole feed and correctly stayed quiet
+    assert(!guard.tripped,
+      s"guard tripped on isolated poison below the ceiling: ${guard.trippedReason}")
 
     // ---- dead letters: exactly the poison lines, nothing else
     val dead = spark.table("e2e_dead").as[String].collect().sorted
