@@ -182,24 +182,31 @@ object DedupOps {
     * reproduces the identical signatures, so this probabilistic
     * pipeline is still hash-checked end to end.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+  /** (doc_id, band, key) rows of the minhash banding over `docs` —
+    * the blocking structure [[dedupMinhash]] joins on and
+    * [[lshBucketStats]] audits. Minhash via explode → keyed
+    * min-aggregation: the shingle set is computed ONCE per doc
+    * (projection collapse would otherwise inline the interpreted
+    * shingle transform into all 8 minhash expressions), md5 runs
+    * codegen'd on flat rows, and the repartition spreads the corpus
+    * across cores.
+    */
+  private[operators] def minhashBandRows(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    // Minhash via explode → keyed min-aggregation: the shingle set is
-    // computed ONCE per doc (projection collapse would otherwise
-    // inline the interpreted shingle transform into all 8 minhash
-    // expressions), md5 runs codegen'd on flat rows, and the
-    // repartition spreads the corpus across cores.
     val exploded = d.select(col("doc_id"), explode(col("sh")).as("s"))
       .repartition(col("doc_id"))
     val mhCols = (0 until Bands * Rows).map(j =>
       min(md5(concat(lit(s"$j:"), col("s")).cast("binary"))).as(s"mh$j"))
     val sigs = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    val bandRows = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
         md5(concat_ws("|", col(s"mh${b * Rows}"), col(s"mh${b * Rows + 1}")).cast("binary"))): _*))
         .as(Seq("band", "key")))
+  }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val bandRows = minhashBandRows(Tables.documents(spark, dir))
     val cand = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -207,6 +214,31 @@ object DedupOps {
     // verifyPairs dedupes the per-band repeats before the shingle join
     verifyPairs(cand, Tables.documents(spark, dir))
       .orderBy("d1", "d2")
+  }
+
+  /** LSH band-bucket pre-flight — the dedup-side member of the
+    * go/no-go telemetry family (q_skew_profile before the salted
+    * join, q_ivf_cell_stats before IVF search): audits what the
+    * minhash banding geometry will DO to a corpus before the pair
+    * join launches. Per band: bucket count, multi-doc bucket count,
+    * the largest bucket, and Σ C(size, 2) — the EXACT number of
+    * candidate pairs that band's self-join will emit. One banding
+    * pass and one tiny aggregation, never touching pairs: at 100 TB
+    * a pair_bound exploding past ~corpus size says the bands × rows
+    * dial is too coarse for this corpus's shingle distribution and
+    * must be re-dialed BEFORE anyone pays for the join.
+    */
+  def lshBucketStats(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = minhashBandRows(Tables.documents(spark, dir))
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("sz"))
+    buckets.groupBy(col("band").cast("long").as("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_multi_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(expr("sz * (sz - 1) DIV 2")).as("pair_bound"))
+      .orderBy("band")
   }
 
   /** Exact-Jaccard verification of candidate pairs (d1, d2) against
@@ -627,6 +659,7 @@ object DedupOps {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_lsh_bucket_stats" -> (lshBucketStats _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_dedup_clusters" -> (dedupClusters _),
@@ -804,6 +837,31 @@ object DedupOps {
          |WHERE len(list_intersect(t1.sh, t2.sh))
          |      / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
          |ORDER BY d1, d2""".stripMargin,
+    "q_lsh_bucket_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlShingles sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+         |), m AS (
+         |  SELECT doc_id,
+         |         md5(${mh(0)} || '|' || ${mh(1)}) b0,
+         |         md5(${mh(2)} || '|' || ${mh(3)}) b1,
+         |         md5(${mh(4)} || '|' || ${mh(5)}) b2,
+         |         md5(${mh(6)} || '|' || ${mh(7)}) b3
+         |  FROM t WHERE len(sh) > 0
+         |), bands AS (
+         |  SELECT doc_id, 0 band, b0 bkey FROM m UNION ALL
+         |  SELECT doc_id, 1, b1 FROM m UNION ALL
+         |  SELECT doc_id, 2, b2 FROM m UNION ALL
+         |  SELECT doc_id, 3, b3 FROM m
+         |), b AS (
+         |  SELECT band, bkey, count(*) sz FROM bands GROUP BY band, bkey
+         |)
+         |SELECT CAST(band AS BIGINT) band,
+         |       CAST(count(*) AS BIGINT) n_buckets,
+         |       CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) n_multi_buckets,
+         |       CAST(max(sz) AS BIGINT) max_bucket,
+         |       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) pair_bound
+         |FROM b GROUP BY band ORDER BY band""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $sqlClusterCtes
          |SELECT src doc_id, min(dst) cluster_id FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,

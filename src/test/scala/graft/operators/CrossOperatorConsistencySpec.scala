@@ -87,6 +87,27 @@ class CrossOperatorConsistencySpec extends AnyFunSuite {
     assert(uni.keySet.filter(uni(_) >= 2) === bi.keySet)
   }
 
+  test("lsh bucket stats pair_bound equals the band join's actual pre-verify candidate count") {
+    // the pre-flight's whole value is that its bound is EXACT for the
+    // join it gates: Σ C(bucket,2) per band must equal the number of
+    // (d1 < d2) pairs the band self-join emits before verification
+    val stats = DedupOps.lshBucketStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stats.nonEmpty)
+    val bandRows = DedupOps.minhashBandRows(
+        graft.sources.Tables.documents(spark, sf)).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(0)))
+    val byBucket = bandRows.groupBy(t => (t._1, t._2)).view.mapValues(_.size).toMap
+    for (band <- byBucket.keys.map(_._1).toSeq.distinct) {
+      val sizes = byBucket.collect { case ((b, _), n) if b == band => n.toLong }.toSeq
+      val (nBuckets, nMulti, maxB, bound) = stats(band.toLong)
+      assert(nBuckets === sizes.size, s"band $band bucket count")
+      assert(nMulti === sizes.count(_ > 1), s"band $band multi buckets")
+      assert(maxB === sizes.max, s"band $band max bucket")
+      assert(bound === sizes.map(n => n * (n - 1) / 2).sum, s"band $band pair bound")
+    }
+  }
+
   test("minhash-LSH pairs are a subset of the ngram pairs with identical jaccard (below the cap)") {
     val ngram = DedupOps.dedupNgram(spark, sf).collect()
       .map(r => (unordered(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
