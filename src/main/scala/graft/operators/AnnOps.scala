@@ -500,8 +500,32 @@ object AnnOps {
       .orderBy("vec_id")
   }
 
+  /** ANN recall probe — the index-tuning dial, completing the
+    * telemetry family (q_ivf_cell_stats audits the LAYOUT, this
+    * audits the ANSWERS): recall@K of the IVF search against the
+    * exact brute-force top-K, per probe. At 100 TB nobody can afford
+    * exact search over the corpus, but everyone can afford it over a
+    * deterministic PROBE SAMPLE — this is exactly that measurement,
+    * and nprobe/cells are re-dialed until sampled recall clears the
+    * product bar. Composes the two registered pipelines unchanged, so
+    * the measurement can never drift from what the search actually
+    * returns.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+    val approx = annIvf(spark, dir).select(col("probe_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall", round(col("n_hits") / lit(K.toDouble), 6))
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk" -> (annTopK _),
+    "q_ann_recall" -> (annRecall _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
@@ -789,6 +813,44 @@ object AnnOps {
          |SELECT probe_id, vec_id, cos,
          |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
          |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (SELECT vec_id probe_id, embedding probe_emb FROM e WHERE vec_id < $NProbes),
+         |xs AS (
+         |  SELECT p.probe_id, e.vec_id, ${sqlCos("p.probe_emb", "e.embedding")} cos
+         |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id
+         |), exact AS (
+         |  SELECT probe_id, vec_id FROM xs
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) <= $K
+         |),
+         |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT e.vec_id, cell, ${sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), pc AS (
+         |  SELECT p.vec_id probe_id, cell, ${sqlCos("c_emb", "p.embedding")} ccos
+         |  FROM e p CROSS JOIN cents WHERE p.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= $IvfProbeCells
+         |), cand AS (
+         |  SELECT pc.probe_id, asg.vec_id
+         |  FROM asg JOIN pc USING (cell)
+         |  WHERE asg.vec_id <> pc.probe_id
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |), approx AS (
+         |  SELECT probe_id, vec_id FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) <= $K
+         |), h AS (
+         |  SELECT exact.probe_id, count(*) n
+         |  FROM exact JOIN approx USING (probe_id, vec_id) GROUP BY 1
+         |)
+         |SELECT pr.probe_id, CAST(coalesce(n, 0) AS BIGINT) n_hits,
+         |       round(coalesce(n, 0) / $K::DOUBLE, 6) recall
+         |FROM (SELECT DISTINCT probe_id FROM exact) pr LEFT JOIN h USING (probe_id)
+         |ORDER BY probe_id""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT vec_id probe_id, embedding probe_emb FROM e WHERE vec_id < 10),

@@ -108,6 +108,24 @@ class CrossOperatorConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("ann recall probe equals driver-side recall of ivf against exact top-k") {
+    val exact = AnnOps.annTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = AnnOps.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = exact.groupBy(_._1).view
+      .mapValues(hits => hits.count(approx.contains).toLong).toMap
+    val probe = AnnOps.annRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(probe.map(_._1).toSet === expected.keySet)
+    probe.foreach { case (id, nHits, recall) =>
+      assert(nHits === expected(id), s"probe $id n_hits")
+      assert(recall === nHits / 5.0, s"probe $id recall")
+    }
+    // the probe must exercise a real measurement, not a degenerate one
+    assert(probe.map(_._3).sum > 0.0)
+  }
+
   test("minhash-LSH pairs are a subset of the ngram pairs with identical jaccard (below the cap)") {
     val ngram = DedupOps.dedupNgram(spark, sf).collect()
       .map(r => (unordered(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
