@@ -48,7 +48,7 @@ object DedupOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  private def shingleSet(c: Column): Column =
+  private[graft] def shingleSet(c: Column): Column =
     array_distinct(Hashing.shingles(toks(c), ShingleK))
 
   /** Exact dedup: md5 content key, keep the lowest doc_id per group. */
