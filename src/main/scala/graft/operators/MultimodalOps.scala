@@ -56,11 +56,43 @@ object MultimodalOps {
         round(col("byte_mean"), 4).as("byte_mean"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Per-source blob telemetry — the media-curation audit run BEFORE
+    * any decode is paid for: volumes (count/total/max bytes) and the
+    * byte-identical duplication rate via content signature (media
+    * corpora are full of re-uploads; exact-byte dedup is pure
+    * metadata arithmetic, no codec involved). One projection + one
+    * keyed aggregation over blob metadata — the scan never leaves
+    * column-pruned territory, so at 100 TB this costs the metadata
+    * columns, not the media bytes.
+    */
+  def blobStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("text").cast("binary").as("blob"))
+      .select(col("source"),
+        length(col("blob")).cast("long").as("n_bytes"), md5(col("blob")).as("sig"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        countDistinct(col("sig")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("sig"))).as("n_dup_blobs"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (multimodalFeatures _),
+    "q_blob_stats" -> (blobStats _),
     "q_frame_sample" -> (frameSample _))
 
   val oracle: Map[String, String] = Map(
+    "q_blob_stats" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) n_blobs,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) total_bytes,
+        |  CAST(max(octet_length(encode(text))) AS BIGINT) max_bytes,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) n_distinct,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) n_dup_blobs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_multimodal_features" ->
       """SELECT doc_id,
         |  length(text) AS n_bytes,

@@ -25,6 +25,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("blob stats reconcile with a driver-side recomputation per source") {
+    val stats = graft.operators.MultimodalOps.blobStats(spark, TestSpark.Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(stats.nonEmpty)
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val bytes = rows.map(_._2.getBytes("UTF-8").length.toLong)
+      val (n, total, mx, distinct, dups) = stats(src)
+      assert(n === rows.length.toLong, s"$src n_blobs")
+      assert(total === bytes.sum, s"$src total_bytes")
+      assert(mx === bytes.max, s"$src max_bytes")
+      assert(distinct === rows.map(_._2).distinct.length.toLong, s"$src n_distinct")
+      assert(dups === n - distinct, s"$src n_dup_blobs")
+    }
+  }
+
   test("frame sampling: stride honored, ordinals dense over sampled frames, tail frame partial") {
     import spark.implicits._
     val media = Seq(
