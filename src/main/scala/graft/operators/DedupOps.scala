@@ -205,15 +205,55 @@ object DedupOps {
         .as(Seq("band", "key")))
   }
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val bandRows = minhashBandRows(Tables.documents(spark, dir))
+  /** Frame-based core of [[dedupMinhash]]: band-blocked candidates →
+    * exact-Jaccard verify over `docs` (doc_id, text).
+    */
+  private[operators] def dedupMinhashFrame(docs: DataFrame): DataFrame = {
+    val bandRows = minhashBandRows(docs)
     val cand = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
     // verifyPairs dedupes the per-band repeats before the shingle join
-    verifyPairs(cand, Tables.documents(spark, dir))
+    verifyPairs(cand, docs)
+  }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .orderBy("d1", "d2")
+
+  /** 1-in-[[RecallSampleMod]] deterministic content-hash sample. */
+  private[operators] val RecallSampleMod = 2
+
+  /** MinHash recall probe — the QUALITY side of the banding dial,
+    * paired with [[lshBucketStats]] (the COST side): on a
+    * deterministic content-hash sample of the corpus, the minhash-LSH
+    * verified pairs are compared against the blocked-exact ngram
+    * truth, reporting truth/found/hit counts, recall, and the extras
+    * minhash reaches that df-capped blocking cannot (a hot-gram
+    * telemetry in its own right). Sampling is the point: at 100 TB
+    * the exact truth is affordable over a sample, never the corpus,
+    * and bands × rows get re-dialed until sampled recall clears the
+    * bar — the same discipline as q_ann_recall on the vector side.
+    */
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % RecallSampleMod === 0)
+    val truth = dedupNgramFrame(docs, DfCap)
+      .select(col("d1"), col("d2")).withColumn("t", lit(1))
+    val found = dedupMinhashFrame(docs)
+      .select(col("d1"), col("d2")).withColumn("f", lit(1))
+    truth.join(found, Seq("d1", "d2"), "full_outer")
+      .agg(
+        count(col("t")).as("n_truth"),
+        count(col("f")).as("n_found"),
+        coalesce(sum(when(col("t").isNotNull && col("f").isNotNull, 1L)), lit(0L)).as("n_hit"))
+      .select(
+        col("n_truth"), col("n_found"), col("n_hit"),
+        when(col("n_truth") > 0,
+          round(col("n_hit") / col("n_truth").cast("double"), 6)).as("recall"),
+        (col("n_found") - col("n_hit")).as("n_extra"))
   }
 
   /** LSH band-bucket pre-flight — the dedup-side member of the
@@ -660,6 +700,7 @@ object DedupOps {
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_lsh_bucket_stats" -> (lshBucketStats _),
+    "q_minhash_recall" -> (minhashRecall _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_dedup_clusters" -> (dedupClusters _),
@@ -837,6 +878,55 @@ object DedupOps {
          |WHERE len(list_intersect(t1.sh, t2.sh))
          |      / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
          |ORDER BY d1, d2""".stripMargin,
+    "q_minhash_recall" ->
+      s"""WITH smp AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % $RecallSampleMod = 0
+         |), t AS (
+         |  SELECT doc_id, $sqlShingles sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM smp)
+         |), ex AS (SELECT doc_id k, unnest(sh) s FROM t),
+         |kept AS (SELECT k, s FROM ex QUALIFY count(*) OVER (PARTITION BY s) <= $DfCap),
+         |candN AS (
+         |  SELECT DISTINCT a.k d1, b.k d2 FROM kept a JOIN kept b ON a.s = b.s AND a.k < b.k
+         |), truth AS (
+         |  SELECT d1, d2
+         |  FROM candN JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
+         |  WHERE len(list_intersect(t1.sh, t2.sh))
+         |        / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
+         |), m AS (
+         |  SELECT doc_id,
+         |         md5(${mh(0)} || '|' || ${mh(1)}) b0,
+         |         md5(${mh(2)} || '|' || ${mh(3)}) b1,
+         |         md5(${mh(4)} || '|' || ${mh(5)}) b2,
+         |         md5(${mh(6)} || '|' || ${mh(7)}) b3
+         |  FROM t WHERE len(sh) > 0
+         |), bands AS (
+         |  SELECT doc_id, 0 band, b0 bkey FROM m UNION ALL
+         |  SELECT doc_id, 1, b1 FROM m UNION ALL
+         |  SELECT doc_id, 2, b2 FROM m UNION ALL
+         |  SELECT doc_id, 3, b3 FROM m
+         |), candM AS (
+         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), found AS (
+         |  SELECT d1, d2
+         |  FROM candM JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
+         |  WHERE len(list_intersect(t1.sh, t2.sh))
+         |        / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
+         |), j AS (
+         |  SELECT tr.d1 IS NOT NULL it, f.d1 IS NOT NULL fnd
+         |  FROM truth tr FULL OUTER JOIN found f ON tr.d1 = f.d1 AND tr.d2 = f.d2
+         |)
+         |SELECT CAST(coalesce(sum(CASE WHEN it THEN 1 ELSE 0 END), 0) AS BIGINT) n_truth,
+         |       CAST(coalesce(sum(CASE WHEN fnd THEN 1 ELSE 0 END), 0) AS BIGINT) n_found,
+         |       CAST(coalesce(sum(CASE WHEN it AND fnd THEN 1 ELSE 0 END), 0) AS BIGINT) n_hit,
+         |       CASE WHEN coalesce(sum(CASE WHEN it THEN 1 ELSE 0 END), 0) > 0
+         |            THEN round(coalesce(sum(CASE WHEN it AND fnd THEN 1 ELSE 0 END), 0)
+         |                       / sum(CASE WHEN it THEN 1 ELSE 0 END)::DOUBLE, 6) END recall,
+         |       CAST(coalesce(sum(CASE WHEN fnd THEN 1 ELSE 0 END), 0)
+         |            - coalesce(sum(CASE WHEN it AND fnd THEN 1 ELSE 0 END), 0) AS BIGINT) n_extra
+         |FROM j""".stripMargin,
     "q_lsh_bucket_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, $sqlShingles sh

@@ -108,6 +108,26 @@ class CrossOperatorConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash recall probe equals driver-side recall over the content sample") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % DedupOps.RecallSampleMod === 0)
+    val truth = DedupOps.dedupNgramFrame(docs, DedupOps.DfCap).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = DedupOps.dedupMinhashFrame(docs).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "sample must contain qualifying pairs at sf0.01")
+    val row = DedupOps.minhashRecall(spark, sf).collect().head
+    assert(row.getLong(0) === truth.size.toLong)
+    assert(row.getLong(1) === found.size.toLong)
+    assert(row.getLong(2) === truth.intersect(found).size.toLong)
+    assert(row.getDouble(3) ===
+      BigDecimal(truth.intersect(found).size.toDouble / truth.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getLong(4) === (found -- truth).size.toLong)
+  }
+
   test("ann recall probe equals driver-side recall of ivf against exact top-k") {
     val exact = AnnOps.annTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
