@@ -528,13 +528,20 @@ object CoreOps {
     val madX = e.join(broadcast(medX), "event_type")
       .groupBy("event_type")
       .agg(percentile(abs(col("value") - col("med_x")), lit(0.5)).as("mad_x"))
+    // rz_exact from the RAW value (re-joined on the entity key), not
+    // the 6-decimal display rounding the flagged frame carries — the
+    // audit is only an attestation if it is actually exact
     valueOutliersRobustFrame(e)
+      .drop("value")
+      .join(e.select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type", "event_id"))
       .join(broadcast(medX), "event_type")
       .join(broadcast(madX), "event_type")
       .withColumn("rz_exact",
         when(col("mad_x") > 0,
           round((col("value") - col("med_x")) / (lit(1.4826) * col("mad_x")), 6)))
-      .select(col("event_type"), col("event_id"), col("value"), col("rz"), col("rz_exact"))
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 6).as("value"), col("rz"), col("rz_exact"))
       .orderBy("event_type", "event_id")
   }
 

@@ -238,8 +238,7 @@ object DedupOps {
     */
   def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .filter(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
-        .cast("long") % RecallSampleMod === 0)
+      .filter(graft.functions.Hashing.hex32(col("text")) % RecallSampleMod === 0)
     val truth = dedupNgramFrame(docs, DfCap)
       .select(col("d1"), col("d2")).withColumn("t", lit(1))
     val found = dedupMinhashFrame(docs)

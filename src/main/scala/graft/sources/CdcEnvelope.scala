@@ -101,26 +101,36 @@ object CdcEnvelope {
     */
   val MaxDeadLetterFrac = 0.01
 
-  /** [[records]] behind a dead-letter-rate guard: one counting pass
-    * over the parsed frame, and if more than `maxFrac` of records
-    * dead-lettered the batch FAILS instead of returning the survivors
-    * — a mistyped or mis-routed wire produces a loud error, never a
-    * silently shrunken snapshot. The guard pass is a cheap count
-    * aggregate; in a deployed connector the wire frame is the
-    * materialized topic/landing files, so the extra pass re-reads
-    * storage rather than recomputing upstream.
+  /** [[records]] behind a dead-letter-rate guard, built INTO the
+    * plan: a single-row count aggregate over the parsed frame is
+    * broadcast-crossed into the record stream, and `raise_error`
+    * fails the job at EXECUTION time when more than `maxFrac` of
+    * records dead-lettered — a mistyped or mis-routed wire produces a
+    * loud error, never a silently shrunken snapshot. Fully lazy:
+    * constructing the frame (plan inspection, explain, spec sweeps)
+    * runs no job; the guard evaluates exactly when the query does.
+    * The aggregate branch is one extra pass over the parsed frame; in
+    * a deployed connector the wire is the materialized topic/landing
+    * files, so that pass re-reads storage rather than recomputing
+    * upstream.
     */
   def guardedRecords(parsed: DataFrame, maxFrac: Double = MaxDeadLetterFrac): DataFrame = {
-    val r = parsed.agg(
-      count(lit(1)).as("total"), count(col(CorruptCol)).as("dead")).head()
-    val (total, dead) = (r.getLong(0), r.getLong(1))
-    if (total > 0 && dead.toDouble / total > maxFrac)
-      throw new IllegalStateException(
-        s"CDC parse dead-lettered $dead of $total records " +
-          f"(${100.0 * dead / total}%.1f%% > ${100.0 * maxFrac}%.1f%%) — systemic " +
-          "wire/schema mismatch, failing the batch instead of emitting a " +
-          "silently incomplete snapshot")
-    records(parsed)
+    val chk = broadcast(parsed
+      .agg(count(lit(1)).as("total"), count(col(CorruptCol)).as("dead"))
+      .select(
+        when(col("total") > 0 && col("dead") / col("total") > maxFrac,
+          raise_error(concat(
+            lit("CDC parse dead-lettered "), col("dead"), lit(" of "), col("total"),
+            lit(s" records (> ${100 * maxFrac}%) — systemic wire/schema mismatch, " +
+              "failing the batch instead of emitting a silently incomplete snapshot"))))
+          .otherwise(lit(1)).as("_guard_ok")))
+    // the guard rides a FILTER, not a dropped projection: column
+    // pruning would happily eliminate an unused raise_error column
+    // (count(*) over the join needs no columns at all), silently
+    // disarming the guard
+    records(parsed).crossJoin(chk)
+      .filter(col("_guard_ok") === 1)
+      .drop("_guard_ok")
   }
 
   /** Dead-letter queue: the raw lines that failed to parse. */
@@ -153,25 +163,42 @@ object CdcEnvelope {
     */
   class DeadLetterGuard(spark: SparkSession, maxFrac: Double = MaxDeadLetterFrac)
       extends StreamingQueryListener {
-    // cumulative (total, dead) per query id: several wire streams can
-    // run under one session, and one stream's poison must not trip —
-    // or dilute — another's guard
+    // cumulative (total, dead) per RUN id — several wire streams can
+    // run under one session, and one stream's poison must not trip or
+    // dilute another's guard. Keying by runId (fresh per restart, vs
+    // the checkpoint-stable query id) means a restarted query starts
+    // from clean counters: a fixed feed is not re-killed by its old
+    // poison, and a newly poisoned feed is not diluted by a previous
+    // run's clean millions. Entries are evicted on termination, so
+    // the map tracks live runs only.
     private val counts =
       new java.util.concurrent.ConcurrentHashMap[java.util.UUID, (Long, Long)]
-    @volatile private var reason: Option[String] = None
-    /** Why the guard stopped the query, if it did. */
-    def trippedReason: Option[String] = reason
-    def tripped: Boolean = reason.isDefined
+    // trip reason per QUERY id: each stream gets its own kill switch;
+    // one tripped stream must not disarm the guard for the others
+    private val reasons =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]
+    /** Why the guard stopped a query, if it stopped any (first trip
+      * when several); [[trippedReasonFor]] inspects a specific query.
+      */
+    def trippedReason: Option[String] = {
+      val it = reasons.values().iterator()
+      if (it.hasNext) Some(it.next()) else None
+    }
+    def trippedReasonFor(queryId: java.util.UUID): Option[String] =
+      Option(reasons.get(queryId))
+    def tripped: Boolean = !reasons.isEmpty
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      counts.remove(e.runId)
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val m = e.progress.observedMetrics.get(GuardMetric)
       if (m != null) {
-        val (t, d) = counts.merge(e.progress.id,
+        val (t, d) = counts.merge(e.progress.runId,
           (m.getAs[Long]("total"), m.getAs[Long]("dead")),
           (a, b) => (a._1 + b._1, a._2 + b._2))
-        if (t > 0 && d.toDouble / t > maxFrac && reason.isEmpty) {
-          reason = Some(
+        if (t > 0 && d.toDouble / t > maxFrac &&
+            !reasons.containsKey(e.progress.id)) {
+          reasons.put(e.progress.id,
             s"CDC stream dead-lettered $d of $t records (> ${100 * maxFrac}%) — " +
               s"systemic wire/schema mismatch, stopping query ${e.progress.id}")
           // stop() joins the stream's microbatch thread; the listener

@@ -240,10 +240,14 @@ object CdcStream {
     // The feed carries the commit time as `ts`, but its PHYSICAL type
     // has varied (INT64 ns vs timestamp[us] — see
     // Tables.normalizeEventTime). A streaming source needs the schema
-    // declared up front, so peek at the files already landed (a CDC
-    // landing dir always holds at least the seed snapshot) and declare
-    // what is actually there; default to the µs-timestamp shape for an
-    // empty dir. Downstream always sees the ts_ns LongType contract.
+    // declared up front, so peek at the files already landed (deploy
+    // contract: seed the landing dir with at least one feed file
+    // before starting the stream) and declare what is actually there.
+    // An EMPTY dir falls back to the µs-timestamp shape — if the
+    // producer then lands INT64-nanos files, the first micro-batch
+    // fails LOUDLY on the physical/declared mismatch (never a silent
+    // mistype); a feed file without a `ts` column likewise throws at
+    // the peek. Downstream always sees the ts_ns LongType contract.
     val tsType: DataType =
       try spark.read.parquet(dir).schema("ts").dataType
       catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }

@@ -111,8 +111,7 @@ class CrossOperatorConsistencySpec extends AnyFunSuite {
   test("minhash recall probe equals driver-side recall over the content sample") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
-      .filter(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
-        .cast("long") % DedupOps.RecallSampleMod === 0)
+      .filter(graft.functions.Hashing.hex32(col("text")) % DedupOps.RecallSampleMod === 0)
     val truth = DedupOps.dedupNgramFrame(docs, DedupOps.DfCap).select("d1", "d2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val found = DedupOps.dedupMinhashFrame(docs).select("d1", "d2").collect()

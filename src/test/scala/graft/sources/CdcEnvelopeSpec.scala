@@ -65,11 +65,15 @@ class CdcEnvelopeSpec extends AnyFunSuite {
     // 1 poison line in 201 (~0.5%) is tolerable connector reality
     val fewBad = good.union(Seq("not json").toDF("value"))
     assert(CdcEnvelope.guardedRecords(CdcEnvelope.parse(fewBad)).count() === 200)
-    // 50 in 250 (20%) is a systemic wire/schema mismatch — loud failure
+    // 50 in 250 (20%) is a systemic wire/schema mismatch — loud
+    // failure AT EXECUTION (the guard is lazy: constructing the frame
+    // or inspecting its plan runs nothing)
     val manyBad = good.union((1 to 50).map(i => s"garbage $i").toDF("value"))
-    val e = intercept[IllegalStateException](
-      CdcEnvelope.guardedRecords(CdcEnvelope.parse(manyBad)).count())
-    assert(e.getMessage.contains("dead-lettered"))
+    val guarded = CdcEnvelope.guardedRecords(CdcEnvelope.parse(manyBad))
+    guarded.queryExecution.optimizedPlan // plan inspection: no job, no throw
+    val e = intercept[Exception](guarded.count())
+    assert(e.getMessage.contains("dead-lettered"),
+      s"expected the guard message, got: ${e.getMessage}")
   }
 
   test("streaming dead-letter guard stops a poisoned stream, leaves a healthy one running") {
