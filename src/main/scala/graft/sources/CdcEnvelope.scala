@@ -187,7 +187,11 @@ object CdcEnvelope {
     def trippedReasonFor(queryId: java.util.UUID): Option[String] =
       Option(reasons.get(queryId))
     def tripped: Boolean = !reasons.isEmpty
-    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    // a restart re-arms the kill switch: without this, a query that
+    // tripped, was fixed, and restarted could never be stopped again
+    // (its stale trip reason would gate the stop branch forever)
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      reasons.remove(e.id)
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
       counts.remove(e.runId)
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
