@@ -516,10 +516,15 @@ object AnnOps {
     val approx = annIvf(spark, dir).select(col("probe_id"), col("vec_id"))
     val hits = exact.join(approx, Seq("probe_id", "vec_id"))
       .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
-    exact.select("probe_id").distinct()
+    // denominator = the probe's ACTUAL exact-neighbor count, not the
+    // constant K: on a slice with < K non-probe vectors a perfect
+    // approximate result must read recall 1.0, or the dial gets tuned
+    // against a bound it can never reach
+    exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("probe_id"), "left")
       .na.fill(0L, Seq("n_hits"))
-      .withColumn("recall", round(col("n_hits") / lit(K.toDouble), 6))
+      .withColumn("recall", round(col("n_hits") / col("n_exact").cast("double"), 6))
+      .select(col("probe_id"), col("n_exact"), col("n_hits"), col("recall"))
       .orderBy("probe_id")
   }
 
@@ -847,9 +852,11 @@ object AnnOps {
          |  SELECT exact.probe_id, count(*) n
          |  FROM exact JOIN approx USING (probe_id, vec_id) GROUP BY 1
          |)
-         |SELECT pr.probe_id, CAST(coalesce(n, 0) AS BIGINT) n_hits,
-         |       round(coalesce(n, 0) / $K::DOUBLE, 6) recall
-         |FROM (SELECT DISTINCT probe_id FROM exact) pr LEFT JOIN h USING (probe_id)
+         |SELECT pr.probe_id, CAST(pr.n_exact AS BIGINT) n_exact,
+         |       CAST(coalesce(n, 0) AS BIGINT) n_hits,
+         |       round(coalesce(n, 0) / pr.n_exact::DOUBLE, 6) recall
+         |FROM (SELECT probe_id, count(*) n_exact FROM exact GROUP BY 1) pr
+         |     LEFT JOIN h USING (probe_id)
          |ORDER BY probe_id""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -107,7 +107,17 @@ object CdcOps {
     val wire = CdcEnvelope.serialize(changeFeed(spark, dir).select(
       col("event_id"), col("ts_ns"), col("user_id"), col("op"),
       col("event_type"), col("value")))
-    val rec = CdcEnvelope.guardedRecords(CdcEnvelope.parse(wire))
+    // The guard's count branch and the record branch both consume the
+    // parsed wire; WITHOUT materialization each would re-run the whole
+    // changeFeed → to_json → from_json pipeline (2× the query). In a
+    // deployed connector the wire IS materialized storage (the topic /
+    // landing files); here the wire is synthesized in-query, so the
+    // persist stands in for that storage. Lazy (no job at plan time);
+    // the CacheManager dedupes the entry across repeated runs of the
+    // same plan.
+    val parsed = CdcEnvelope.parse(wire)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rec = CdcEnvelope.guardedRecords(parsed)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns").desc, col("event_id").desc)
     rec

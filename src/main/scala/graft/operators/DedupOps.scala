@@ -713,6 +713,28 @@ object DedupOps {
 
   private def mh(j: Int) = s"list_min(list_transform(sh, s -> md5('$j:' || s)))"
 
+  /** SQL: minhash banding over a preceding `t(doc_id, sh)` CTE →
+    * `bands(doc_id, band, bkey)` — ONE definition for the three
+    * oracles that block on it (q_dedup_minhash, q_minhash_recall,
+    * q_lsh_bucket_stats), mirroring [[minhashBandRows]]; re-dialing
+    * Bands × Rows or the band-key derivation is one edit per engine,
+    * not three hand-synced SQL copies.
+    */
+  private val sqlBandCtes =
+    s"""m AS (
+       |  SELECT doc_id, sh,
+       |         md5(${mh(0)} || '|' || ${mh(1)}) b0,
+       |         md5(${mh(2)} || '|' || ${mh(3)}) b1,
+       |         md5(${mh(4)} || '|' || ${mh(5)}) b2,
+       |         md5(${mh(6)} || '|' || ${mh(7)}) b3
+       |  FROM t WHERE len(sh) > 0
+       |), bands AS (
+       |  SELECT doc_id, 0 band, b0 bkey FROM m UNION ALL
+       |  SELECT doc_id, 1, b1 FROM m UNION ALL
+       |  SELECT doc_id, 2, b2 FROM m UNION ALL
+       |  SELECT doc_id, 3, b3 FROM m
+       |)""".stripMargin
+
   /** SQL: 16-bit SimHash band `i` (bits 16i..16i+15 of the 64-bit
     * fingerprint) — per-bit majority vote over the h1/h2 32-bit md5
     * chunk arrays, mirroring [[dedupSimhash]]'s vote/sign/pack
@@ -854,19 +876,7 @@ object DedupOps {
       s"""WITH t AS (
          |  SELECT doc_id, $sqlShingles sh
          |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
-         |), m AS (
-         |  SELECT doc_id, sh,
-         |         md5(${mh(0)} || '|' || ${mh(1)}) b0,
-         |         md5(${mh(2)} || '|' || ${mh(3)}) b1,
-         |         md5(${mh(4)} || '|' || ${mh(5)}) b2,
-         |         md5(${mh(6)} || '|' || ${mh(7)}) b3
-         |  FROM t WHERE len(sh) > 0
-         |), bands AS (
-         |  SELECT doc_id, 0 band, b0 bkey FROM m UNION ALL
-         |  SELECT doc_id, 1, b1 FROM m UNION ALL
-         |  SELECT doc_id, 2, b2 FROM m UNION ALL
-         |  SELECT doc_id, 3, b3 FROM m
-         |), cand AS (
+         |), $sqlBandCtes, cand AS (
          |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |)
@@ -893,19 +903,7 @@ object DedupOps {
          |  FROM candN JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
          |  WHERE len(list_intersect(t1.sh, t2.sh))
          |        / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
-         |), m AS (
-         |  SELECT doc_id,
-         |         md5(${mh(0)} || '|' || ${mh(1)}) b0,
-         |         md5(${mh(2)} || '|' || ${mh(3)}) b1,
-         |         md5(${mh(4)} || '|' || ${mh(5)}) b2,
-         |         md5(${mh(6)} || '|' || ${mh(7)}) b3
-         |  FROM t WHERE len(sh) > 0
-         |), bands AS (
-         |  SELECT doc_id, 0 band, b0 bkey FROM m UNION ALL
-         |  SELECT doc_id, 1, b1 FROM m UNION ALL
-         |  SELECT doc_id, 2, b2 FROM m UNION ALL
-         |  SELECT doc_id, 3, b3 FROM m
-         |), candM AS (
+         |), $sqlBandCtes, candM AS (
          |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |), found AS (
@@ -930,19 +928,7 @@ object DedupOps {
       s"""WITH t AS (
          |  SELECT doc_id, $sqlShingles sh
          |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
-         |), m AS (
-         |  SELECT doc_id,
-         |         md5(${mh(0)} || '|' || ${mh(1)}) b0,
-         |         md5(${mh(2)} || '|' || ${mh(3)}) b1,
-         |         md5(${mh(4)} || '|' || ${mh(5)}) b2,
-         |         md5(${mh(6)} || '|' || ${mh(7)}) b3
-         |  FROM t WHERE len(sh) > 0
-         |), bands AS (
-         |  SELECT doc_id, 0 band, b0 bkey FROM m UNION ALL
-         |  SELECT doc_id, 1, b1 FROM m UNION ALL
-         |  SELECT doc_id, 2, b2 FROM m UNION ALL
-         |  SELECT doc_id, 3, b3 FROM m
-         |), b AS (
+         |), $sqlBandCtes, b AS (
          |  SELECT band, bkey, count(*) sz FROM bands GROUP BY band, bkey
          |)
          |SELECT CAST(band AS BIGINT) band,

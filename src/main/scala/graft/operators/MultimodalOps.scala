@@ -59,11 +59,14 @@ object MultimodalOps {
   /** Per-source blob telemetry — the media-curation audit run BEFORE
     * any decode is paid for: volumes (count/total/max bytes) and the
     * byte-identical duplication rate via content signature (media
-    * corpora are full of re-uploads; exact-byte dedup is pure
-    * metadata arithmetic, no codec involved). One projection + one
-    * keyed aggregation over blob metadata — the scan never leaves
-    * column-pruned territory, so at 100 TB this costs the metadata
-    * columns, not the media bytes.
+    * corpora are full of re-uploads). Cost model, honestly: ONE
+    * streaming byte pass over the blob column (the md5 signature must
+    * read every byte) with NO codec work and no shuffle of blob bytes
+    * (only 32-char signatures ride the aggregation) — at 100 TB that
+    * is a scan-bound pass, ~100-1000× cheaper than any decode stage,
+    * and in a deployment where the ingest writer already stamps a
+    * content hash the signature column replaces the md5 and the query
+    * really does become metadata-only.
     */
   def blobStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

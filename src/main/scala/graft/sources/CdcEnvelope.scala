@@ -187,6 +187,17 @@ object CdcEnvelope {
     def trippedReasonFor(queryId: java.util.UUID): Option[String] =
       Option(reasons.get(queryId))
     def tripped: Boolean = !reasons.isEmpty
+    /** Queries the guard tripped on but FAILED to stop (stop threw —
+      * timeout, interrupt): `tripped` alone must not be read as "the
+      * kill switch fired"; a monitoring loop that sees an entry here
+      * has a poisoned stream still draining and must escalate.
+      */
+    private val failedStops =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Throwable]
+    def stopFailures: Map[java.util.UUID, Throwable] = {
+      import scala.jdk.CollectionConverters._
+      failedStops.asScala.toMap
+    }
     // a restart re-arms the kill switch: without this, a query that
     // tripped, was fixed, and restarted could never be stopped again
     // (its stale trip reason would gate the stop branch forever)
@@ -206,10 +217,20 @@ object CdcEnvelope {
             s"CDC stream dead-lettered $d of $t records (> ${100 * maxFrac}%) — " +
               s"systemic wire/schema mismatch, stopping query ${e.progress.id}")
           // stop() joins the stream's microbatch thread; the listener
-          // runs on the progress path, so stop from a separate thread
+          // runs on the progress path, so stop from a separate thread.
+          // A FAILED stop (timeout/interrupt) is recorded loudly —
+          // swallowing it would mask the exact silent-drain failure
+          // the guard exists to prevent
+          val qid = e.progress.id
           new Thread(() => {
-            try Option(spark.streams.get(e.progress.id)).foreach(_.stop())
-            catch { case _: Throwable => () }
+            try Option(spark.streams.get(qid)).foreach(_.stop())
+            catch {
+              case t: Throwable =>
+                failedStops.put(qid, t)
+                System.err.println(
+                  s"[cdc-wire-guard] FAILED to stop poisoned query $qid: $t — " +
+                    "stream is still draining; escalate")
+            }
           }, "cdc-wire-guard-stop").start()
         }
       }

@@ -79,12 +79,18 @@ class StreamingConnectorE2ESpec extends AnyFunSuite {
     // second arrival lands while both queries run
     Files.write(feedDir.resolve("part2.json"), (h2 :+ corrupt(1)).toSeq.asJava)
     mainQ.processAllAvailable(); deadQ.processAllAvailable()
+    // listener events are delivered asynchronously: give the bus a
+    // bounded window to drain the final progress events BEFORE the
+    // negative assertion, or an over-eager guard regression could
+    // slip through on timing
+    Thread.sleep(1000)
     mainQ.stop(); deadQ.stop()
     spark.streams.removeListener(guard)
 
     // ---- the guard saw the whole feed and correctly stayed quiet
     assert(!guard.tripped,
       s"guard tripped on isolated poison below the ceiling: ${guard.trippedReason}")
+    assert(guard.stopFailures.isEmpty)
 
     // ---- dead letters: exactly the poison lines, nothing else
     val dead = spark.table("e2e_dead").as[String].collect().sorted

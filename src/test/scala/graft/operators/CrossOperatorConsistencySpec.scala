@@ -132,17 +132,21 @@ class CrossOperatorConsistencySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     val approx = AnnOps.annIvf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val expected = exact.groupBy(_._1).view
+    val byProbe = exact.groupBy(_._1)
+    val expected = byProbe.view
       .mapValues(hits => hits.count(approx.contains).toLong).toMap
     val probe = AnnOps.annRecall(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(probe.map(_._1).toSet === expected.keySet)
-    probe.foreach { case (id, nHits, recall) =>
+    probe.foreach { case (id, nExact, nHits, recall) =>
+      assert(nExact === byProbe(id).length.toLong, s"probe $id n_exact")
       assert(nHits === expected(id), s"probe $id n_hits")
-      assert(recall === nHits / 5.0, s"probe $id recall")
+      assert(recall ===
+        BigDecimal(nHits.toDouble / nExact)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"probe $id recall")
     }
     // the probe must exercise a real measurement, not a degenerate one
-    assert(probe.map(_._3).sum > 0.0)
+    assert(probe.map(_._4).sum > 0.0)
   }
 
   test("minhash-LSH pairs are a subset of the ngram pairs with identical jaccard (below the cap)") {
