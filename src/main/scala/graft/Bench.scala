@@ -70,6 +70,10 @@ object Bench {
     }
     val ordered = selected.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (n, f) => timeOnce(n, f, 1) }
+    // cold-honesty between passes: evict anything any query persisted
+    // so pass 2 measures the plan, not a warm cache read — the
+    // per-query MIN must be the min of two COLD measurements
+    spark.catalog.clearCache()
     val pass2 = ordered.map { case (n, f) => timeOnce(n, f, 2) }
     // per-query MIN over SUCCESSFUL passes only: a query that throws
     // fast must not have its failure wall-time reported as a valid

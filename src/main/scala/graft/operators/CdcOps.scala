@@ -93,31 +93,28 @@ object CdcOps {
     * the source-connector path end to end: envelope render
     * ([[graft.sources.CdcEnvelope.serialize]], the Kafka-shaped value
     * column), typed parse with dead-letter routing behind the
-    * dead-letter-rate guard (a systemic parse failure stops the batch
-    * instead of draining it — see
-    * [[graft.sources.CdcEnvelope.guardedRecords]]), then the same
-    * op-aware tombstone compaction as [[cdcCompact]] (minus the
-    * per-key change counter — the wire carries single records, not
-    * key history). The oracle computes the snapshot DIRECTLY from the
-    * feed, so the hash check proves the JSON roundtrip is LOSSLESS
-    * for every carried type (ns-precision longs, doubles, strings).
+    * ONE-PASS observed-metrics dead-letter guard (the counts ride the
+    * execution already happening; the session-level
+    * [[graft.sources.CdcEnvelope.BatchDeadLetterGuard]] flags a
+    * systemic parse failure loudly — see its scaladoc for the
+    * write-audit-publish deployment shape, and
+    * [[graft.sources.CdcEnvelope.guardedRecords]] for the strict
+    * two-pass variant used when the wire is materialized storage),
+    * then the same op-aware tombstone compaction as [[cdcCompact]]
+    * (minus the per-key change counter — the wire carries single
+    * records, not key history). The oracle computes the snapshot
+    * DIRECTLY from the feed, so the hash check proves the JSON
+    * roundtrip is LOSSLESS for every carried type (ns-precision
+    * longs, doubles, strings). One wire pass, no persist: the plan
+    * is a straight-line scan → to_json → from_json → window.
     */
   def cdcEnvelope(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.CdcEnvelope
     val wire = CdcEnvelope.serialize(changeFeed(spark, dir).select(
       col("event_id"), col("ts_ns"), col("user_id"), col("op"),
       col("event_type"), col("value")))
-    // The guard's count branch and the record branch both consume the
-    // parsed wire; WITHOUT materialization each would re-run the whole
-    // changeFeed → to_json → from_json pipeline (2× the query). In a
-    // deployed connector the wire IS materialized storage (the topic /
-    // landing files); here the wire is synthesized in-query, so the
-    // persist stands in for that storage. Lazy (no job at plan time);
-    // the CacheManager dedupes the entry across repeated runs of the
-    // same plan.
-    val parsed = CdcEnvelope.parse(wire)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rec = CdcEnvelope.guardedRecords(parsed)
+    CdcEnvelope.BatchDeadLetterGuard.install(spark)
+    val rec = CdcEnvelope.records(CdcEnvelope.observedParse(wire))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns").desc, col("event_id").desc)
     rec

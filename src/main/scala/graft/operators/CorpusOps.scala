@@ -68,16 +68,21 @@ object CorpusOps {
   }
 
   /** Label-distribution profile of the embedding corpus. ONE scan:
-    * the total is a whole-frame window sum over the (tiny) aggregated
-    * label counts, not a second driver-side `count()` pass.
+    * the grand total is a scalar aggregate over the per-label counts,
+    * broadcast-crossed back in — the counts' shuffle exchange is
+    * planned once and REUSED by the total branch (ReusedExchange),
+    * so no second scan and no single-partition window anywhere.
     */
-  def classBalance(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.embeddings(spark, dir)
       .groupBy("label")
       .agg(count(lit(1)).as("n"))
-      .withColumn("frac",
-        round(col("n") / sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("label"), col("n"),
+        round(col("n") / col("tot").cast("double"), 6).as("frac"))
       .orderBy("label")
+  }
 
   private val ContamK = 8
   private val ContamDfCap = 1000
@@ -112,16 +117,18 @@ object CorpusOps {
   /** Per-language resampling weights toward a uniform target mixture:
     * weight = target_share / actual_share — the multiplier a sampler
     * applies per document of that language. One aggregation; the
-    * totals come from a whole-frame window over the per-lang rows.
+    * totals are a scalar aggregate over the per-lang counts,
+    * broadcast-crossed back in (the counts' exchange is reused — no
+    * second scan, no single-partition window).
     */
   def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy()
-    Tables.documents(spark, dir)
+    val counts = Tables.documents(spark, dir)
       .groupBy("lang").agg(count(lit(1)).as("n"))
-      .withColumn("actual_frac", round(col("n") / sum(col("n")).over(w).cast("double"), 6))
-      .withColumn("weight",
-        round(sum(col("n")).over(w) / (count(lit(1)).over(w) * col("n")).cast("double"), 6))
-      .select(col("lang"), col("n"), col("actual_frac"), col("weight"))
+    val totals = counts.agg(sum(col("n")).as("tot"), count(lit(1)).as("n_langs"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n"),
+        round(col("n") / col("tot").cast("double"), 6).as("actual_frac"),
+        round(col("tot") / (col("n_langs") * col("n")).cast("double"), 6).as("weight"))
       .orderBy("lang")
   }
 

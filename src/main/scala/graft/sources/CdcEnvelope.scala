@@ -1,9 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Debezium-style JSON wire format for the CDC change feed — the
   * SOURCE-CONNECTOR layer of the streaming CDC pipeline: what lands on
@@ -101,18 +103,30 @@ object CdcEnvelope {
     */
   val MaxDeadLetterFrac = 0.01
 
-  /** [[records]] behind a dead-letter-rate guard, built INTO the
-    * plan: a single-row count aggregate over the parsed frame is
+  /** Minimum records in a single progress event before its per-batch
+    * dead-letter RATE is meaningful — below this, a lone poison
+    * message dominates the fraction and would false-trip the guard
+    * on exactly the isolated-poison case it must tolerate.
+    */
+  val MinBatchForRate = 100L
+
+  /** [[records]] behind a STRICT dead-letter-rate guard, built INTO
+    * the plan: a single-row count aggregate over the parsed frame is
     * broadcast-crossed into the record stream, and `raise_error`
-    * fails the job at EXECUTION time when more than `maxFrac` of
-    * records dead-lettered — a mistyped or mis-routed wire produces a
-    * loud error, never a silently shrunken snapshot. Fully lazy:
-    * constructing the frame (plan inspection, explain, spec sweeps)
-    * runs no job; the guard evaluates exactly when the query does.
-    * The aggregate branch is one extra pass over the parsed frame; in
-    * a deployed connector the wire is the materialized topic/landing
-    * files, so that pass re-reads storage rather than recomputing
-    * upstream.
+    * fails the job at EXECUTION time — before a single record is
+    * emitted — when more than `maxFrac` of records dead-lettered.
+    * Fully lazy: constructing the frame (plan inspection, explain,
+    * spec sweeps) runs no job; the guard evaluates exactly when the
+    * query does.
+    *
+    * The aggregate branch is a SECOND pass over the parsed frame —
+    * this is the inherent price of refusing to emit anything before
+    * the global rate is known. Use it when the wire is materialized
+    * storage (topic / landing files), where the extra pass is a
+    * cheap re-read. When the wire is synthesized in-query, prefer
+    * the one-pass [[guardedRun]] (write-audit-publish) or the
+    * [[BatchDeadLetterGuard]] listener, both of which ride the
+    * observation on the single execution already happening.
     */
   def guardedRecords(parsed: DataFrame, maxFrac: Double = MaxDeadLetterFrac): DataFrame = {
     val chk = broadcast(parsed
@@ -140,15 +154,104 @@ object CdcEnvelope {
   /** Name of the observed-metrics node [[DeadLetterGuard]] watches. */
   val GuardMetric = "cdc_wire_guard"
 
-  /** [[parse]] with per-micro-batch observed metrics (total records,
-    * dead-lettered records) attached — ZERO extra passes, unlike the
-    * batch [[guardedRecords]] count: the numbers ride the micro-batch
-    * execution already happening and surface in each
-    * QueryProgressEvent for [[DeadLetterGuard]] to act on.
+  /** [[parse]] with observed metrics (total records, dead-lettered
+    * records) attached — ZERO extra passes, unlike the strict
+    * [[guardedRecords]] count: the numbers ride the execution
+    * already happening. Streaming: they surface in each
+    * QueryProgressEvent for [[DeadLetterGuard]] to act on. Batch:
+    * they surface in `QueryExecution.observedMetrics` for
+    * [[BatchDeadLetterGuard]].
     */
   def observedParse(wire: DataFrame): DataFrame =
     parse(wire).observe(GuardMetric,
       count(lit(1)).as("total"), count(col(CorruptCol)).as("dead"))
+
+  private def deadLetterMsg(dead: Long, total: Long, maxFrac: Double): String =
+    s"CDC parse dead-lettered $dead of $total records (> ${100 * maxFrac}%) — " +
+      "systemic wire/schema mismatch"
+
+  /** One-pass STRICT batch guard, write-audit-publish shape: runs
+    * `action` (typically a staging write) over the guarded records
+    * and throws AFTER the action when the dead-letter fraction
+    * exceeded `maxFrac` — the caller publishes the staged output
+    * only when this returns. One wire pass total: the counts ride
+    * the action's own execution via an [[Observation]]. `action`
+    * MUST execute the frame it is given (write/collect/foreach);
+    * a lazy action would leave the observation unresolved and this
+    * call would block waiting for it.
+    */
+  def guardedRun[T](wire: DataFrame, maxFrac: Double = MaxDeadLetterFrac)(
+      action: DataFrame => T): T = {
+    val obs = new Observation()
+    val recs = records(parse(wire).observe(obs,
+      count(lit(1)).as("total"), count(col(CorruptCol)).as("dead")))
+    val out = action(recs)
+    val m = obs.get
+    val (t, d) = (m("total").asInstanceOf[Long], m("dead").asInstanceOf[Long])
+    if (t > 0 && d.toDouble / t > maxFrac)
+      throw new IllegalStateException(deadLetterMsg(d, t, maxFrac) +
+        " — do NOT publish the staged output of this run")
+    out
+  }
+
+  /** Batch twin of [[DeadLetterGuard]]: a QueryExecutionListener
+    * that reads the [[GuardMetric]] observation off every completed
+    * batch action — zero extra passes — and records a loud violation
+    * when the dead-letter fraction exceeds `maxFrac`. A listener
+    * cannot retroactively fail the completed action (the same limit
+    * the streaming kill switch has: the poisoned batch has already
+    * flowed when it stops the query), so the deployed pattern is
+    * write-audit-publish: stage the snapshot, check [[tripped]] /
+    * [[violations]], publish only when clean — or use [[guardedRun]]
+    * which packages exactly that and throws. Install once per
+    * session via [[BatchDeadLetterGuard.install]].
+    */
+  class BatchDeadLetterGuard(maxFrac: Double = MaxDeadLetterFrac)
+      extends QueryExecutionListener {
+    private val viols = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    private val seen = new java.util.concurrent.atomic.AtomicLong
+    def violations: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      viols.asScala.toSeq
+    }
+    def tripped: Boolean = !viols.isEmpty
+    /** How many [[GuardMetric]] observations this guard has audited —
+      * listener delivery is async, so an auditor (monitor, spec) must
+      * wait for this to advance past its action before reading
+      * [[tripped]]; absence-of-violation is only meaningful once the
+      * action's metrics are known to have been delivered.
+      */
+    def observedCount: Long = seen.get
+    /** Re-arm after a monitoring loop has acted on the violations. */
+    def reset(): Unit = viols.clear()
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.get(GuardMetric).foreach { m =>
+        val (t, d) = (m.getAs[Long]("total"), m.getAs[Long]("dead"))
+        if (t > 0 && d.toDouble / t > maxFrac) {
+          val msg = deadLetterMsg(d, t, maxFrac)
+          viols.add(msg)
+          System.err.println(s"[cdc-wire-guard] $msg — this snapshot is " +
+            "incomplete; do not publish it")
+        }
+        seen.incrementAndGet()
+      }
+    override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+  }
+
+  object BatchDeadLetterGuard {
+    // one guard per session, listener registered exactly once —
+    // queries that attach observedParse can call install
+    // unconditionally without stacking duplicate listeners
+    private val installed =
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, BatchDeadLetterGuard]
+    def install(spark: SparkSession,
+        maxFrac: Double = MaxDeadLetterFrac): BatchDeadLetterGuard =
+      installed.computeIfAbsent(spark, s => {
+        val g = new BatchDeadLetterGuard(maxFrac)
+        s.listenerManager.register(g)
+        g
+      })
+  }
 
   /** Streaming twin of [[guardedRecords]]: watches [[observedParse]]'s
     * metrics on every progress event and STOPS the query once the
@@ -187,6 +290,17 @@ object CdcEnvelope {
     def trippedReasonFor(queryId: java.util.UUID): Option[String] =
       Option(reasons.get(queryId))
     def tripped: Boolean = !reasons.isEmpty
+    /** Total wire records audited across LIVE runs (dead letters
+      * included — they are parsed records too). Listener delivery is
+      * async: an auditor asserting the guard stayed QUIET must first
+      * wait for this to reach the volume it fed, otherwise the
+      * assertion races the bus and an over-eager-guard regression
+      * can slip through.
+      */
+    def recordsAudited: Long = {
+      import scala.jdk.CollectionConverters._
+      counts.values().asScala.map(_._1).sum
+    }
     /** Queries the guard tripped on but FAILED to stop (stop threw —
       * timeout, interrupt): `tripped` alone must not be read as "the
       * kill switch fired"; a monitoring loop that sees an entry here
@@ -200,21 +314,36 @@ object CdcEnvelope {
     }
     // a restart re-arms the kill switch: without this, a query that
     // tripped, was fixed, and restarted could never be stopped again
-    // (its stale trip reason would gate the stop branch forever)
-    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+    // (its stale trip reason would gate the stop branch forever).
+    // failedStops re-arms too — a tripped-but-unstoppable query that
+    // was fixed and restarted must not keep reporting a stale
+    // "still draining; escalate" entry to the monitoring loop
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
       reasons.remove(e.id)
+      failedStops.remove(e.id)
+    }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
       counts.remove(e.runId)
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val m = e.progress.observedMetrics.get(GuardMetric)
       if (m != null) {
-        val (t, d) = counts.merge(e.progress.runId,
-          (m.getAs[Long]("total"), m.getAs[Long]("dead")),
+        val (bt, bd) = (m.getAs[Long]("total"), m.getAs[Long]("dead"))
+        val (t, d) = counts.merge(e.progress.runId, (bt, bd),
           (a, b) => (a._1 + b._1, a._2 + b._2))
-        if (t > 0 && d.toDouble / t > maxFrac &&
-            !reasons.containsKey(e.progress.id)) {
+        // trip on the CUMULATIVE rate (early systemic failure) OR the
+        // per-progress-event rate (late-onset systemic failure: a
+        // stream that ingested millions of clean records before the
+        // break would otherwise have to dead-letter >maxFrac of
+        // LIFETIME volume before stopping). The per-event check only
+        // applies above a size floor: one poison message in a
+        // 50-record trickle batch is 2% but is exactly the isolated
+        // poison the guard must tolerate, not a schema break
+        val cumulative = t > 0 && d.toDouble / t > maxFrac
+        val thisBatch = bt >= MinBatchForRate && bd.toDouble / bt > maxFrac
+        if ((cumulative || thisBatch) && !reasons.containsKey(e.progress.id)) {
+          val scope = if (cumulative) s"$d of $t" else s"$bd of $bt (this batch)"
           reasons.put(e.progress.id,
-            s"CDC stream dead-lettered $d of $t records (> ${100 * maxFrac}%) — " +
+            s"CDC stream dead-lettered $scope records (> ${100 * maxFrac}%) — " +
               s"systemic wire/schema mismatch, stopping query ${e.progress.id}")
           // stop() joins the stream's microbatch thread; the listener
           // runs on the progress path, so stop from a separate thread.

@@ -100,10 +100,10 @@ class PlanGuardsSpec extends AnyFunSuite {
   test("no partition-less window over a corpus-derived frame in ANY registered query") {
     import org.apache.spark.sql.execution.window.WindowExec
     // a Window.partitionBy() moves its whole input through ONE
-    // partition — the classic silent scale-killer. The two allowed
-    // globals run over per-label / per-language AGGREGATE frames
-    // (≤ |labels| rows by construction, reviewed); everything else in
-    // the registry must key every window, forever.
+    // partition — the classic silent scale-killer. No whitelist:
+    // every window in every registered query must be keyed, forever
+    // (global totals are scalar aggregates broadcast-crossed back,
+    // riding a ReusedExchange — see CorpusOps.classBalance).
     import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
     // auto-allowed: a global window whose INPUT subtree is
     // limit-bounded (top-k frames — 3 or 200 rows by construction)
@@ -111,9 +111,7 @@ class PlanGuardsSpec extends AnyFunSuite {
       case _: GlobalLimitExec | _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
       case _ => false
     }
-    val bounded = Set("q_class_balance", "q_mixture_weights")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(bounded)
       .filter { name =>
         nodes(SparkEntry.queries(name)(spark, sf)).exists {
           case w: WindowExec => w.partitionSpec.isEmpty && !limitBounded(w.child)

@@ -79,11 +79,19 @@ class StreamingConnectorE2ESpec extends AnyFunSuite {
     // second arrival lands while both queries run
     Files.write(feedDir.resolve("part2.json"), (h2 :+ corrupt(1)).toSeq.asJava)
     mainQ.processAllAvailable(); deadQ.processAllAvailable()
-    // listener events are delivered asynchronously: give the bus a
-    // bounded window to drain the final progress events BEFORE the
-    // negative assertion, or an over-eager guard regression could
-    // slip through on timing
-    Thread.sleep(1000)
+    // listener events are delivered asynchronously: wait on the
+    // POSITIVE signal that the guard audited every line fed to the
+    // main leg before the negative assertion — a fixed sleep would
+    // let an over-eager-guard regression slip through on a slow host
+    val fedToMainLeg = lines.length + corrupt.length
+    locally {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (guard.recordsAudited < fedToMainLeg && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(guard.recordsAudited >= fedToMainLeg,
+        s"guard audited ${guard.recordsAudited} of $fedToMainLeg fed records — " +
+          "progress events never fully delivered")
+    }
     mainQ.stop(); deadQ.stop()
     spark.streams.removeListener(guard)
 

@@ -76,6 +76,69 @@ class CdcEnvelopeSpec extends AnyFunSuite {
       s"expected the guard message, got: ${e.getMessage}")
   }
 
+  test("one-pass guardedRun: clean wire returns, poisoned wire throws after the staged action") {
+    import spark.implicits._
+    val good = CdcEnvelope.serialize(
+      (1 to 200).map(i => (i.toLong, i * 10L, i % 7L, "u", "click", 0.5))
+        .toDF("event_id", "ts_ns", "user_id", "op", "event_type", "value"))
+    // isolated poison: action runs, result returned, no throw
+    val fewBad = good.union(Seq("not json").toDF("value"))
+    assert(CdcEnvelope.guardedRun(fewBad)(_.count()) === 200L)
+    // systemic poison: the staged action still runs (one pass — the
+    // rate is only known after it), but guardedRun then throws so the
+    // caller never publishes the staged output
+    val manyBad = good.union((1 to 50).map(i => s"garbage $i").toDF("value"))
+    var staged = -1L
+    val e = intercept[IllegalStateException](
+      CdcEnvelope.guardedRun(manyBad) { df => staged = df.count(); staged })
+    assert(e.getMessage.contains("dead-lettered"))
+    assert(e.getMessage.contains("publish"))
+    assert(staged === 200L, "the audit runs AFTER the staged action, one pass total")
+  }
+
+  test("batch listener guard flags a poisoned observed parse, stays quiet on a clean one") {
+    import spark.implicits._
+    val guard = CdcEnvelope.BatchDeadLetterGuard.install(spark)
+    guard.reset()
+    val good = CdcEnvelope.serialize(
+      (1 to 200).map(i => (i.toLong, i * 10L, i % 7L, "u", "click", 0.5))
+        .toDF("event_id", "ts_ns", "user_id", "op", "event_type", "value"))
+    // listener delivery is async: wait on the guard's own audit
+    // counter (positive signal) rather than a sleep
+    def drain(past: Long): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (guard.observedCount <= past && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(guard.observedCount > past, "guard never audited the action's metrics")
+    }
+    val c0 = guard.observedCount
+    CdcEnvelope.records(CdcEnvelope.observedParse(good)).count()
+    drain(c0)
+    assert(!guard.tripped, s"guard tripped on a clean wire: ${guard.violations}")
+    val manyBad = good.union((1 to 50).map(i => s"garbage $i").toDF("value"))
+    val c1 = guard.observedCount
+    CdcEnvelope.records(CdcEnvelope.observedParse(manyBad)).count()
+    drain(c1)
+    assert(guard.tripped, "guard missed a 20% dead-letter batch")
+    assert(guard.violations.exists(_.contains("50 of 250")), guard.violations.mkString("; "))
+    // install is idempotent: a second install returns the SAME guard,
+    // no duplicate listener that would double-report
+    assert(CdcEnvelope.BatchDeadLetterGuard.install(spark) eq guard)
+    guard.reset()
+    assert(!guard.tripped)
+  }
+
+  test("q_cdc_envelope is one wire pass: single from_json, no cache, guard metric in-plan") {
+    val plan = CdcOps.cdcEnvelope(spark, TestSpark.Sf).queryExecution.optimizedPlan
+    val s = plan.toString
+    val fromJsonCount = "from_json".r.findAllIn(s.toLowerCase).length
+    assert(fromJsonCount === 1, s"expected exactly one wire parse in the plan, got $fromJsonCount")
+    assert(!s.contains("InMemoryRelation"), "envelope query must not persist the wire")
+    assert(plan.collect { case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c }
+      .exists(_.name == CdcEnvelope.GuardMetric),
+      "observed-metrics guard node missing from the plan")
+  }
+
   test("streaming dead-letter guard stops a poisoned stream, leaves a healthy one running") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -134,6 +197,41 @@ class CdcEnvelopeSpec extends AnyFunSuite {
       finally spark.streams.removeListener(witness)
     assert(!tripped2, s"guard tripped on a clean stream: ${g2.trippedReason}")
     assert(active2, "clean query should still be active")
+  }
+
+  test("late-onset poisoning trips within the poisoned batch, not after lifetime dilution") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def goodLines(n: Int, from: Int = 1): Seq[String] = CdcEnvelope.serialize(
+      (from until from + n).map(i => (i.toLong, i * 10L, i % 7L, "u", "click", 0.5))
+        .toDF("event_id", "ts_ns", "user_id", "op", "event_type", "value"))
+      .as[String].collect().toSeq
+    val guard = new CdcEnvelope.DeadLetterGuard(spark)
+    spark.streams.addListener(guard)
+    val input = MemoryStream[String]
+    val q = CdcEnvelope.records(CdcEnvelope.observedParse(input.toDF().select($"value")))
+      .writeStream.format("memory").queryName("guard_late_onset").start()
+    try {
+      // a long clean history: 20k records, zero dead letters
+      input.addData(goodLines(20000))
+      q.processAllAvailable()
+      assert(!guard.tripped, "guard tripped on the clean history")
+      // then the upstream schema breaks: 20% of the next batch dead-
+      // letters. Cumulative rate is 20/20100 ≈ 0.1% — far under the
+      // 1% ceiling — so only the per-batch check can catch it now
+      input.addData(goodLines(80, from = 20001) ++ (1 to 20).map(i => s"junk $i"))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!(guard.tripped && !q.isActive) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(guard.tripped, "late-onset systemic failure not caught by per-batch rate")
+      assert(!q.isActive, "guard tripped but the poisoned stream kept draining")
+      assert(guard.trippedReason.exists(_.contains("this batch")), guard.trippedReason)
+    } finally {
+      if (q.isActive) q.stop()
+      spark.streams.removeListener(guard)
+    }
   }
 
   test("streaming wire -> parse -> tombstone compaction equals the batch envelope query") {
