@@ -402,7 +402,63 @@ object AnnOps {
     * aggregate ever enter a shuffle, and float math touches the
     * re-rank candidates only.
     */
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqImpl(spark, dir, trainIters = 0)
+
+  /** [[annPq]] with per-subspace Lloyd-TRAINED codebooks — the step
+    * that turns the deterministic seed codebook into the production
+    * PQ layout (FAISS trains exactly this way: plain L2 k-means per
+    * subspace). Same [[Kmeans]] portability discipline as
+    * [[annIvfKmeans]]: lowest-id init, squared-L2 assignment rounded
+    * to 6 decimals with ties to the lowest code, per-(m, code, dim)
+    * means rounded to 6 decimals, empty codes keep their previous
+    * codeword — so the DuckDB oracle unrolls the identical recursion
+    * and the whole trained pipeline stays hash-checkable. The search
+    * plan is IDENTICAL to [[annPq]] (codebook-table swap only).
+    */
+  def annPqKmeans(spark: SparkSession, dir: String): DataFrame =
+    annPqImpl(spark, dir, trainIters = PqKmeansIters)
+
+  private[operators] val PqKmeansIters = 2
+
+  /** Per-subspace Lloyd refinement of the seed codebook. `subd` is
+    * the exploded (vec_id, m, sub: array<double>) frame; returns
+    * (m, code, c_sub: array<double>). Each round is one broadcast
+    * join over the n·M subvector rows plus a (m, code, dim)-keyed
+    * mean onto M·K·dim cells — no corpus-sized shuffle, the
+    * [[Kmeans.anchorsTrace]] shape in subvector space. The M·K = 128
+    * codeword table is localCheckpointed per round so corpus lineage
+    * never re-executes.
+    */
+  private def pqCodebook(subd: DataFrame, iters: Int): DataFrame = {
+    val cached = subd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = cached.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("code"), col("sub").as("c_sub"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val d2 = round(aggregate(zip_with(col("sub"), col("c_sub"), (a, b) =>
+          (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v), 6)
+      val ew = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("code"))
+      val asg = cached.join(broadcast(cur), "m")
+        .select(col("vec_id"), col("m"), col("code"), d2.as("d2"))
+        .withColumn("ern", row_number().over(ew))
+        .filter(col("ern") === 1)
+        .select(col("vec_id"), col("m"), col("code"))
+      val means = asg.join(cached, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("dim", "v")))
+        .groupBy("m", "code", "dim").agg(round(avg(col("v")), 6).as("mv"))
+        .groupBy("m", "code")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("dm"))
+        .select(col("m"), col("code"), transform(col("dm"), s => s.getField("mv")).as("mc"))
+      cur = cur.as("p").join(means, Seq("m", "code"), "left")
+        .select(col("m"), col("code"), coalesce(col("mc"), col("p.c_sub")).as("c_sub"))
+        .localCheckpoint(true)
+    }
+    cached.unpersist() // codebooks are checkpointed; the cache is training-local
+    cur
+  }
+
+  private def annPqImpl(spark: SparkSession, dir: String, trainIters: Int): DataFrame = {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
@@ -412,8 +468,16 @@ object AnnOps {
     def subs(df: DataFrame, id: String): DataFrame = df.select(col(id),
       posexplode(array((0 until PqM).map(m =>
         slice(col("embedding"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "sub")))
-    val cb = subs(e.filter(col("vec_id") < PqK), "vec_id")
-      .select(col("m"), col("vec_id").as("code"), col("sub").as("c_sub"))
+    // seed codebook: subvectors of the lowest-PqK ids (float, exactly
+    // as stored — q_ann_pq's bit-contract); training widens to double
+    // and refines, a pure codebook-table swap for the search below
+    val cb =
+      if (trainIters == 0)
+        subs(e.filter(col("vec_id") < PqK), "vec_id")
+          .select(col("m"), col("vec_id").as("code"), col("sub").as("c_sub"))
+      else
+        pqCodebook(subs(e, "vec_id").select(col("vec_id"), col("m"),
+          transform(col("sub"), x => x.cast("double")).as("sub")), trainIters)
     // encode: nearest codeword per (vec_id, m) by rounded squared L2,
     // ties to the lowest code — the assignCells decision discipline
     val d2 = round(aggregate(zip_with(col("sub"), col("c_sub"), (a, b) =>
@@ -537,6 +601,7 @@ object AnnOps {
     "q_ann_sq8" -> (annSq8 _),
     "q_ann_ivf_sq8" -> (annIvfSq8 _),
     "q_ann_pq" -> (annPq _),
+    "q_ann_pq_kmeans" -> (annPqKmeans _),
     "q_ivf_cell_stats" -> (ivfCellStats _),
     "q_quant_stats" -> (quantStats _),
     "q_embedding_stats" -> (embeddingStats _))
@@ -575,6 +640,32 @@ object AnnOps {
        |  FROM $prev LEFT JOIN (SELECT cell, list(m ORDER BY dim) mc
        |                        FROM m$i GROUP BY cell) g$i
        |    ON $prev.cell = g$i.cell
+       |)""".stripMargin
+  }
+
+  /** One per-subspace PQ Lloyd round in SQL: squared-L2 assignment
+    * (rounded 6, ties to the lowest code) over the double subvector
+    * frame `subd`, per-(m, code, dim) means rounded 6, empty codes
+    * keep the previous codeword — [[pqCodebook]]'s loop body.
+    */
+  private def sqlPqLloydRound(i: Int): String = {
+    val prev = s"pcb${i - 1}"
+    s"""pasg$i AS (
+       |  SELECT s.vec_id, s.m, code,
+       |    round(list_sum(list_transform(range(1, $PqSub + 1),
+       |      i -> (s.sub[i] - c.c_sub[i]) * (s.sub[i] - c.c_sub[i]))), 6) d2
+       |  FROM subd s JOIN $prev c USING (m)
+       |  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY d2, code) = 1
+       |), pm$i AS (
+       |  SELECT a.m, code, t.i AS dim, round(avg(s.sub[t.i + 1]), 6) mv
+       |  FROM pasg$i a JOIN subd s ON a.vec_id = s.vec_id AND a.m = s.m,
+       |       range(0, $PqSub) t(i)
+       |  GROUP BY a.m, code, t.i
+       |), pcb$i AS (
+       |  SELECT p.m, p.code, CASE WHEN g.mc IS NULL THEN p.c_sub ELSE g.mc END c_sub
+       |  FROM $prev p LEFT JOIN (SELECT m, code, list(mv ORDER BY dim) mc
+       |                          FROM pm$i GROUP BY m, code) g
+       |    ON p.m = g.m AND p.code = g.code
        |)""".stripMargin
   }
 
@@ -697,6 +788,55 @@ object AnnOps {
          |  SELECT s.vec_id probe_id, s.m, c.code,
          |    CAST(round(list_sum(list_transform(range(1, $PqSub + 1),
          |      i -> s.sub[i]::DOUBLE * c.c_sub[i]::DOUBLE)) * 1000000.0, 0) AS BIGINT) pdotq
+         |  FROM sub s JOIN cb c USING (m)
+         |  WHERE s.vec_id < $NProbes
+         |), adc AS (
+         |  SELECT lut.probe_id, enc.vec_id, sum(pdotq) qdot
+         |  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT a.probe_id, a.vec_id,
+         |    round(a.qdot::DOUBLE / 1000000.0 / (c.nrm * p.nrm), 6) qcos
+         |  FROM adc a JOIN e c ON c.vec_id = a.vec_id
+         |             JOIN e p ON p.vec_id = a.probe_id
+         |  WHERE a.vec_id <> a.probe_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.probe_id
+         |                             ORDER BY qcos DESC, a.vec_id) <= $PqRerank
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, cand.qcos,
+         |         ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |)
+         |SELECT probe_id, vec_id, qcos, cos,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+         |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
+    "q_ann_pq_kmeans" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))) nrm
+         |  FROM embeddings
+         |), ms AS (SELECT unnest(range(0, $PqM)) m),
+         |sub AS (
+         |  SELECT vec_id, m, list_slice(embedding, m * $PqSub + 1, m * $PqSub + $PqSub) sub
+         |  FROM e, ms
+         |), subd AS (
+         |  SELECT vec_id, m, list_transform(sub, x -> x::DOUBLE) sub FROM sub
+         |), pcb0 AS (
+         |  SELECT m, vec_id code, sub c_sub FROM subd WHERE vec_id < $PqK
+         |), ${(1 to PqKmeansIters).map(sqlPqLloydRound).mkString(", ")},
+         |cb AS (SELECT m, code, c_sub FROM pcb$PqKmeansIters),
+         |enc AS (
+         |  SELECT s.vec_id, s.m, code,
+         |    round(list_sum(list_transform(range(1, $PqSub + 1),
+         |      i -> (s.sub[i]::DOUBLE - c.c_sub[i])
+         |         * (s.sub[i]::DOUBLE - c.c_sub[i]))), 6) d2
+         |  FROM sub s JOIN cb c USING (m)
+         |  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY d2, code) = 1
+         |), lut AS (
+         |  SELECT s.vec_id probe_id, s.m, c.code,
+         |    CAST(round(list_sum(list_transform(range(1, $PqSub + 1),
+         |      i -> s.sub[i]::DOUBLE * c.c_sub[i])) * 1000000.0, 0) AS BIGINT) pdotq
          |  FROM sub s JOIN cb c USING (m)
          |  WHERE s.vec_id < $NProbes
          |), adc AS (

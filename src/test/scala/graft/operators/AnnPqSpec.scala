@@ -46,6 +46,22 @@ class AnnPqSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("trained codebooks do not lose recall vs the lowest-id seed codebook") {
+    val exact = AnnOps.annTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val seed = recallOf(AnnOps.annPq(spark, sf).collect())
+    val trained = recallOf(AnnOps.annPqKmeans(spark, sf).collect())
+    // Lloyd never increases per-subspace quantization error, so the
+    // trained ADC proxy must keep at least the seed codebook's recall
+    // on the probe set — the anchor-table-swap story's payoff
+    assert(trained >= seed, s"trained recall@5 $trained < seed $seed")
+    assert(trained >= 0.5, s"trained recall@5 = $trained below the lossy-code bar")
+  }
+
   test("every corpus vector encodes to M codes in [0, K)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
