@@ -415,14 +415,15 @@ object CoreOps {
       val stats = counts.agg(
         count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
         max(col("n")).as("max_freq"))
-      // window over the 3 post-limit rows — intentionally a single
-      // tiny partition (Catalyst folds the literal partition key away,
-      // so the WindowExec warning still fires; PlanGuardsSpec allows
-      // exactly this limit-bounded shape)
+      // rank the 3 post-limit rows with NO window: collapse to one
+      // sorted array row (negated leading field = n desc) and take
+      // posexplode's position as the rank — zero WindowExec warnings
       val top = counts.orderBy(col("n").desc, col("key_value")).limit(3)
-        .withColumn("rnk",
-          row_number().over(Window.partitionBy(lit(keyCol))
-            .orderBy(col("n").desc, col("key_value"))).cast("long"))
+        .agg(array_sort(collect_list(struct((-col("n")).as("nn"),
+          col("key_value"), col("n")))).as("a"))
+        .select(posexplode(col("a")).as(Seq("p", "s")))
+        .select(col("s.key_value").as("key_value"), col("s.n").as("n"),
+          (col("p") + 1).cast("long").as("rnk"))
       top.crossJoin(broadcast(stats))
         .select(lit(keyCol).as("join_key"), col("rnk"), col("key_value"),
           col("n").as("freq"), col("n_keys"), col("n_rows"),

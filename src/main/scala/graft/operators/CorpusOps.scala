@@ -318,15 +318,18 @@ object CorpusOps {
       .withColumn("weight", round(w, 4))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(WeightedK)
-    // window over the 200 post-limit rows — intentionally a single
-    // tiny partition (Catalyst folds the literal partition key away,
-    // so the WindowExec warning still fires; PlanGuardsSpec allows
-    // exactly this limit-bounded shape)
+    // rank the ≤WeightedK post-limit rows with NO window at all: the
+    // tiny frame collapses to one array row, array_sort fixes the
+    // (es_key desc, doc_id) order via the negated leading field, and
+    // posexplode's position is the rank — same single-partition cost
+    // a global window would pay on k rows, zero WindowExec warnings
     keyed
-      .withColumn("sample_rank",
-        row_number().over(Window.partitionBy(lit(0))
-          .orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("weight"), col("sample_rank"))
+      .agg(array_sort(collect_list(struct((-col("es_key")).as("nk"),
+        col("doc_id"), col("lang"), col("n_chars"), col("weight")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("p", "s")))
+      .select(col("s.doc_id").as("doc_id"), col("s.lang").as("lang"),
+        col("s.n_chars").as("n_chars"), col("s.weight").as("weight"),
+        (col("p") + 1).cast("long").as("sample_rank"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -100,21 +100,16 @@ class PlanGuardsSpec extends AnyFunSuite {
   test("no partition-less window over a corpus-derived frame in ANY registered query") {
     import org.apache.spark.sql.execution.window.WindowExec
     // a Window.partitionBy() moves its whole input through ONE
-    // partition — the classic silent scale-killer. No whitelist:
-    // every window in every registered query must be keyed, forever
-    // (global totals are scalar aggregates broadcast-crossed back,
-    // riding a ReusedExchange — see CorpusOps.classBalance).
-    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
-    // auto-allowed: a global window whose INPUT subtree is
-    // limit-bounded (top-k frames — 3 or 200 rows by construction)
-    def limitBounded(p: SparkPlan): Boolean = walk(p).exists {
-      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
-      case _ => false
-    }
+    // partition — the classic silent scale-killer. No whitelist and
+    // no limit-bounded escape hatch: every window in every registered
+    // query must be keyed, forever. Global totals are scalar
+    // aggregates broadcast-crossed back (CorpusOps.classBalance);
+    // tiny top-k frames rank via sorted-array posexplode position
+    // (CorpusOps.weightedSample) — neither plans a WindowExec.
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filter { name =>
         nodes(SparkEntry.queries(name)(spark, sf)).exists {
-          case w: WindowExec => w.partitionSpec.isEmpty && !limitBounded(w.child)
+          case w: WindowExec => w.partitionSpec.isEmpty
           case _ => false
         }
       }
