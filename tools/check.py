@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's t2 correctness gate.
 
-Usage: python3 tools/check.py <outDir> <sfDir>
+Usage: python3 tools/check.py <outDir> <sfDir> [--only name1,name2]
   <outDir> must contain <name>/ parquet dirs written by graft.Verify
   plus oracle_sql.json. Each oracle SQL is run in DuckDB against views
   named after the tables in <sfDir>; results are compared to the Spark
   parquet by (schema-insensitive) column-name-sorted value hash.
+  --only restricts the compare to the named queries (local iteration
+  on a partial Verify dump without 100+ [MISS] lines).
 
 This file is developer tooling only — it is NOT part of the shipped
 Scala library and never runs on the cluster.
@@ -30,9 +32,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(out_dir: str, sf_dir: str) -> int:
+def main(out_dir: str, sf_dir: str, only=None) -> int:
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
+    if only:
+        missing = sorted(set(only) - set(oracle))
+        if missing:
+            print(f"[ERR ] --only names not in oracle_sql.json: {missing}")
+            return 1
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -83,7 +91,7 @@ def main(out_dir: str, sf_dir: str) -> int:
             failures += 1
     # queries without oracle: rows-only
     for d in sorted(out.iterdir()):
-        if d.is_dir() and d.name not in oracle:
+        if d.is_dir() and d.name not in oracle and (only is None or d.name in only):
             n = con.execute(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
             print(f"[ROWS-ONLY] {d.name}: {n} rows")
     print("FAILURES:", failures)
@@ -91,4 +99,10 @@ def main(out_dir: str, sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], only))
