@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Deterministic sfN-equivalent slice: tiles sf0.1 with key-offset copies.
+
+Usage: python3 tools/make_sfN.py <tiles> <outDir> [srcDir]
+  e.g.  python3 tools/make_sfN.py 10 /tmp/graft_sf1.0
+
+Tile 0 is the source unchanged; tile k offsets every key domain by
+k * (domain size), consistently across fact tables so joins stay
+referentially intact. Dimensions (region, nation) are shared, as they
+would be at any scale. The tiling is HONEST about content, not just
+keys — a naive copy would make every document/vector an exact
+duplicate of its 9 siblings and turn dedup/ANN into a degenerate
+benchmark:
+
+  - names (customer/supplier) are re-derived from the offset key, and
+    part NAME tokens are suffixed per tile, so entity-resolution and
+    token-similarity joins see 10x distinct entities, not 10 copies of
+    each name (10 copies would grow the pair output ~100x — a
+    quadratic artifact no real 10x catalog has); brand/type/segment
+    stay unmutated, as real low-cardinality dims do;
+  - document text is re-tokenized per tile (token suffix "~k"), so
+    within-tile duplicate/near-dup structure is preserved exactly
+    while cross-tile shingle overlap is zero — duplicate RATE stays
+    constant as volume grows, which is how real corpora scale;
+    n_chars is recomputed from the mutated text;
+  - embeddings are rotated by a deterministic per-tile ORTHOGONAL
+    matrix: every within-tile cosine (and norm) is preserved exactly,
+    so each tile carries the same planted near-dup structure, while
+    cross-tile cosines collapse to the random-pair distribution
+    (~N(0, 1/dim)) — a small additive perturbation would instead
+    leave 9 cross-tile twins per vector at cos ≈ 0.97 and turn the
+    cosine-threshold dedup quadratic.
+
+This file is developer tooling only (drives the 3-point scaling
+curve in SCALE.md); it never runs on the cluster.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DOMAIN = {  # key domain sizes in sf0.1 (max key + 1)
+    "customer": {"c_custkey": 15000},
+    "supplier": {"s_suppkey": 1000},
+    "part": {"p_partkey": 20000},
+    "orders": {"o_orderkey": 150000, "o_custkey": 15000},
+    "lineitem": {"l_orderkey": 150000, "l_partkey": 20000, "l_suppkey": 1000},
+    "events": {"event_id": 100000, "user_id": 1500},
+    "documents": {"doc_id": 5000},
+    "embeddings": {"vec_id": 2000},
+}
+
+
+def tile(name: str, t: pa.Table, k: int) -> pa.Table:
+    df = t.to_pandas()
+    for col, size in DOMAIN[name].items():
+        df[col] = df[col] + k * size
+    if name == "customer":
+        df["c_name"] = df["c_custkey"].map(lambda x: f"Customer#{x:09d}")
+    elif name == "supplier":
+        df["s_name"] = df["s_suppkey"].map(lambda x: f"Supplier#{x:09d}")
+    elif name == "part" and k > 0:
+        # alnum suffix (cleanName strips punctuation, so "~k" would
+        # partially collapse); substring searches for original tokens
+        # still hit via contains
+        suf = f"x{k}"
+        df["p_name"] = df["p_name"].map(
+            lambda s: " ".join(w + suf for w in s.split(" ")))
+    elif name == "documents" and k > 0:
+        suf = f"~{k}"
+        df["text"] = df["text"].map(
+            lambda s: " ".join(w + suf for w in s.split(" ")))
+        df["n_chars"] = df["text"].str.len().astype("int64")
+    elif name == "embeddings" and k > 0:
+        rng = np.random.RandomState(1000 + k)  # deterministic per tile
+        mats = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        dim = mats.shape[1]
+        q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+        q = q * np.sign(np.diag(r))  # sign-fixed => properly Haar-ish, det-stable
+        df["embedding"] = list((mats @ q).astype(np.float32))
+    return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
+
+
+def main(tiles: int, out_dir: str, src_dir: str) -> None:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for name in ["region", "nation"]:
+        t = pq.read_table(Path(src_dir) / f"{name}.parquet")
+        pq.write_table(t, out / f"{name}.parquet")
+        print(f"{name}: {t.num_rows} rows (shared dim)")
+    for name in DOMAIN:
+        t = pq.read_table(Path(src_dir) / f"{name}.parquet")
+        parts = [tile(name, t, k) for k in range(tiles)]
+        whole = pa.concat_tables(parts)
+        pq.write_table(whole, out / f"{name}.parquet")
+        print(f"{name}: {t.num_rows} -> {whole.num_rows} rows")
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1])
+    main(n, sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1")
