@@ -2,12 +2,19 @@
 """Local mirror of the driver's t2 correctness gate.
 
 Usage: python3 tools/check.py <outDir> <sfDir> [--only name1,name2]
+                              [--sql-compare name1,name2]
   <outDir> must contain <name>/ parquet dirs written by graft.Verify
   plus oracle_sql.json. Each oracle SQL is run in DuckDB against views
   named after the tables in <sfDir>; results are compared to the Spark
   parquet by (schema-insensitive) column-name-sorted value hash.
   --only restricts the compare to the named queries (local iteration
   on a partial Verify dump without 100+ [MISS] lines).
+  --sql-compare uses a DuckDB symmetric-EXCEPT compare (plus row
+  counts) for the named queries instead of materializing both sides
+  as pandas frames — same accept/reject decision, but it scales to
+  the 100M-row pair outputs of the sf1.0 slice that pandas cannot
+  hold. Values compare exactly (the queries round in-plan), so
+  EXCEPT-equality == the frame compare for these outputs.
 
 This file is developer tooling only — it is NOT part of the shipped
 Scala library and never runs on the cluster.
@@ -32,8 +39,40 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(out_dir: str, sf_dir: str, only=None) -> int:
+def sql_compare(con, name: str, spark_path: Path, oracle_sql: str) -> bool:
+    """DuckDB-side compare for outputs too large for pandas: identical
+    column sets, identical row counts, and an empty symmetric EXCEPT
+    ALL (so duplicate-row multiplicity differences are caught too).
+    """
+    got_cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{spark_path}/*.parquet')").fetchall()]
+    con.execute(f"CREATE OR REPLACE TEMP VIEW _want AS {oracle_sql}")
+    want_cols = [r[0] for r in con.execute("DESCRIBE _want").fetchall()]
+    if sorted(got_cols) != sorted(want_cols):
+        print(f"[COLS] {name}: spark={sorted(got_cols)} duck={sorted(want_cols)}")
+        return False
+    cols = ", ".join(f'"{c}"' for c in sorted(got_cols))
+    con.execute(f"CREATE OR REPLACE TEMP VIEW _got AS "
+                f"SELECT {cols} FROM read_parquet('{spark_path}/*.parquet')")
+    con.execute(f"CREATE OR REPLACE TEMP VIEW _wants AS SELECT {cols} FROM _want")
+    n_got = con.execute("SELECT count(*) FROM _got").fetchone()[0]
+    n_want = con.execute("SELECT count(*) FROM _wants").fetchone()[0]
+    if n_got != n_want:
+        print(f"[ROWS] {name}: spark={n_got} duck={n_want}")
+        return False
+    ndiff = con.execute(
+        "SELECT count(*) FROM ((SELECT * FROM _got EXCEPT ALL SELECT * FROM _wants)"
+        " UNION ALL (SELECT * FROM _wants EXCEPT ALL SELECT * FROM _got))").fetchone()[0]
+    if ndiff:
+        print(f"[HASH] {name}: {ndiff} rows differ (sql-compare)")
+        return False
+    print(f"[ OK ] {name}: {n_got} rows (sql-compare)")
+    return True
+
+
+def main(out_dir: str, sf_dir: str, only=None, sql_cmp=None) -> int:
     out = Path(out_dir)
+    sql_cmp = sql_cmp or set()
     oracle = json.loads((out / "oracle_sql.json").read_text())
     if only:
         missing = sorted(set(only) - set(oracle))
@@ -54,6 +93,10 @@ def main(out_dir: str, sf_dir: str, only=None) -> int:
             failures += 1
             continue
         try:
+            if name in sql_cmp:
+                if not sql_compare(con, name, spark_path, oracle[name]):
+                    failures += 1
+                continue
             got = canon(con.execute(
                 f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df())
             want = canon(con.execute(oracle[name]).df())
@@ -101,8 +144,13 @@ def main(out_dir: str, sf_dir: str, only=None) -> int:
 if __name__ == "__main__":
     args = sys.argv[1:]
     only = None
+    sql_cmp = set()
     if "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         args = args[:i] + args[i + 2:]
-    sys.exit(main(args[0], args[1], only))
+    if "--sql-compare" in args:
+        i = args.index("--sql-compare")
+        sql_cmp = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], only, sql_cmp))

@@ -20,9 +20,15 @@ trap 'rm -rf "$OUT"' EXIT
 
 tools/run.sh graft.Verify "$SF" "$OUT/clean" q1_agg >/dev/null
 
-# ---- positive control: the untouched dump passes the gate
+# ---- positive control: the untouched dump passes the gate on both
+# compare paths
 if ! python3 tools/check.py "$OUT/clean" "$SF" --only q1_agg | grep -q '^\[ OK \] q1_agg'; then
   echo "NEGATIVE-CONTROL: FAIL — positive control did not pass the checker"
+  exit 1
+fi
+if ! python3 tools/check.py "$OUT/clean" "$SF" --only q1_agg --sql-compare q1_agg \
+    | grep -q '^\[ OK \] q1_agg'; then
+  echo "NEGATIVE-CONTROL: FAIL — positive control did not pass sql-compare"
   exit 1
 fi
 
@@ -40,9 +46,15 @@ import pyarrow as pa, pyarrow.parquet as pq
 pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                f"{out}/{name}/q1_agg/part-0.parquet")
 PY
-  # the corrupted dump must FAIL the gate, with the expected category
+  # the corrupted dump must FAIL the gate — through BOTH compare
+  # paths (pandas frames and the large-output DuckDB sql-compare)
   if python3 tools/check.py "$OUT/$name" "$SF" --only q1_agg | grep -q '^\[ OK \] q1_agg'; then
     echo "NEGATIVE-CONTROL: FAIL — checker passed a dump with a $name"
+    exit 1
+  fi
+  if python3 tools/check.py "$OUT/$name" "$SF" --only q1_agg --sql-compare q1_agg \
+      | grep -q '^\[ OK \] q1_agg'; then
+    echo "NEGATIVE-CONTROL: FAIL — sql-compare passed a dump with a $name"
     exit 1
   fi
   echo "caught: $name"
