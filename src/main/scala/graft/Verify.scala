@@ -17,10 +17,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // coalesce(1) keeps the driver's per-query dump a single file, but
+    // it also caps the WRITE stage at one thread — at the sf1.0 slice
+    // the pair queries emit 10^8 rows and the single-file write (not
+    // the query) dominates. Local big-SF runs set SPARK_GRAFT_NO_COALESCE=1;
+    // the checker reads <name>/*.parquet either way.
+    val noCoalesce = sys.env.get("SPARK_GRAFT_NO_COALESCE").contains("1")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          val df = fn(spark, sfDir)
+          (if (noCoalesce) df else df.coalesce(1))
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
