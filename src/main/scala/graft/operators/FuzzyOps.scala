@@ -113,7 +113,9 @@ object FuzzyOps {
     floor(cbrt(lit(6.0) * ncUb) + lit(2.0)).cast("int")
 
   /** Co-gram counts for pairs within one keyed token-array frame
-    * `base(key, toks)`, blocked on `gramsOf(toks)` keys.
+    * `base(key, toks, cnt)`, blocked on `gramsOf(toks)` keys —
+    * `cnt` is the row multiplicity the key stands for (1 for a plain
+    * row frame; the member count when rows are distinct-set reps).
     *
     * Returns `(pairs(k1, k2, nc), hotCnt(k, hd))`: per ordered pair,
     * the number of SHARED gram keys that survived the df-cap; per
@@ -126,10 +128,15 @@ object FuzzyOps {
   private[operators] def selfPairCounts(
       base: DataFrame, key: String, cap: Int,
       gramsOf: Column => Column = bigramsOf): (DataFrame, DataFrame) = {
-    val bg = base.select(col(key).as("k"), explode(gramsOf(col("toks"))).as("c"))
-    val hot = bg.groupBy("c").agg(count(lit(1)).as("df"))
+    // df is row-WEIGHTED: `base` rows are distinct token sets carrying
+    // their row multiplicity in `cnt`, so sum(cnt) per gram key is
+    // exactly the row-level document frequency the cap contract (and
+    // the oracle SQL) is defined over
+    val bg = base.select(col(key).as("k"), explode(gramsOf(col("toks"))).as("c"),
+      col("cnt"))
+    val hot = bg.groupBy("c").agg(sum(col("cnt")).as("df"))
       .filter(col("df") > cap).select("c")
-    val kept = bg.join(broadcast(hot), Seq("c"), "left_anti")
+    val kept = bg.drop("cnt").join(broadcast(hot), Seq("c"), "left_anti")
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.c") === col("b.c") && col("a.k") < col("b.k"))
       .groupBy(col("a.k").as("k1"), col("b.k").as("k2"))
@@ -198,17 +205,57 @@ object FuzzyOps {
     *     and their union is exactly the inter ≥ 2 ∧ jac ≥ 0.5 result.
     */
   private[operators] def tokenJaccardFrame(base: DataFrame, cap: Int): DataFrame = {
-    val tri = coPairJac(base, cap, trigramsOf, interFromNc3, interUbFromNc3, minInter = 3)
-    val small = coPairJac(base.filter(size(col("toks")) <= 4), cap,
+    // DISTINCT-SET altitude (the [[FuzzyJoin]] canonicalization story
+    // applied to whole token sets): candidate generation, the df-cap
+    // and the similarity are all pure functions of the token SET, so
+    // both strata run over DISTINCT sets — with the df-cap
+    // row-WEIGHTED (each set carries its row count) so the row-level
+    // hot-key contract is unchanged — and row pairs fan back out
+    // through two membership joins at the end. Corpus-adaptive: on
+    // near-unique content the set table ≈ the row table and this is
+    // the old plan plus one cheap window; on duplicate-heavy content
+    // (short name+type vocabularies, boilerplate mirrors) the
+    // quadratic pair-bucket work collapses onto the distinct sets and
+    // the (irreducible) output volume is produced by two codegen'd
+    // fan-out joins instead of riding the pair aggregation. Measured
+    // at sf0.1: the row-level plan aggregated 13M bucket-join rows
+    // into 11.9M groups; the set-level core aggregates ~65k.
+    val bySet = Window.partitionBy(col("toks"))
+    val tagged = base
+      .withColumn("sid", min(col("k")).over(bySet))
+      .withColumn("cnt", count(lit(1)).over(bySet))
+    val setrep = tagged.filter(col("k") === col("sid"))
+      .select(col("k"), col("toks"), col("cnt"))
+    val members = tagged.select(col("sid"), col("k"))
+    // set-level strata: exactly the old row-level logic, one altitude up
+    val tri = coPairJac(setrep, cap, trigramsOf, interFromNc3, interUbFromNc3, minInter = 3)
+    val small = coPairJac(setrep.filter(size(col("toks")) <= 4), cap,
         bigramsOf, interFromNc, interUbFromNc, minInter = 2)
       .filter(col("inter") === 2)
+    val setPairs = tri.union(small)
+      .filter(col("inter") >= 2 && col("jac") >= 0.5)
+    // fan-out 1: cross-set row pairs — every member of sid1 against
+    // every member of sid2. Distinct sets are disjoint row
+    // populations, so least/greatest restores k1 < k2 losslessly.
+    val cross = setPairs
+      .join(members.select(col("sid").as("k1"), col("k").as("m1")), "k1")
+      .join(members.select(col("sid").as("k2"), col("k").as("m2")), "k2")
+      .select(least(col("m1"), col("m2")).as("k1"),
+        greatest(col("m1"), col("m2")).as("k2"), col("jac"))
+    // fan-out 2: intra-set row pairs — identical token sets are
+    // jac 1.0 by definition; inter = |toks| must still clear the
+    // ≥ 2 shared-tokens contract
+    val intra = tagged.filter(size(col("toks")) >= 2)
+      .select(col("sid"), col("k").as("m1"))
+      .join(tagged.select(col("sid"), col("k").as("m2")), "sid")
+      .filter(col("m1") < col("m2"))
+      .select(col("m1").as("k1"), col("m2").as("k2"), lit(1.0).as("jac"))
     // no presentation orderBy: at sf0.1 the output is 11.9M rows, and a
     // range sort adds a wide exchange plus the range-partitioner
     // sampling pass over the full pair pipeline — pure waste when the
     // driver's checker row-sorts before hashing and every in-repo
     // consumer (CC, resolve) is order-insensitive
-    tri.union(small)
-      .filter(col("inter") >= 2 && col("jac") >= 0.5)
+    cross.union(intra)
       .select(col("k1"), col("k2"), round(col("jac"), 6).as("jac"))
   }
 
