@@ -613,44 +613,24 @@ object DedupOps {
   private[operators] def chunkDedupFrame(docs: DataFrame): DataFrame = {
     val base = repartByKey(docs, col("doc_id"))
       .select(col("doc_id"), toks(col("text")).as("toks"))
-    // boundary flags per window start; padded with zeros to |toks|
-    val flags = transform(Hashing.shingles(col("toks"), ChunkK),
-      s => when(Hashing.hex32(s) % ChunkDiv === 0, lit(1L)).otherwise(lit(0L)))
-    val padded =
-      slice(concat(flags, array_repeat(lit(0L), ChunkK)), lit(1), size(col("toks")))
-    // chunking stays ARRAY-NATIVE end to end: chunk start positions =
-    // {0} ∪ {p : flag(p) = 1} (the running-sum-over-exploded-tokens
-    // formulation, re-expressed as slices between consecutive starts),
-    // each chunk md5'd in place. No token-level explode exists at any
-    // point — the only generated rows are the ~|toks|/ChunkDiv chunk
-    // hashes, so the shuffle carries chunk rows, never token rows
-    // (at web scale that is a ~16× smaller exchange and no per-doc
-    // sort at all).
-    // positions derived via ONE zip_with so the padded-flag expression
-    // is evaluated once per ROW — an element_at(padded, p) inside a
-    // filter lambda would let CollapseProject inline the whole O(L)
-    // flag computation into the per-ELEMENT lambda body, going O(L²)
-    // per document (measured: 1.6 s → 133 s at sf0.1)
-    val flagPos = zip_with(padded, sequence(lit(0), size(col("toks")) - 1),
-      (f, p) => when(f === 1L, p).otherwise(lit(-1)))
-    val startsExpr = array_distinct(concat(array(lit(0)), array_remove(flagPos, -1)))
-    // ONE evaluation of the O(L)-md5 starts expression: behind a
-    // Generate barrier (explode of a 1-element array) it becomes an
-    // attribute, so CollapseProject cannot inline the window-hash
-    // computation into each of its three downstream references
-    // (measured: the collapsed plan carried 14 copies of the
-    // window-md5 subtree and ran 2.7× slower)
-    val prepared = base
-      .select(col("doc_id"), col("toks"),
-        explode(array(startsExpr)).as("starts"))
-      .withColumn("ends", concat(
-        slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
-        array(size(col("toks")))))
-      .withColumn("chs", zip_with(col("starts"), col("ends"),
-        (s, e) => md5(concat_ws(" ", slice(col("toks"), s + 1, e - s)).cast("binary"))))
+    // the whole per-document chunk pipeline (window hashes → boundary
+    // flags → chunk slices → chunk md5s) evaluates as ONE native
+    // Catalyst expression, plans/TextExpressions.ChunkHashesExpr.
+    // Chunking stays token-explode-free: the only generated rows are
+    // the ~|toks|/ChunkDiv chunk hashes, so the shuffle carries chunk
+    // rows, never token rows (at web scale a ~16× smaller exchange
+    // and no per-doc sort). The earlier array-expression formulation
+    // (see SCALE.md's CollapseProject-trap entries) had the same
+    // runtime shape but its plan was the bottleneck: analysis +
+    // janino compilation of the giant nested-lambda projection
+    // measured ~5 s per fresh session at sf0.1 vs ~2 s of compute —
+    // paid on every full-registry bench pass (108 queries overflow
+    // the 100-entry codegen cache) and by every first-time user.
     // a repeated section WITHIN one doc yields two chunk rows with the
     // same hash — explode, not explode∘distinct, preserves that
-    val perChunk = prepared.select(col("doc_id"), explode(col("chs")).as("chunk_hash"))
+    val perChunk = base.select(col("doc_id"),
+      explode(graft.plans.TextExpressions.chunkHashesNative(
+        col("toks"), ChunkK, ChunkDiv)).as("chunk_hash"))
     val shared = perChunk.groupBy("chunk_hash")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("chunk_hash"), lit(1).as("sh"))
