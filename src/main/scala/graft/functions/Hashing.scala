@@ -20,27 +20,25 @@ object Hashing {
   /** k-gram shingles over a token array: contiguous k-token windows
     * joined by single spaces.
     *
-    * Built by zipping k shifted slices of the array rather than
-    * `transform(sequence(...), i => slice(toks, i, k))`: in the latter
-    * form `toks` sits INSIDE the lambda body, so the (interpreted)
-    * evaluator re-computes the whole token expression once per window
-    * index — O(L²) per document, and the dominant cost of the ngram
-    * dedup suite when `toks` is itself a `split(text)`. The zipped
-    * form references `toks` a constant number of times per row.
+    * Evaluates as ONE native Catalyst node
+    * (plans/TextExpressions.ShinglesExpr). Two earlier formulations
+    * died of measured diseases: `transform(sequence(...), i =>
+    * slice(toks, i, k))` re-computes the whole token expression per
+    * window index (O(L²)/doc in the interpreted evaluator), and the
+    * k-shifted-slice `zip_with` reduction that replaced it fixed the
+    * runtime but left a k-deep lambda tree whose analysis + janino
+    * compilation dominated fresh-session latency — duplicated into
+    * every consumer's plan, multiple seconds per dedup query.
     */
-  def shingles(toks: Column, k: Int): Column = {
-    val n = greatest(size(toks) - (k - 1), lit(0))
-    val windows = (1 to k).map(off => slice(toks, lit(off), n))
-    windows.reduceLeft((acc, next) =>
-      zip_with(acc, next, (a, b) => concat_ws(" ", a, b)))
-  }
+  def shingles(toks: Column, k: Int): Column =
+    graft.plans.TextExpressions.shinglesNative(toks, k)
 
   /** MinHash signature value for one "permutation": the minimum md5 hex
     * string of (seed ‖ shingle). Lexicographic min over hex strings is
     * a valid uniform min-hash and is engine-portable.
     */
   def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
+    graft.plans.TextExpressions.minhashNative(shingleArr, s"$seed:")
 
   /** LSH band key: md5 over the concatenation of `rows` minhash values
     * for band `band`.

@@ -220,13 +220,22 @@ object FuzzyOps {
     // fan-out joins instead of riding the pair aggregation. Measured
     // at sf0.1: the row-level plan aggregated 13M bucket-join rows
     // into 11.9M groups; the set-level core aggregates ~65k.
-    val bySet = Window.partitionBy(col("toks"))
-    val tagged = base
-      .withColumn("sid", min(col("k")).over(bySet))
-      .withColumn("cnt", count(lit(1)).over(bySet))
-    val setrep = tagged.filter(col("k") === col("sid"))
-      .select(col("k"), col("toks"), col("cnt"))
-    val members = tagged.select(col("sid"), col("k"))
+    // ONE aggregation builds the whole set layer: rep id, row count
+    // AND the member list (sorted, so intra-set pair order is free).
+    // Carrying `ks` in the set row keeps every downstream consumer —
+    // reps, membership fan-out, intra-set pairs — derived from this
+    // single groupBy subtree instead of re-referencing `base` through
+    // a window (measured: the window formulation re-expanded the
+    // scan+window subplan ~20×, and pure stage-scheduling overhead
+    // dominated the core at ~3.4 s over ~360 sets). Member lists are
+    // bounded by the same quantity that bounds the OUTPUT (an m-row
+    // identical-content group emits C(m,2) pairs by contract), so the
+    // collect_list cannot be the thing that breaks first at scale.
+    val sets = base.groupBy(col("toks")).agg(
+      min(col("k")).as("sid"), count(lit(1)).as("cnt"),
+      sort_array(collect_list(col("k"))).as("ks"))
+    val setrep = sets.select(col("sid").as("k"), col("toks"), col("cnt"))
+    val members = sets.select(col("sid"), explode(col("ks")).as("k"))
     // set-level strata: exactly the old row-level logic, one altitude up
     val tri = coPairJac(setrep, cap, trigramsOf, interFromNc3, interUbFromNc3, minInter = 3)
     val small = coPairJac(setrep.filter(size(col("toks")) <= 4), cap,
@@ -244,12 +253,13 @@ object FuzzyOps {
         greatest(col("m1"), col("m2")).as("k2"), col("jac"))
     // fan-out 2: intra-set row pairs — identical token sets are
     // jac 1.0 by definition; inter = |toks| must still clear the
-    // ≥ 2 shared-tokens contract
-    val intra = tagged.filter(size(col("toks")) >= 2)
-      .select(col("sid"), col("k").as("m1"))
-      .join(tagged.select(col("sid"), col("k").as("m2")), "sid")
-      .filter(col("m1") < col("m2"))
-      .select(col("m1").as("k1"), col("m2").as("k2"), lit(1.0).as("jac"))
+    // ≥ 2 shared-tokens contract. `ks` is sorted, so pairing each
+    // member with every later one yields k1 < k2 with no join at all.
+    val intra = sets.filter(col("cnt") >= 2 && size(col("toks")) >= 2)
+      .select(explode(flatten(transform(col("ks"), (a, i) =>
+        transform(slice(col("ks"), i + lit(2), size(col("ks"))),
+          b => struct(a.as("k1"), b.as("k2")))))).as("p"))
+      .select(col("p.k1").as("k1"), col("p.k2").as("k2"), lit(1.0).as("jac"))
     // no presentation orderBy: at sf0.1 the output is 11.9M rows, and a
     // range sort adds a wide exchange plus the range-partitioner
     // sampling pass over the full pair pipeline — pure waste when the

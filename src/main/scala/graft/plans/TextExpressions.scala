@@ -122,4 +122,108 @@ object TextExpressions {
 
   def chunkHashesNative(toks: Column, k: Int, div: Int): Column =
     ColumnBridge.column(ChunkHashesExpr(ColumnBridge.expression(toks), k, div))
+
+  /** Static entry point referenced from generated code. */
+  def shinglesCompute(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val ns = math.max(n - (k - 1), 0)
+    val out = new Array[AnyRef](ns)
+    var i = 0
+    while (i < ns) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Contiguous k-token windows joined by single spaces — the native
+    * form of the k-shifted-slice `zip_with` reduction the functions
+    * layer used to build (functions/Hashing.shingles). Same output;
+    * the k-deep lambda tree (duplicated per consumer, paid in
+    * analysis + janino time on every fresh plan) becomes one node.
+    */
+  case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"shingles: k must be >= 1, got $k")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"shingles expects array<string>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      shinglesCompute(a.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.TextExpressions.shinglesCompute($a, $k);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def shinglesNative(toks: Column, k: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(toks), k))
+
+  /** Static entry point referenced from generated code. Returns null
+    * for an empty shingle array (the `array_min` convention).
+    */
+  def minhashCompute(shingles: ArrayData, prefix: UTF8String): AnyRef = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val pre = prefix.toString
+    var best: String = null
+    var i = 0
+    while (i < n) {
+      val h = md5hex(md, pre + shingles.getUTF8String(i).toString)
+      if (best == null || h.compareTo(best) < 0) best = h
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
+
+  /** Minimum md5 hex over `prefix ‖ shingle` — one native node in
+    * place of `array_min(transform(arr, s => md5(concat(...))))`,
+    * whose per-seed lambda trees dominate plan-compile time when a
+    * signature matrix needs bands × rows of them. Lexicographic min
+    * over lowercase hex strings, null on an empty array — exactly the
+    * `array_min` convention the HOF form had.
+    */
+  case class MinHashExpr(child: Expression, prefix: UTF8String)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"minhash expects array<string>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      minhashCompute(a.asInstanceOf[ArrayData], prefix)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pre = ctx.addReferenceObj("prefix", prefix)
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = (org.apache.spark.unsafe.types.UTF8String)
+        |  graft.plans.TextExpressions.minhashCompute($a, $pre);
+        |${ev.isNull} = ${ev.value} == null;
+        |""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def minhashNative(shingleArr: Column, prefix: String): Column =
+    ColumnBridge.column(MinHashExpr(
+      ColumnBridge.expression(shingleArr), UTF8String.fromString(prefix)))
 }
