@@ -16,6 +16,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // hold every registry query's generated classes (default cache
+      // is 100 entries; 108 queries × several classes each thrash it,
+      // re-paying janino compiles on every pass)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/shuffle/parquet/broadcast-machinery warmup so the

@@ -20,6 +20,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the registry carries 100+ distinct query plans; the default
+      // 100-entry generated-class cache (janino output) thrashes on a
+      // full sweep, re-paying multi-second compiles per pass. Static
+      // conf — must be set before the first session is built.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
 
   def local(cpus: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
     val spark = builder(cpus).getOrCreate()

@@ -21,7 +21,12 @@ class NegativeControlSpec extends AnyFunSuite {
 
   private def run(cmd: Seq[String]): (Int, String) = {
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    // decode leniently (String replaces malformed sequences): the
+    // tool output can carry stray non-UTF8 bytes (e.g. a parquet
+    // fragment echoed into an error line), and a strict Source.mkString
+    // would fail the spec on the decode instead of the assertion
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
     (p.waitFor(), out)
   }
 
