@@ -64,4 +64,18 @@ corrupt "perturbed-value"  'df.iloc[0, df.columns.get_loc("sum_qty")] += 1'
 corrupt "dropped-row"      'df = df.iloc[1:]'
 corrupt "renamed-column"   'df = df.rename(columns={"sum_qty": "sum_qty2"})'
 
-echo "NEGATIVE-CONTROL: PASS (clean dump accepted, all 3 corruptions caught)"
+# ---- tools/dump_compare.py (the refactor transfer-proof) must also
+# be able to say NO: identical dumps pass, a perturbed copy fails
+if ! python3 tools/dump_compare.py "$OUT/clean" "$OUT/clean" q1_agg \
+    | grep -q '^\[ OK \] q1_agg'; then
+  echo "NEGATIVE-CONTROL: FAIL — dump_compare rejected identical dumps"
+  exit 1
+fi
+if python3 tools/dump_compare.py "$OUT/clean" "$OUT/perturbed-value" q1_agg \
+    | grep -q '^\[ OK \] q1_agg'; then
+  echo "NEGATIVE-CONTROL: FAIL — dump_compare passed a perturbed dump"
+  exit 1
+fi
+echo "caught: dump-compare-perturbed"
+
+echo "NEGATIVE-CONTROL: PASS (clean dump accepted, all corruptions caught)"
