@@ -50,12 +50,19 @@ object TextExpressions {
     sb.toString
   }
 
+  private def tokenAt(toks: ArrayData, i: Int, who: String): String = {
+    val u = toks.getUTF8String(i)
+    if (u == null) throw new IllegalArgumentException(
+      s"$who: null token at index $i — input must be a split() output (non-null elements)")
+    u.toString
+  }
+
   /** Static entry point referenced from generated code. */
   def chunkHashesCompute(toks: ArrayData, k: Int, div: Int): ArrayData = {
     val n = toks.numElements()
     val t = new Array[String](n)
     var i = 0
-    while (i < n) { t(i) = toks.getUTF8String(i).toString; i += 1 }
+    while (i < n) { t(i) = tokenAt(toks, i, "chunk_hashes"); i += 1 }
     val md = MessageDigest.getInstance("MD5")
     val ns = math.max(n - (k - 1), 0)
     // boundary starts: position 0 always, plus every flagged window start
@@ -134,7 +141,7 @@ object TextExpressions {
       var j = i
       while (j < i + k) {
         if (j > i) sb.append(' ')
-        sb.append(toks.getUTF8String(j).toString)
+        sb.append(tokenAt(toks, j, "shingles"))
         j += 1
       }
       out(i) = UTF8String.fromString(sb.toString)
@@ -183,7 +190,7 @@ object TextExpressions {
     var best: String = null
     var i = 0
     while (i < n) {
-      val h = md5hex(md, pre + shingles.getUTF8String(i).toString)
+      val h = md5hex(md, pre + tokenAt(shingles, i, "minhash"))
       if (best == null || h.compareTo(best) < 0) best = h
       i += 1
     }
