@@ -67,6 +67,51 @@ object Vectors {
     * `sigs(vec_id, band, sig)` for table alias `src`(vec_id, embedding)
     * with `bands × bitsPerBand` planes over `dim` dimensions.
     */
+  /** The corpus-adaptive bits-per-band rule shared by
+    * [[graft.operators.DedupOps.dedupEmbedding]] and its oracle:
+    * enough bits that the expected band-bucket occupancy stays near
+    * `target` (2^bits ∝ n keeps candidate volume LINEAR in corpus
+    * size; any static bits is n²/2^bits — quadratic). The 1e-9 slack
+    * inside the ceil keeps the two engines' float log2 from straddling
+    * an integer boundary when n/target is an exact power of two.
+    */
+  def adaptiveBits(n: Long, minBits: Int, target: Int): Int =
+    math.max(minBits,
+      math.ceil(math.log(math.max(n, 1L).toDouble / target) / math.log(2.0) - 1e-9).toInt)
+
+  /** [[sqlHyperplaneSigsCte]] with the [[adaptiveBits]] rule computed
+    * IN SQL from `src`'s row count — the oracle stays a pure mirror of
+    * the data-dependent banding with no value baked in.
+    */
+  def sqlHyperplaneSigsCteAdaptive(src: String, bands: Int, dim: Int,
+      minBits: Int, target: Int, cntSrc: String = ""): String =
+    s"""prm AS (
+       |  SELECT greatest($minBits,
+       |           CAST(ceil(log2(greatest(count(*), 1) / $target.0) - 1e-9) AS INT)) bits
+       |  FROM ${if (cntSrc.nonEmpty) cntSrc else src}
+       |), qv AS (
+       |  SELECT vec_id, list_transform(range(0, $dim),
+       |           i -> CAST(floor(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT)) q
+       |  FROM $src
+       |), planes AS (
+       |  -- range() cannot take a subquery bound; generate to a fixed
+       |  -- 20-bit ceiling (2^20 buckets ≈ 50M vectors at target 50)
+       |  -- and filter to the adaptive count
+       |  SELECT t.seed, list_transform(range(0, $dim),
+       |           i -> (('0x' || substr(md5(t.seed || ':' || i), 1, 8))::BIGINT % 100000) - 50000) w
+       |  FROM range(0, $bands * 20) t(seed)
+       |  WHERE t.seed < $bands * (SELECT bits FROM prm)
+       |), pbits AS (
+       |  SELECT qv.vec_id, p.seed,
+       |         CASE WHEN CAST(list_sum(list_transform(range(0, $dim),
+       |                    i -> qv.q[i + 1] * p.w[i + 1])) AS BIGINT) >= 0 THEN 1 ELSE 0 END bt
+       |  FROM qv CROSS JOIN planes p
+       |), sigs AS (
+       |  SELECT vec_id, seed // (SELECT bits FROM prm) band,
+       |         CAST(sum(bt << (seed % (SELECT bits FROM prm))) AS BIGINT) sig
+       |  FROM pbits GROUP BY 1, 2
+       |)""".stripMargin
+
   def sqlHyperplaneSigsCte(src: String, bands: Int, bitsPerBand: Int, dim: Int): String =
     s"""qv AS (
        |  SELECT vec_id, list_transform(range(0, $dim),

@@ -374,7 +374,12 @@ object DedupOps {
   }
 
   private val EmbBands = 24
+  /** FLOOR on bits per band; the effective value is corpus-adaptive
+    * ([[graft.functions.Vectors.adaptiveBits]], 2^bits ∝ n).
+    */
   private val EmbBits = 6
+  /** Target expected band-bucket occupancy the adaptive rule holds. */
+  private val EmbBucketTarget = 50
   private val EmbCosThreshold = 0.5
 
   /** Embedding cosine near-dup pairs: random-hyperplane LSH prefilter
@@ -398,9 +403,30 @@ object DedupOps {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+    // corpus-adaptive banding: the round-10 three-point curve caught
+    // this query super-linear (e ≈ 1.5 over sf0.1 → sf1.0) — with
+    // STATIC bits, bucket occupancy grows ∝ n and the bucket
+    // self-join ∝ n². Sizing 2^bits ∝ n (constant ~[[EmbBucketTarget]]
+    // expected occupancy) restores linear candidate volume; the
+    // oracle computes the identical rule from count(*)
+    // (Vectors.sqlHyperplaneSigsCteAdaptive). The count here is one
+    // metadata-cheap driver action sizing the index — the same class
+    // of statistic AQE reads, not a data collect.
+    val bits = graft.functions.Vectors.adaptiveBits(
+      Tables.embeddings(spark, dir).count(), EmbBits, EmbBucketTarget)
+    dedupEmbeddingFrame(e, bits).orderBy("v1", "v2")
+  }
+
+  /** Banded-LSH + exact-verify core of [[dedupEmbedding]]: `e` must
+    * carry (vec_id, embedding, nrm). `bits` is the per-band signature
+    * width — passed in so the recall probe can run the PRODUCTION
+    * banding over a sample.
+    */
+  private def dedupEmbeddingFrame(e: DataFrame, bits: Int): DataFrame = {
+    import graft.plans.VectorExpressions
     val banded = e.select(col("vec_id"),
       posexplode(VectorExpressions.hyperplaneSigsNative(
-        col("embedding"), EmbBands, EmbBits, AnnOps.Dim)).as(Seq("band", "sig")))
+        col("embedding"), EmbBands, bits, AnnOps.Dim)).as(Seq("band", "sig")))
     // candidate ids only through the keyed bucket join; embeddings
     // re-attach after distinct so vectors never ride the shuffle
     val cand = banded.as("a").join(banded.as("b"),
@@ -415,7 +441,50 @@ object DedupOps {
         col("e1"), col("n1"), col("e2"), col("n2")), 6))
       .filter(col("cos") >= EmbCosThreshold)
       .select(col("v1"), col("v2"), col("cos"))
-      .orderBy("v1", "v2")
+  }
+
+  /** 1-in-[[EmbRecallMod]] deterministic vec_id sample. */
+  private[operators] val EmbRecallMod = 2
+
+  /** Sampled recall of the adaptive-banded embedding dedup — the
+    * measured dial for the round-10 corpus-adaptive bits rule, the
+    * [[minhashRecall]] pattern in vector space: truth = brute-force
+    * all-pairs cosine ≥ τ over the sample (quadratic, which is why it
+    * runs on a sample), found = the PRODUCTION banding (bits from the
+    * FULL corpus count, so the probe measures the deployed
+    * configuration) restricted to the same sample. Chance-aligned
+    * threshold-edge pairs are exactly where sign-LSH is weakest, so
+    * recall here is the honest lower bound a pipeline operator reads
+    * before trusting the banded pass at a new scale.
+    */
+  def embDedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val bits = graft.functions.Vectors.adaptiveBits(
+      Tables.embeddings(spark, dir).count(), EmbBits, EmbBucketTarget)
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % EmbRecallMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    val truth = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")),
+        col("v1") < col("v2"))
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("e1"), col("n1"), col("e2"), col("n2")), 6))
+      .filter(col("cos") >= EmbCosThreshold)
+      .select(col("v1"), col("v2")).withColumn("t", lit(1))
+    val found = dedupEmbeddingFrame(e, bits)
+      .select(col("v1"), col("v2")).withColumn("f", lit(1))
+    truth.join(found, Seq("v1", "v2"), "full_outer")
+      .agg(
+        count(col("t")).as("n_truth"),
+        count(col("f")).as("n_found"),
+        coalesce(sum(when(col("t").isNotNull && col("f").isNotNull, 1L)), lit(0L)).as("n_hit"))
+      .select(
+        col("n_truth"), col("n_found"), col("n_hit"),
+        when(col("n_truth") > 0,
+          round(col("n_hit") / col("n_truth").cast("double"), 6)).as("recall"),
+        (col("n_found") - col("n_hit")).as("n_extra"))
   }
 
   /** O(n²) all-pairs baseline for [[dedupEmbedding]] — test-only: the
@@ -682,6 +751,7 @@ object DedupOps {
     "q_minhash_recall" -> (minhashRecall _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_emb_dedup_recall" -> (embDedupRecall _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_dedup_incremental" -> (dedupIncremental _))
@@ -969,9 +1039,49 @@ object DedupOps {
         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
         |WHERE $sqlSimhashHam <= $SimHammingMax
         |ORDER BY d1, d2""".stripMargin,
+    "q_emb_dedup_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % $EmbRecallMod = 0
+         |),
+         |${graft.functions.Vectors.sqlHyperplaneSigsCteAdaptive(
+             "e", EmbBands, AnnOps.Dim, EmbBits, EmbBucketTarget, cntSrc = "embeddings")},
+         |cosp AS (
+         |  SELECT a.vec_id v1, b.vec_id v2,
+         |    round(
+         |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |               i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+         |               i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |), truth AS (
+         |  SELECT v1, v2 FROM cosp WHERE cos >= $EmbCosThreshold
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id v1, b.vec_id v2
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |), found AS (
+         |  SELECT c.v1, c.v2 FROM cand c JOIN cosp p ON p.v1 = c.v1 AND p.v2 = c.v2
+         |  WHERE p.cos >= $EmbCosThreshold
+         |), j AS (
+         |  SELECT tr.v1 IS NOT NULL it, f.v1 IS NOT NULL fnd
+         |  FROM truth tr FULL OUTER JOIN found f ON tr.v1 = f.v1 AND tr.v2 = f.v2
+         |)
+         |SELECT CAST(coalesce(sum(CASE WHEN it THEN 1 ELSE 0 END), 0) AS BIGINT) n_truth,
+         |       CAST(coalesce(sum(CASE WHEN fnd THEN 1 ELSE 0 END), 0) AS BIGINT) n_found,
+         |       CAST(coalesce(sum(CASE WHEN it AND fnd THEN 1 ELSE 0 END), 0) AS BIGINT) n_hit,
+         |       CASE WHEN coalesce(sum(CASE WHEN it THEN 1 ELSE 0 END), 0) > 0 THEN
+         |         round(coalesce(sum(CASE WHEN it AND fnd THEN 1 ELSE 0 END), 0)
+         |               / coalesce(sum(CASE WHEN it THEN 1 ELSE 0 END), 0)::DOUBLE, 6)
+         |       END recall,
+         |       CAST(coalesce(sum(CASE WHEN fnd THEN 1 ELSE 0 END), 0)
+         |            - coalesce(sum(CASE WHEN it AND fnd THEN 1 ELSE 0 END), 0) AS BIGINT) n_extra
+         |FROM j""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |${graft.functions.Vectors.sqlHyperplaneSigsCte("e", EmbBands, EmbBits, AnnOps.Dim)},
+         |${graft.functions.Vectors.sqlHyperplaneSigsCteAdaptive(
+             "e", EmbBands, AnnOps.Dim, EmbBits, EmbBucketTarget)},
          |cand AS (
          |  SELECT DISTINCT a.vec_id v1, b.vec_id v2
          |  FROM sigs a JOIN sigs b
