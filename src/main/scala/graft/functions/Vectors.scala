@@ -79,6 +79,31 @@ object Vectors {
     math.max(minBits,
       math.ceil(math.log(math.max(n, 1L).toDouble / target) / math.log(2.0) - 1e-9).toInt)
 
+  /** Hard ceiling of the SQL mirror's plane pool:
+    * [[sqlHyperplaneSigsCteAdaptive]] generates seeds from a fixed
+    * `bands × MaxSqlAdaptiveBits` range and truncates with a WHERE, so
+    * an adaptive bits beyond the pool would silently misalign the
+    * `seed // bits` band packing between the engines. 2^20 buckets
+    * ≈ 52M vectors at target 50; raise BOTH sides together to go past.
+    */
+  val MaxSqlAdaptiveBits = 20
+
+  /** [[adaptiveBits]] guarded against the SQL mirror's plane-pool
+    * ceiling — every operator whose oracle uses
+    * [[sqlHyperplaneSigsCteAdaptive]] must size its banding through
+    * THIS entry point, so the divergence fails loudly with the cause
+    * named instead of surfacing as an unexplained oracle mismatch.
+    */
+  def adaptiveBitsSqlSafe(n: Long, minBits: Int, target: Int): Int = {
+    val b = adaptiveBits(n, minBits, target)
+    require(b <= MaxSqlAdaptiveBits,
+      s"adaptive banding needs $b bits for n=$n (target=$target), but the SQL " +
+        s"mirror's plane pool stops at $MaxSqlAdaptiveBits bits/band " +
+        "(Vectors.sqlHyperplaneSigsCteAdaptive); raise MaxSqlAdaptiveBits and " +
+        "the SQL pool together")
+    b
+  }
+
   /** [[sqlHyperplaneSigsCte]] with the [[adaptiveBits]] rule computed
     * IN SQL from `src`'s row count — the oracle stays a pure mirror of
     * the data-dependent banding with no value baked in.
@@ -94,12 +119,13 @@ object Vectors {
        |           i -> CAST(floor(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT)) q
        |  FROM $src
        |), planes AS (
-       |  -- range() cannot take a subquery bound; generate to a fixed
-       |  -- 20-bit ceiling (2^20 buckets ≈ 50M vectors at target 50)
-       |  -- and filter to the adaptive count
+       |  -- range() cannot take a subquery bound; generate to the fixed
+       |  -- MaxSqlAdaptiveBits ceiling (the Scala side fails loudly via
+       |  -- adaptiveBitsSqlSafe before bits can exceed it) and filter
+       |  -- to the adaptive count
        |  SELECT t.seed, list_transform(range(0, $dim),
        |           i -> (('0x' || substr(md5(t.seed || ':' || i), 1, 8))::BIGINT % 100000) - 50000) w
-       |  FROM range(0, $bands * 20) t(seed)
+       |  FROM range(0, $bands * $MaxSqlAdaptiveBits) t(seed)
        |  WHERE t.seed < $bands * (SELECT bits FROM prm)
        |), pbits AS (
        |  SELECT qv.vec_id, p.seed,

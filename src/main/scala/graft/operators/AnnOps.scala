@@ -25,6 +25,30 @@ object AnnOps {
   private val LshBands = 8
   private val LshBits = 8
 
+  /** Bounded per-probe top-k by `ord` DESCENDING, `vec_id` ascending
+    * tie-break — the [[graft.plans.TopKAgg]] replacement for
+    * `row_number().over(Window.partitionBy(probe_id).orderBy(ord.desc,
+    * vec_id))`. `payload` names the columns to carry (must start with
+    * `vec_id`, the tie-break). Map-side combinable: every partition
+    * keeps a ≤ k heap per probe, so the shuffle carries
+    * |partitions| × |probes| × k rows regardless of corpus size —
+    * the window form funnelled ALL scored rows into |probes|
+    * partitions for a full sort, the one shape that concentrates at
+    * 100× scale. Ordering note: `-cos` keeps doubles bit-consistent
+    * with the window's `desc` (Double.compare semantics on ±0.0 agree
+    * after negation).
+    */
+  private def probeTopKDesc(df: DataFrame, ord: Column, k: Int,
+      payload: Seq[String]): DataFrame = {
+    require(payload.headOption.contains("vec_id"), "tie-break must lead the payload")
+    val item = struct((negate(ord).as("_o") +: payload.map(c => col(c).as(c))): _*)
+    df.groupBy(col("probe_id"))
+      .agg(graft.plans.TopKAgg.topK(item, k).as("_tk"))
+      .select(col("probe_id"), posexplode(col("_tk")).as(Seq("_pos", "_it")))
+      .select((col("probe_id") +: payload.map(c => col("_it." + c).as(c)) :+
+        (col("_pos") + 1).cast("long").as("rnk")): _*)
+  }
+
   /** Exact brute-force top-k cosine per probe vector. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.VectorExpressions
@@ -37,11 +61,7 @@ object AnnOps {
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(VectorExpressions.cosineNative(
         col("probe_emb"), col("probe_nrm"), col("embedding"), col("nrm")), 6))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+    probeTopKDesc(scored, col("cos"), K, Seq("vec_id", "cos"))
       .orderBy("probe_id", "rnk")
   }
 
@@ -68,16 +88,13 @@ object AnnOps {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"))
       .distinct()
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    cand
+    val scored = cand
       .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
       .join(broadcast(e.select(col("vec_id").as("probe_id"),
         col("embedding").as("probe_emb"), col("nrm").as("probe_nrm"))), "probe_id")
       .withColumn("cos", round(VectorExpressions.cosineNative(
         col("probe_emb"), col("probe_nrm"), col("embedding"), col("nrm")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+    probeTopKDesc(scored, col("cos"), K, Seq("vec_id", "cos"))
       .orderBy("probe_id", "rnk")
   }
 
@@ -115,14 +132,17 @@ object AnnOps {
     */
   private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     import graft.plans.VectorExpressions
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    // argmax as a codegen'd min(struct(-ccos, cell)) aggregate: the
+    // broadcast crossJoin emits each vector's |cells| scored rows
+    // inside one partition, so the partial aggregate collapses them to
+    // ONE row per vector before the exchange — n rows shuffled instead
+    // of n × |cells| into a per-vector sort window
     e.crossJoin(broadcast(cents))
       .withColumn("ccos", round(VectorExpressions.cosineNative(
         col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
-      .select(col("vec_id"), col("cell"), col("ccos"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
   }
 
   /** Probe → its [[IvfProbeCells]] nearest cells, same decision
@@ -133,13 +153,18 @@ object AnnOps {
   private def nearestProbeCells(probes: DataFrame, cents: DataFrame,
       carry: Seq[String]): DataFrame = {
     import graft.plans.VectorExpressions
-    val pw = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("cell"))
+    // bounded top-nprobe aggregate (input is |probes| × |cells| rows —
+    // small, but kept window-free so the whole ANN family shares one
+    // rank discipline); `carry` columns are probe-constant, first()
+    // re-attaches them
     probes.crossJoin(broadcast(cents))
       .withColumn("ccos", round(VectorExpressions.cosineNative(
         col("c_emb"), col("c_nrm"), col("p_emb"), col("p_nrm")), 6))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= IvfProbeCells)
-      .select((Seq("probe_id") ++ carry ++ Seq("cell")).map(col): _*)
+      .groupBy(col("probe_id"))
+      .agg(graft.plans.TopKAgg.topK(
+          struct(negate(col("ccos")).as("nc"), col("cell").as("cell")), IvfProbeCells).as("_tk"),
+        carry.map(c => first(col(c)).as(c)): _*)
+      .select((col("probe_id") +: carry.map(col)) :+ explode(col("_tk.cell")).as("cell"): _*)
   }
 
   /** IVF-style ANN — the other classic scale path beside LSH: the
@@ -165,14 +190,11 @@ object AnnOps {
       e.filter(col("vec_id") < NProbes)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm")),
       cents, Seq("p_emb", "p_nrm"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probeCells), "cell")
+    val scored = assigned.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(VectorExpressions.cosineNative(
         col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+    probeTopKDesc(scored, col("cos"), K, Seq("vec_id", "cos"))
       .orderBy("probe_id", "rnk")
   }
 
@@ -200,30 +222,27 @@ object AnnOps {
         lit(0.0), (acc, v) => acc + v) / nrm
       if (roundCcos) round(c, 6) else c
     }
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    // per-vector argmax via codegen'd min(struct) — see [[assignCells]]
     val assigned = e.crossJoin(broadcast(anchors))
       .withColumn("ccos", anchorCos(col("embedding"), col("nrm")))
-      .select(col("vec_id"), col("cell"), col("ccos"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
       .join(e, "vec_id")
-    val pw = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("cell"))
     val probeCells = e.filter(col("vec_id") < NProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
       .crossJoin(broadcast(anchors))
       .withColumn("ccos", anchorCos(col("p_emb"), col("p_nrm")))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= IvfProbeCells)
-      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cell"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probeCells), "cell")
+      .groupBy(col("probe_id"))
+      .agg(graft.plans.TopKAgg.topK(
+          struct(negate(col("ccos")).as("nc"), col("cell").as("cell")), IvfProbeCells).as("_tk"),
+        first(col("p_emb")).as("p_emb"), first(col("p_nrm")).as("p_nrm"))
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"), explode(col("_tk.cell")).as("cell"))
+    val scored = assigned.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(VectorExpressions.cosineNative(
         col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+    probeTopKDesc(scored, col("cos"), K, Seq("vec_id", "cos"))
       .orderBy("probe_id", "rnk")
   }
 
@@ -323,22 +342,18 @@ object AnnOps {
   private def sq8Rerank(scored: DataFrame, e: DataFrame,
       rerank: Int = Sq8Rerank): DataFrame = {
     import graft.plans.VectorExpressions
-    val cw = Window.partitionBy(col("probe_id")).orderBy(col("qcos").desc, col("vec_id"))
-    val cand = scored
-      .withColumn("crn", row_number().over(cw))
-      .filter(col("crn") <= rerank)
+    // both cuts are bounded top-k aggregates (map-side combinable):
+    // the candidate cut sees the corpus-sized scored stream, the final
+    // cut sees ≤ rerank rows per probe
+    val cand = probeTopKDesc(scored, col("qcos"), rerank, Seq("vec_id", "qcos"))
       .select(col("probe_id"), col("vec_id"), col("qcos"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    cand
+    val rescored = cand
       .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
       .join(broadcast(e.filter(col("vec_id") < NProbes).select(col("vec_id").as("probe_id"),
         col("embedding").as("p_emb"), col("nrm").as("p_nrm"))), "probe_id")
       .withColumn("cos", round(VectorExpressions.cosineNative(
         col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select(col("probe_id"), col("vec_id"), col("qcos"), col("cos"),
-        col("rnk").cast("long").as("rnk"))
+    probeTopKDesc(rescored, col("cos"), K, Seq("vec_id", "qcos", "cos"))
       .orderBy("probe_id", "rnk")
   }
 
@@ -438,12 +453,13 @@ object AnnOps {
     for (_ <- 0 until iters) {
       val d2 = round(aggregate(zip_with(col("sub"), col("c_sub"), (a, b) =>
           (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v), 6)
-      val ew = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("code"))
+      // argmin as a codegen'd min(struct) partial aggregate — the
+      // [[assignCells]] discipline in (vec_id, m) subvector space
       val asg = cached.join(broadcast(cur), "m")
         .select(col("vec_id"), col("m"), col("code"), d2.as("d2"))
-        .withColumn("ern", row_number().over(ew))
-        .filter(col("ern") === 1)
-        .select(col("vec_id"), col("m"), col("code"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.code").as("code"))
       val means = asg.join(cached, Seq("vec_id", "m"))
         .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("dim", "v")))
         .groupBy("m", "code", "dim").agg(round(avg(col("v")), 6).as("mv"))
@@ -483,12 +499,11 @@ object AnnOps {
     val d2 = round(aggregate(zip_with(col("sub"), col("c_sub"), (a, b) =>
         (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
       lit(0.0), (acc, v) => acc + v), 6)
-    val ew = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("code"))
     val codes = subs(e, "vec_id").join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"), col("code"), d2.as("d2"))
-      .withColumn("ern", row_number().over(ew))
-      .filter(col("ern") === 1)
-      .select(col("vec_id"), col("m"), col("code"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
     // probe ADC table: integer-scaled subvector dots, (probe_id, m,
     // code, pdotq) — M·K rows per probe, broadcast
     val pdotq = round(aggregate(zip_with(col("sub"), col("c_sub"), (a, b) =>

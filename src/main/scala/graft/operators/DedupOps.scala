@@ -409,11 +409,14 @@ object DedupOps {
     // self-join ∝ n². Sizing 2^bits ∝ n (constant ~[[EmbBucketTarget]]
     // expected occupancy) restores linear candidate volume; the
     // oracle computes the identical rule from count(*)
-    // (Vectors.sqlHyperplaneSigsCteAdaptive). The count here is one
-    // metadata-cheap driver action sizing the index — the same class
-    // of statistic AQE reads, not a data collect.
-    val bits = graft.functions.Vectors.adaptiveBits(
-      Tables.embeddings(spark, dir).count(), EmbBits, EmbBucketTarget)
+    // (Vectors.sqlHyperplaneSigsCteAdaptive). The count is the
+    // session-memoized corpus statistic (one metadata-cheap job per
+    // (session, dir) — the same class of statistic AQE reads, never
+    // re-run per query build), and the bits pass through the SQL
+    // plane-pool guard so a corpus past the mirror's ceiling fails
+    // loudly instead of hash-diverging.
+    val bits = graft.functions.Vectors.adaptiveBitsSqlSafe(
+      Tables.rowCount(spark, dir, "embeddings"), EmbBits, EmbBucketTarget)
     dedupEmbeddingFrame(e, bits).orderBy("v1", "v2")
   }
 
@@ -443,8 +446,18 @@ object DedupOps {
       .select(col("v1"), col("v2"), col("cos"))
   }
 
-  /** 1-in-[[EmbRecallMod]] deterministic vec_id sample. */
-  private[operators] val EmbRecallMod = 2
+  /** Recall-sample SIZE target: the sample modulus scales with the
+    * corpus (`mod = max(2, ceil(n / target))`) so the probe's
+    * brute-force truth stays ~Θ(target²) at ANY corpus size — a
+    * constant modulus made the registered probe Θ(n²), against the
+    * suite's no-quadratic design. The identical rule is computed in
+    * the oracle from `count(*)` (the adaptiveBits discipline).
+    */
+  private[operators] val EmbRecallTarget = 20000
+
+  /** Deterministic 1-in-mod vec_id sample modulus for a corpus of n. */
+  private[operators] def embRecallMod(n: Long): Long =
+    math.max(2L, math.ceil(n.toDouble / EmbRecallTarget).toLong)
 
   /** Sampled recall of the adaptive-banded embedding dedup — the
     * measured dial for the round-10 corpus-adaptive bits rule, the
@@ -459,10 +472,10 @@ object DedupOps {
     */
   def embDedupRecall(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.VectorExpressions
-    val bits = graft.functions.Vectors.adaptiveBits(
-      Tables.embeddings(spark, dir).count(), EmbBits, EmbBucketTarget)
+    val n = Tables.rowCount(spark, dir, "embeddings")
+    val bits = graft.functions.Vectors.adaptiveBitsSqlSafe(n, EmbBits, EmbBucketTarget)
     val e = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % EmbRecallMod === 0)
+      .filter(col("vec_id") % embRecallMod(n) === 0)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .repartition(col("vec_id"))
@@ -1041,7 +1054,9 @@ object DedupOps {
         |ORDER BY d1, d2""".stripMargin,
     "q_emb_dedup_recall" ->
       s"""WITH e AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % $EmbRecallMod = 0
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % (SELECT greatest(2, CAST(ceil(count(*) / $EmbRecallTarget.0) AS BIGINT))
+         |                  FROM embeddings) = 0
          |),
          |${graft.functions.Vectors.sqlHyperplaneSigsCteAdaptive(
              "e", EmbBands, AnnOps.Dim, EmbBits, EmbBucketTarget, cntSrc = "embeddings")},

@@ -55,7 +55,15 @@ object FuzzyOps {
     */
   private[operators] val BigramDfCap = 1000
 
-  private def tokensOf(c: Column): Column = array_distinct(split(c, " "))
+  /** Distinct tokens in CANONICAL (sorted) order: every downstream
+    * consumer is a pure function of the token SET (the gram generators
+    * sort internally; similarity uses intersect/union), and the sorted
+    * array makes set equality = array equality — so the distinct-set
+    * grouping in [[tokenJaccardFrame]] collapses same-set rows
+    * regardless of token order, and the oracle mirrors the grouping
+    * with `list_sort(list_distinct(...))`.
+    */
+  private def tokensOf(c: Column): Column = array_sort(array_distinct(split(c, " ")))
 
   /** All sorted token bigrams of one row's distinct-token array,
     * computed per row with no join: sort, then pair each token with
@@ -203,6 +211,17 @@ object FuzzyOps {
     *     runs over that slice only, keeping just its inter = 2 pairs
     *     (inter ≥ 3 already found above), so the strata are disjoint
     *     and their union is exactly the inter ≥ 2 ∧ jac ≥ 0.5 result.
+    *
+    * CONTRACT NOTE (df-cap exemption): pairs of rows with IDENTICAL
+    * token sets are emitted unconditionally (jac 1.0, ≥ 2 tokens) —
+    * they never touch the gram-blocking index, so the df-cap cannot
+    * drop them even when every gram of a duplicated set is hot
+    * (> cap identical rows). Identical-content pairs are the pairs a
+    * dedup consumer can least afford to lose, the emission cost is
+    * exactly the (irreducible) output volume, and the oracle mirrors
+    * the stratum with an unconditional identical-set candidate branch.
+    * Pairs of DIFFERENT sets still require ≥ 1 kept gram — the
+    * bounded-loss blocking contract is unchanged for them.
     */
   private[operators] def tokenJaccardFrame(base: DataFrame, cap: Int): DataFrame = {
     // DISTINCT-SET altitude (the [[FuzzyJoin]] canonicalization story
@@ -520,10 +539,15 @@ object FuzzyOps {
   private val sqlDictList = DictPairs.map(s => s"'$s'").mkString("[", ", ", "]")
   private val sqlGenericList = GenericWords.map(s => s"'$s'").mkString("[", ", ", "]")
 
-  /** Shared SQL: the two candidate strata of [[tokenJaccardFrame]] —
-    * capped-trigram candidates (lossless for inter ≥ 3) plus
+  /** Shared SQL: the three candidate strata of [[tokenJaccardFrame]] —
+    * capped-trigram candidates (lossless for inter ≥ 3),
     * capped-bigram candidates over the ≤ 4-token slice (where every
-    * qualifying inter = 2 pair lives, since jac ≥ 0.5 ⟹ n1 + n2 ≤ 6).
+    * qualifying inter = 2 pair lives, since jac ≥ 0.5 ⟹ n1 + n2 ≤ 6),
+    * plus the UNCONDITIONAL identical-set stratum (min_inter = 1):
+    * `toks` is canonical (sorted), so list equality is set equality,
+    * mirroring the Spark intra-set fan-out's df-cap exemption. Strata
+    * overlap (an identical-set pair usually also shares kept grams) —
+    * consumers dedupe with a final DISTINCT over the output columns.
     * Expects `base(k, toks)` in scope; emits tok/…/cand CTE bodies.
     */
   private def sqlSelfCands(cap: Int): String =
@@ -540,7 +564,11 @@ object FuzzyOps {
        |  FROM (SELECT a.k k1, b.k k2 FROM tkept a JOIN tkept b ON a.c = b.c AND a.k < b.k)
        |  UNION
        |  SELECT DISTINCT a.k k1, b.k k2, 2 min_inter
-       |  FROM skept a JOIN skept b ON a.c = b.c AND a.k < b.k)""".stripMargin
+       |  FROM skept a JOIN skept b ON a.c = b.c AND a.k < b.k
+       |  UNION
+       |  SELECT a.k k1, b.k k2, 1 min_inter
+       |  FROM base a JOIN base b ON a.toks = b.toks AND a.k < b.k
+       |  WHERE len(a.toks) >= 2)""".stripMargin
 
   /** Shared SQL: two-sided capped-bigram ∪ exact-cleaned-name
     * candidates. Expects `lt(lk, lcn, ltoks)` / `rt(rk, rcn, rtoks)`.
@@ -586,7 +614,7 @@ object FuzzyOps {
     "q_token_jaccard_join" ->
       s"""WITH base AS (
          |  SELECT p_partkey k,
-         |         list_distinct(string_split(lower(p_name) || ' ' || lower(p_type), ' ')) toks
+         |         list_sort(list_distinct(string_split(lower(p_name) || ' ' || lower(p_type), ' '))) toks
          |  FROM part
          |), ${sqlSelfCands(BigramDfCap)},
          |v AS (
@@ -596,9 +624,10 @@ object FuzzyOps {
          |           / len(list_distinct(list_concat(b1.toks, b2.toks)))::DOUBLE jac
          |  FROM cand JOIN base b1 ON b1.k = k1 JOIN base b2 ON b2.k = k2
          |)
-         |SELECT k1, k2, round(jac, 6) jac FROM v
+         |SELECT DISTINCT k1, k2, round(jac, 6) jac FROM v
          |WHERE jac >= 0.5
-         |  AND ((min_inter = 3 AND inter >= 2) OR (min_inter = 2 AND inter = 2))
+         |  AND ((min_inter = 3 AND inter >= 2) OR (min_inter = 2 AND inter = 2)
+         |       OR min_inter = 1)
          |ORDER BY k1, k2""".stripMargin,
     "q_levenshtein_pairs" ->
       s"""WITH vocab AS (SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) t FROM part),

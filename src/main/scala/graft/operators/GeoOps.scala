@@ -2,9 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Geo
+import graft.plans.TopKAgg
 import graft.sources.Tables
 
 /** §2.B — geo distance search, from the reference's
@@ -37,8 +37,13 @@ object GeoOps {
   }
 
   /** locationUtils.ts:129-141 — k nearest customers per supplier probe
-    * point. The supplier side is tiny and broadcast; ranking runs in
-    * one window per probe after a single shuffle on s_suppkey.
+    * point. The supplier side is tiny and broadcast; ranking is a
+    * map-side-combinable bounded top-k aggregate
+    * ([[graft.plans.TopKAgg]]): each scan partition keeps a ≤ k heap
+    * per probe, so the shuffle carries |partitions| × |probes| × k
+    * rows instead of funnelling every scored row into |probes| window
+    * partitions for a full sort (the shape that concentrates at
+    * 100× corpus scale).
     */
   def geoKnn(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
@@ -55,11 +60,14 @@ object GeoOps {
     val joined = c.crossJoin(broadcast(s))
       .withColumn("dist_km",
         round(Geo.haversineKm(col("s_lat"), col("s_lon"), col("c_lat"), col("c_lon")), 3))
-    val w = Window.partitionBy(col("s_suppkey")).orderBy(col("dist_km"), col("c_custkey"))
+    // item ordering = the old window's orderBy(dist_km, c_custkey);
+    // posexplode position reproduces row_number bit for bit
     joined
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("s_suppkey"), col("c_custkey"), col("dist_km"), col("rnk").cast("long").as("rnk"))
+      .groupBy(col("s_suppkey"))
+      .agg(TopKAgg.topK(struct(col("dist_km"), col("c_custkey")), k).as("tk"))
+      .select(col("s_suppkey"), posexplode(col("tk")).as(Seq("pos", "it")))
+      .select(col("s_suppkey"), col("it.c_custkey").as("c_custkey"),
+        col("it.dist_km").as("dist_km"), (col("pos") + 1).cast("long").as("rnk"))
       .orderBy(col("s_suppkey"), col("rnk"))
   }
 

@@ -178,29 +178,46 @@ class ScaleGuardsSpec extends AnyFunSuite {
   test("token-jaccard df-cap: hot-only pairs dropped, undercounted pairs still exact via fallback") {
     import spark.implicits._
     // all rows here are ≤ 4 tokens except (20, 21), so the small-row
-    // bigram stratum sees docs 1-6, 10, 11 — within it the
-    // (stop1, stop2) bigram has df 8 > cap 3 and is dropped
+    // bigram stratum sees docs 1-6, 10, 11, 40, 41 — within it the
+    // (stop1, stop2) bigram has df 12 > cap 3 and is dropped
     val docs = Seq(
       // boilerplate-only docs: every shared bigram is hot → never
       // candidates in the small stratum, and no shared trigram exists
       (1L, Seq("stop1", "stop2", "ua")), (2L, Seq("stop1", "stop2", "ub")),
       (3L, Seq("stop1", "stop2", "uc")), (4L, Seq("stop1", "stop2", "ud")),
       (5L, Seq("stop1", "stop2", "ue")), (6L, Seq("stop1", "stop2", "uf")),
-      // true dup pair: found CLEAN by the trigram stratum (its 4
-      // shared trigrams stay under the cap → inter = 4 arithmetic,
-      // exact jac 1.0); the small stratum ALSO reaches it through the
-      // dirty bounded-UB fallback (both sides dropped the hot bigram)
-      // but discards it there as inter ≠ 2 — no duplicate row
-      (10L, Seq("stop1", "stop2", "w1", "w2")), (11L, Seq("stop1", "stop2", "w1", "w2")),
+      // near-dup pair (3 of 5 tokens shared, jac 0.6): found CLEAN by
+      // the trigram stratum (shared trigram (stop1,stop2,w1) df 2 stays
+      // under the cap → inter = 3 arithmetic); the small stratum ALSO
+      // reaches it through the dirty bounded-UB fallback (both sides
+      // dropped the hot bigram, exact verify runs on full arrays) but
+      // discards it there as inter ≠ 2 — no duplicate row
+      (10L, Seq("stop1", "stop2", "w1", "w2")), (11L, Seq("stop1", "stop2", "w1", "w3")),
       // low-overlap pair: 3 shared of 6 tokens → one shared trigram,
       // clean arithmetic inter = 3 → jac 1/3 < 0.5, rejected without
       // token arrays ever shuffling
       (20L, Seq("stop1", "stop2", "x", "d1a", "d1b", "d1c")),
-      (21L, Seq("stop1", "stop2", "x", "d2a", "d2b", "d2c")))
+      (21L, Seq("stop1", "stop2", "x", "d2a", "d2b", "d2c")),
+      // dirty-EMIT pair: inter = 2 ({stop2, s}), jac 0.5. The shared
+      // bigram (s, stop2) is kept (df 2), but BOTH sides also dropped
+      // a hot gram — 40 the (stop1,stop2) boilerplate, 41 the (s,z)
+      // gram made hot by donors 50-53 — so min(hd) > 0 forces the
+      // small stratum's bounded-UB fallback to exact-verify and EMIT
+      (40L, Seq("stop1", "stop2", "s")), (41L, Seq("stop2", "s", "z")),
+      (50L, Seq("s", "z", "u50")), (51L, Seq("s", "z", "u51")),
+      (52L, Seq("s", "z", "u52")), (53L, Seq("s", "z", "u53")),
+      // identical-set pair whose EVERY gram is hot: the df-cap
+      // exemption contract — identical sets ride the unconditional
+      // intra stratum, so the cap cannot drop them
+      (60L, Seq("stop1", "stop2")), (61L, Seq("stop1", "stop2")))
       .toDF("k", "toks")
+    // documented bounded losses at this cap: 41 vs each (s,z) donor
+    // and the donors pairwise (jac 0.5 via {s,z}) share ONLY the hot
+    // (s,z) gram → never candidates; same for (60|61) vs docs 1-6
+    // (jac 2/3 via the hot boilerplate bigram only)
     val out = FuzzyOps.tokenJaccardFrame(docs, cap = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(out.toSeq === Seq((10L, 11L, 1.0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(out === Seq((10L, 11L, 0.6), (40L, 41L, 0.5), (60L, 61L, 1.0)))
   }
 
   test("no registered query plans a buffer-every-value Percentile outside the declared exact pair") {
