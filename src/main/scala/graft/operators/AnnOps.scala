@@ -21,7 +21,7 @@ import graft.sources.Tables
 object AnnOps {
   private val K = 5
   private val NProbes = 10
-  private[operators] val Dim = 64
+  private[graft] val Dim = 64
   private val LshBands = 8
   private val LshBits = 8
 

@@ -373,14 +373,16 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
-  private val EmbBands = 24
+  // private[graft]: the streaming twin (streaming/EmbDedupStream) and
+  // its specs reference the batch tuning rather than duplicating it
+  private[graft] val EmbBands = 24
   /** FLOOR on bits per band; the effective value is corpus-adaptive
     * ([[graft.functions.Vectors.adaptiveBits]], 2^bits ∝ n).
     */
-  private val EmbBits = 6
+  private[graft] val EmbBits = 6
   /** Target expected band-bucket occupancy the adaptive rule holds. */
-  private val EmbBucketTarget = 50
-  private val EmbCosThreshold = 0.5
+  private[graft] val EmbBucketTarget = 50
+  private[graft] val EmbCosThreshold = 0.5
 
   /** Embedding cosine near-dup pairs: random-hyperplane LSH prefilter
     * (md5-derived integer planes, 24 bands × 6 bits) generates
@@ -425,7 +427,7 @@ object DedupOps {
     * width — passed in so the recall probe can run the PRODUCTION
     * banding over a sample.
     */
-  private def dedupEmbeddingFrame(e: DataFrame, bits: Int): DataFrame = {
+  private[graft] def dedupEmbeddingFrame(e: DataFrame, bits: Int): DataFrame = {
     import graft.plans.VectorExpressions
     val banded = e.select(col("vec_id"),
       posexplode(VectorExpressions.hyperplaneSigsNative(
@@ -437,7 +439,25 @@ object DedupOps {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
       .distinct()
-    cand
+    verifyEmbPairs(cand, e)
+  }
+
+  /** Shared exact-verify stage of the embedding near-dup family —
+    * candidate `(v1, v2)` pairs re-scored with the exact float cosine
+    * and cut at [[EmbCosThreshold]]. `emb` carries (vec_id, embedding
+    * [, nrm]); norms attach here when absent. Callers pass DISTINCT
+    * pairs (no dedup inside, so the registered batch plan gains no
+    * extra exchange); the streaming connector distincts its per-batch
+    * candidates before calling. Shared by [[dedupEmbeddingFrame]] and
+    * the streaming twin's foreachBatch — one verify implementation, so
+    * stream and batch can never drift on the measure.
+    */
+  def verifyEmbPairs(cands: DataFrame, emb: DataFrame): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e =
+      if (emb.columns.contains("nrm")) emb
+      else emb.withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+    cands.select(col("v1"), col("v2"))
       .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1")), "v1")
       .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")), "v2")
       .withColumn("cos", round(VectorExpressions.cosineNative(

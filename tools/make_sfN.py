@@ -23,13 +23,16 @@ benchmark:
     while cross-tile shingle overlap is zero — duplicate RATE stays
     constant as volume grows, which is how real corpora scale;
     n_chars is recomputed from the mutated text;
-  - embeddings are rotated by a deterministic per-tile ORTHOGONAL
-    matrix: every within-tile cosine (and norm) is preserved exactly,
-    so each tile carries the same planted near-dup structure, while
-    cross-tile cosines collapse to the random-pair distribution
-    (~N(0, 1/dim)) — a small additive perturbation would instead
-    leave 9 cross-tile twins per vector at cos ≈ 0.97 and turn the
-    cosine-threshold dedup quadratic.
+  - embeddings first get PLANTED near-dup partners in measured
+    cosine tiers (PLANT_TIERS below — the synthetic corpus has no
+    high-cosine pairs, so banded-LSH recall on genuinely-near pairs
+    was previously underivable), then each tile is rotated by a
+    deterministic per-tile ORTHOGONAL matrix: every within-tile
+    cosine (and norm) — including the planted tiers — is preserved
+    exactly, while cross-tile cosines collapse to the random-pair
+    distribution (~N(0, 1/dim)) — a small additive perturbation
+    would instead leave 9 cross-tile twins per vector at cos ≈ 0.97
+    and turn the cosine-threshold dedup quadratic.
 
 This file is developer tooling only (drives the 3-point scaling
 curve in SCALE.md); it never runs on the cluster.
@@ -49,12 +52,58 @@ DOMAIN = {  # key domain sizes in sf0.1 (max key + 1)
     "lineitem": {"l_orderkey": 150000, "l_partkey": 20000, "l_suppkey": 1000},
     "events": {"event_id": 100000, "user_id": 1500},
     "documents": {"doc_id": 5000},
-    "embeddings": {"vec_id": 2000},
+    "embeddings": {"vec_id": 2300},  # 2000 source + the planted partners below
 }
+
+# Planted near-dup embedding pairs, per tile: the synthetic corpus has
+# NO high-cosine pairs (its "dups" are chance alignments at cos
+# 0.5-0.7), so the claim "banded-LSH recall -> 1 for genuinely near
+# pairs" was derived from the p_bit formula, never measured. Each tier
+# plants `count` partners at an EXACT target cosine against base
+# vectors with even local ids (both ends even => both survive the
+# recall probe's 1-in-2 vec_id sample). Partner local ids are
+# PLANT_BASE + 2*j (even, gap-free parity), bases are local ids
+# 0,2,...: tier t's j-th pair is (2*(t*50+j), PLANT_BASE + 2*(t*50+j)).
+# tools/emb_recall_bands.py reconstructs the pairs from this rule and
+# reports per-tier recall of q_dedup_embedding's output at the slice.
+PLANT_BASE = 2000
+PLANT_TIERS = [(0.80, 50), (0.90, 50), (0.95, 50)]
+
+
+def plant_near_dups(df):
+    import pandas as pd
+    rng = np.random.RandomState(777)
+    mats = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    dim = mats.shape[1]
+    new_rows = []
+    pair_idx = 0
+    for cos_t, count in PLANT_TIERS:
+        s = np.sqrt(1.0 - cos_t * cos_t)
+        for _ in range(count):
+            base_id = 2 * pair_idx
+            part_id = PLANT_BASE + 2 * pair_idx
+            pair_idx += 1
+            v = mats[base_id]
+            vn = np.linalg.norm(v)
+            vhat = v / vn
+            w0 = rng.standard_normal(dim)
+            w = w0 - (w0 @ vhat) * vhat
+            what = w / np.linalg.norm(w)
+            u = (cos_t * vhat + s * what) * vn  # cos(u, v) = cos_t exactly
+            base_row = df.iloc[base_id]
+            new_rows.append({"vec_id": part_id,
+                             "embedding": u.astype(np.float32),
+                             "label": base_row["label"]})
+    return pd.concat([df, pd.DataFrame(new_rows)], ignore_index=True)
 
 
 def tile(name: str, t: pa.Table, k: int) -> pa.Table:
     df = t.to_pandas()
+    if name == "embeddings":
+        # plant BEFORE the key offset and rotation: the per-tile
+        # orthogonal rotation preserves every within-tile cosine, so
+        # each tile carries the identical planted tier structure
+        df = plant_near_dups(df)
     for col, size in DOMAIN[name].items():
         df[col] = df[col] + k * size
     if name == "customer":
