@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Text
 
@@ -92,19 +91,43 @@ object FuzzyJoin {
       .filter(col("lcn") === col("rcn") || col("jac") >= threshold)
       .select(col("lcn"), col("rcn"), col("jac"))
 
-    val scored = l.join(namePairs, "lcn").join(r, "rcn")
-      .withColumn("aux_match", (col("laux") === col("raux")).cast("int"))
+    // ---- best-match pick at (name, aux) ALTITUDE. Every ordering key
+    // of the reference's pick — tier, aux confirmation, similarity,
+    // lowest right key — is a function of (lcn, laux, rcn): within one
+    // right name, an aux-matching row strictly dominates every
+    // non-matching row (tier 1 < 2 for exact names; aux desc within
+    // tier 3), so each (name pair, left aux) needs exactly ONE right
+    // candidate row — min rk among aux-matching rows if any, else min
+    // rk overall. The pick then aggregates over distinct (lcn, laux)
+    // and rows fan out ONLY for the final per-row emission
+    // (output-bound). The row-pair fan-out this replaces scored 31M
+    // rows into a per-left-row window for a 200k-row answer at the
+    // sf1.0 slice — all of it duplicate work across rows sharing
+    // (name, aux).
+    val rbest = r.groupBy(col("rcn"), col("raux")).agg(min(col("rk")).as("rk_aux"))
+    val rany = r.groupBy(col("rcn")).agg(min(col("rk")).as("rk_any"))
+    val lkeys = l.select(col("lcn"), col("laux")).distinct()
+    val cand = namePairs
+      .join(lkeys, "lcn")
+      .join(rbest.withColumnRenamed("raux", "laux"), Seq("rcn", "laux"), "left")
+      .join(rany, "rcn")
+      .withColumn("aux_match", when(col("rk_aux").isNotNull, 1).otherwise(0))
+      .withColumn("rk", coalesce(col("rk_aux"), col("rk_any")))
       .withColumn("tier",
         when(col("lcn") === col("rcn") && col("aux_match") === 1, 1)
           .when(col("lcn") === col("rcn"), 2)
           .when(col("jac") >= threshold, 3))
       .filter(col("tier").isNotNull)
-
-    val w = Window.partitionBy(col("lk"))
-      .orderBy(col("tier"), col("aux_match").desc, col("jac").desc, col("rk"))
-    scored
-      .withColumn("pick", row_number().over(w))
-      .filter(col("pick") === 1)
+    // argmin by the reference's preference order as a codegen'd
+    // min(struct) — (tier, aux desc, jac desc, rk) is total (rk is a
+    // right key, unique across names), payload fields ride behind
+    val best = cand.groupBy(col("lcn"), col("laux"))
+      .agg(min(struct(col("tier"), negate(col("aux_match")).as("na"),
+        negate(col("jac")).as("nj"), col("rk"),
+        col("aux_match"), col("jac"))).as("b"))
+      .select(col("lcn"), col("laux"), col("b.tier").as("tier"),
+        col("b.aux_match").as("aux_match"), col("b.jac").as("jac"), col("b.rk").as("rk"))
+    l.join(best, Seq("lcn", "laux"))
       .select(col("lk"), col("rk"), col("tier"), col("aux_match"), round(col("jac"), 6).as("jac"))
   }
 }

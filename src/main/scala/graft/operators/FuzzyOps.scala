@@ -512,15 +512,29 @@ object FuzzyOps {
           greatest(size(col("ltoks")), size(col("rtoks"))).cast("double"), 6).as("sim"))
       .filter(col("sim") >= 0.95 && col("wm") >= 3 && col("nspecific") >= 2)
 
-    // fan the passing name pairs back out to row pairs for the
-    // per-row confirmation signal and the one-best-match-per-left pick
-    val scored = left.join(verdicts, "lcn").join(right, "rcn")
-      .withColumn("size_match", (col("lsize") === col("rsize")).cast("int"))
-    val w = Window.partitionBy(col("lk"))
-      .orderBy(col("size_match").desc, col("sim").desc, col("rk"))
-    scored
-      .withColumn("pick", row_number().over(w))
-      .filter(col("pick") === 1)
+    // best-match pick at (name, size) altitude — the [[FuzzyJoin]]
+    // discipline: within one right name an aux-matching row strictly
+    // dominates (size_match leads the order, sim is name-level), so
+    // each (name pair, left size) needs one candidate row (min rk in
+    // the matching stratum, else min rk overall); the pick aggregates
+    // over distinct (lcn, lsize) and rows fan out only for the final
+    // output-bound emission
+    val rbest = right.groupBy(col("rcn"), col("rsize")).agg(min(col("rk")).as("rk_aux"))
+    val rany = right.groupBy(col("rcn")).agg(min(col("rk")).as("rk_any"))
+    val lkeys = left.select(col("lcn"), col("lsize")).distinct()
+    val cand = verdicts
+      .join(lkeys, "lcn")
+      .join(rbest.withColumnRenamed("rsize", "lsize"), Seq("rcn", "lsize"), "left")
+      .join(rany, "rcn")
+      .withColumn("size_match", when(col("rk_aux").isNotNull, 1).otherwise(0))
+      .withColumn("rk", coalesce(col("rk_aux"), col("rk_any")))
+    val best = cand.groupBy(col("lcn"), col("lsize"))
+      .agg(min(struct(negate(col("size_match")).as("ns"), negate(col("sim")).as("nj"),
+        col("rk"), col("size_match"), col("sim"), col("wm"), col("nspecific"))).as("b"))
+      .select(col("lcn"), col("lsize"), col("b.rk").as("rk"), col("b.wm").as("wm"),
+        col("b.nspecific").as("nspecific"), col("b.sim").as("sim"),
+        col("b.size_match").as("size_match"))
+    left.join(best, Seq("lcn", "lsize"))
       .select(col("lk"), col("rk"), col("wm"), col("nspecific"), col("sim"), col("size_match"))
       .orderBy("lk")
   }
