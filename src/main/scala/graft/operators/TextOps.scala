@@ -315,18 +315,20 @@ object TextOps {
     * reproduces on any engine.
     */
   def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the scored projection ONCE: three consumers (range,
+    // histogram, final cut) each re-ran the full corpus scan + regex
+    // scoring behind it — the dominant cost (3 scans → 1, measured
+    // 15.2 → 2.9 s at the sf1.0 slice). localCheckpoint, NOT persist: a
+    // persist here leaked a cached plan per invocation for the
+    // session's lifetime (no safe point to unpersist inside a
+    // lazily-consumed query), while localCheckpoint blocks are dropped
+    // by the ContextCleaner when the RDD is collected — and being
+    // EAGER per invocation, the bench still pays the scan every pass
+    // (nothing survives into pass 2). The checkpointed row is
+    // (doc_id, lang, quality) — bytes per doc, never the text.
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), qualityCol.as("quality"))
-    // materialize the RANGE table (one row per language) eagerly: both
-    // histogram and estimates consume it, and without materialization
-    // each consumer would re-run the full corpus scan + regex scoring
-    // behind it. localCheckpoint, NOT persist: a persist here leaked a
-    // cached plan per invocation for the session's lifetime (no safe
-    // point to unpersist inside a lazily-consumed query), while
-    // localCheckpoint blocks are dropped by the ContextCleaner when
-    // the RDD is collected. `scored` itself is deliberately NOT
-    // materialized: caching the corpus projection would survive into a
-    // second bench pass and fake the recompute cost.
+      .localCheckpoint(true)
     val rng = QuantileSketch.keyRange(scored, "lang", "quality")
       .localCheckpoint(true)
     val hist = QuantileSketch.histogram(scored, "lang", "quality", rng)
