@@ -35,16 +35,23 @@ object CoreOps {
       .orderBy("n_name")
   }
 
-  /** Top-N per group via a single window (one shuffle on the group
-    * key): 3 priciest orders per priority class.
+  /** Top-N per group: 3 priciest orders per priority class. The group
+    * key has FIVE values, so a rank window would funnel the whole
+    * orders table into five partitions for a full sort — the bounded
+    * top-k aggregate ([[graft.plans.TopKAgg]]) keeps a ≤ 3 heap per
+    * priority per scan partition and shuffles |partitions| × 5 × 3
+    * rows instead.
     */
   def groupTopN(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("price").desc, col("o_orderkey"))
+    import graft.plans.TopKAgg
     Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+      .groupBy(col("o_orderpriority"))
+      .agg(TopKAgg.topK(struct(negate(col("price")).as("np"),
+        col("o_orderkey").as("o_orderkey"), col("price").as("price")), 3).as("tk"))
+      .select(col("o_orderpriority"), posexplode(col("tk")).as(Seq("pos", "it")))
+      .select(col("o_orderpriority"), col("it.o_orderkey").as("o_orderkey"),
+        col("it.price").as("price"), (col("pos") + 1).cast("long").as("rn"))
       .orderBy("o_orderpriority", "rn")
   }
 
@@ -212,13 +219,17 @@ object CoreOps {
       .orderBy("c_custkey")
 
   /** Correlated-aggregate semantics: customers above their nation's
-    * average balance — expressed as a window (one shuffle) rather than
-    * a per-row correlated subquery.
+    * average balance — a partial-aggregated groupBy broadcast-joined
+    * back, never a window: the nation key has 25 values, so a window
+    * would funnel the whole customer table into 25 partitions, while
+    * the aggregate map-side-combines to one row per nation before any
+    * exchange and the join back is a broadcast.
     */
   def aboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey"))
-    Tables.customer(spark, dir)
-      .withColumn("nation_avg", avg(col("c_acctbal")).over(w))
+    val c = Tables.customer(spark, dir)
+    val nav = c.groupBy(col("c_nationkey"))
+      .agg(avg(col("c_acctbal")).as("nation_avg"))
+    c.join(broadcast(nav), "c_nationkey")
       .filter(col("c_acctbal") > col("nation_avg"))
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 2).as("acctbal"),

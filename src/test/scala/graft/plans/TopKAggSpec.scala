@@ -100,7 +100,7 @@ class TopKAggSpec extends AnyFunSuite {
   }
 
   test("executed kNN/ANN plans use partial ObjectHashAggregate, not a per-probe window") {
-    for (q <- Seq("q_geo_knn", "q_ann_topk")) {
+    for (q <- Seq("q_geo_knn", "q_ann_topk", "q_group_topn")) {
       val df = graft.SparkEntry.queries(q)(spark, TestSpark.Sf)
       df.collect() // executed plan, post-AQE
       val plan = df.queryExecution.executedPlan.toString
