@@ -538,6 +538,89 @@ object DedupOps {
       .orderBy("v1", "v2")
   }
 
+  /** Expected cell occupancy target for [[semDedup]]: cells scale as
+    * `max(16, ceil(n / target))`, so the within-cell pair pass stays
+    * Θ(target · n) — linear — at any corpus size. The oracle computes
+    * the identical rule from `count(*)` (the adaptiveBits discipline).
+    */
+  private[operators] val SemCellTarget = 128
+
+  private[operators] def semCells(n: Long): Long =
+    math.max(16L, math.ceil(n.toDouble / SemCellTarget).toLong)
+
+  /** [[semDedup]]'s own near-dup cut: SEMANTIC duplication is judged
+    * within a cluster (both members already share a nearest centroid),
+    * so the cut sits below the global pairwise [[EmbCosThreshold]] —
+    * cluster-conditional similarity is the paper's ε, a dial, not the
+    * absolute near-dup threshold.
+    */
+  private[operators] val SemCosThreshold = 0.4
+
+  /** SemDeDup — cluster-then-pair SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are coarse-clustered (nearest
+    * deterministic lowest-id anchor by 6-decimal cosine, ties to the
+    * lowest cell — the [[AnnOps]] IVF assignment discipline), pairwise
+    * cosine runs ONLY within a cell, and of each near-dup pair
+    * (cos ≥ [[SemCosThreshold]]) the vector with the LOWER
+    * (centroid-cosine, id) keep-priority survives — the paper's
+    * keep-the-edge-example policy (low centroid similarity = the
+    * least prototypical copy), made deterministic by the id tiebreak.
+    * Output: one row per REMOVED vector with its keeper and the
+    * cosine to it — bounded by n, never by pair volume.
+    *
+    * 100 TB shape: the corpus-adaptive cell count pins expected
+    * occupancy at [[SemCellTarget]], so within-cell pair volume is
+    * Θ(target · n) — linear, the published reason SemDeDup clusters
+    * before pairing. Assignment broadcasts the anchor table and ships
+    * only the slim (vec_id, cell, ccos) triple through its shuffle;
+    * embeddings re-attach by key for the verify. Cell skew shows up in
+    * the [[AnnOps.ivfCellStats]] pre-flight and splits under AQE's
+    * skew-join handling; past ~10⁸ vectors the anchor table outgrows a
+    * broadcast and assignment becomes a two-level (anchor-of-anchors)
+    * keyed join — the faiss IVF-HNSW seam, out of scope here.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val cells = semCells(Tables.rowCount(spark, dir, "embeddings"))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    val cents = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    // per-vector argmax as a codegen'd min(struct) partial aggregate —
+    // n rows shuffled, never n × |cells| into per-vector sorts
+    val asg = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(VectorExpressions.cosineNative(
+        col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        negate(col("best.nc")).as("ccos"))
+    val a = asg.select(col("cell"), col("vec_id").as("a_id"), col("ccos").as("a_ccos"))
+    val b = asg.select(col("cell").as("b_cell"), col("vec_id").as("b_id"),
+      col("ccos").as("b_ccos"))
+    // ordered candidate pairs: a dominates b when a's keep-priority
+    // (ccos, id) is lower; ids only through the cell join, embeddings
+    // re-attach by key for the exact-cosine verify
+    val cand = a.join(b,
+        col("cell") === col("b_cell") && col("a_id") =!= col("b_id") &&
+          struct(col("a_ccos"), col("a_id")) < struct(col("b_ccos"), col("b_id")))
+      .select(col("cell"), col("a_id"), col("a_ccos"), col("b_id"))
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("e1"), col("nrm").as("n1")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("e2"), col("nrm").as("n2")), "b_id")
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("e1"), col("n1"), col("e2"), col("n2")), 6))
+      .filter(col("cos") >= SemCosThreshold)
+      // one row per removed vector: its lowest-(ccos, id) dominator
+      .groupBy(col("b_id").as("removed"))
+      .agg(min(struct(col("a_ccos"), col("a_id").as("kept_by"),
+        col("cos").as("cos"), col("cell").as("cell"))).as("k"))
+      .select(col("removed"), col("k.cell").as("cell"),
+        col("k.kept_by").as("kept_by"), col("k.cos").as("cos"))
+      .orderBy("removed")
+  }
+
   /** Duplicate-cluster resolution: connected components over the
     * near-dup pair graph, labeled by the component's minimum doc_id —
     * the canonicalization step that turns pairwise dedup output into
@@ -784,6 +867,7 @@ object DedupOps {
     "q_minhash_recall" -> (minhashRecall _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_semdedup" -> (semDedup _),
     "q_emb_dedup_recall" -> (embDedupRecall _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
@@ -1132,5 +1216,34 @@ object DedupOps {
          |               i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)))), 6) cos
          |  FROM cand JOIN e ea ON ea.vec_id = v1 JOIN e eb ON eb.vec_id = v2
          |)
-         |SELECT v1, v2, cos FROM p WHERE cos >= $EmbCosThreshold ORDER BY v1, v2""".stripMargin)
+         |SELECT v1, v2, cos FROM p WHERE cos >= $EmbCosThreshold ORDER BY v1, v2""".stripMargin,
+    "q_semdedup" -> {
+      def cos(x: String, y: String): String =
+        s"""round(
+           |      list_sum(list_transform(range(1, len($x) + 1),
+           |               i -> $x[i]::DOUBLE * $y[i]::DOUBLE))
+           |      / (sqrt(list_sum(list_transform(range(1, len($x) + 1),
+           |               i -> $x[i]::DOUBLE * $x[i]::DOUBLE)))
+           |       * sqrt(list_sum(list_transform(range(1, len($y) + 1),
+           |               i -> $y[i]::DOUBLE * $y[i]::DOUBLE)))), 6)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |nc AS (SELECT greatest(16, CAST(ceil(count(*) / $SemCellTarget.0) AS BIGINT)) cells
+         |       FROM e),
+         |cents AS (SELECT vec_id cell, embedding c_emb FROM e, nc WHERE vec_id < cells),
+         |asg AS (
+         |  SELECT e.vec_id, cell, ${cos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), cand AS (
+         |  SELECT a.cell, a.vec_id a_id, a.ccos a_ccos, b.vec_id b_id,
+         |         ${cos("ea.embedding", "eb.embedding")} cos
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |       AND (a.ccos, a.vec_id) < (b.ccos, b.vec_id)
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |)
+         |SELECT b_id removed, cell, a_id kept_by, cos
+         |FROM cand WHERE cos >= $SemCosThreshold
+         |QUALIFY row_number() OVER (PARTITION BY b_id ORDER BY a_ccos, a_id) = 1
+         |ORDER BY removed""".stripMargin
+    })
 }

@@ -340,7 +340,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  private[operators] val Bm25K1 = 1.2
+  private[operators] val Bm25B = 0.75
+  private[operators] val Bm25TopK = 20
+  private[operators] val Bm25Query = Seq("hash", "join", "vector", "stream")
+
+  /** BM25 relevance ranking of the corpus for a fixed query-term set —
+    * the lexical retrieval scorer (Robertson–Spärck Jones; the
+    * Okapi BM25 formulation with the +1 idf floor) every search-backed
+    * curation loop needs beside the embedding retrievers:
+    * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf = ln(1 + (N−df+0.5)/(df+0.5))`, k1=1.2, b=0.75.
+    *
+    * 100 TB shape: tokens are filtered to the query terms BEFORE any
+    * aggregation, so the tf table carries ≤ |terms| rows per matching
+    * doc, never the corpus vocabulary; df is |terms| rows (broadcast);
+    * doc lengths are a map-side-combined count per doc; the corpus
+    * stats (N, avgdl) are a one-row broadcast literal. The final
+    * global top-k runs through the mergeable bounded
+    * [[graft.plans.TopKAgg]] — each partition keeps a ≤ k heap and the
+    * merge sees |partitions| × k rows — never a global sort or a
+    * partition-less rank window. Ranked on the ROUNDED score
+    * (doc tiebreak) so the cut is engine-portable.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("term").isInCollection(Bm25Query))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * lit(Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(first(col("dl")).as("dl"), round(sum(idf * norm), 6).as("score"))
+    scored
+      .groupBy()
+      .agg(graft.plans.TopKAgg.topK(
+        struct(negate(col("score")).as("ns"), col("doc_id").as("doc_id"),
+          col("dl").as("dl"), col("score").as("score")), Bm25TopK).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "it")))
+      .select(col("it.doc_id").as("doc_id"), col("it.dl").as("dl"),
+        col("it.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (bm25 _),
     "q_quality_percentile" -> (qualityPercentile _),
     "q_quality_filter" -> (qualityFilter _),
     "q_repetition" -> (repetition _),
@@ -355,6 +408,26 @@ object TextOps {
     "q_heavy_hitters" -> (heavyHitters _))
 
   val oracle: Map[String, String] = Map(
+    "q_bm25" -> {
+      val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+         |dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT count(*) n_docs, avg(dl) avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) tf FROM tok
+         |       WHERE term IN ($terms) GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id, dl,
+         |         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |                   * tf * ${Bm25K1 + 1.0}
+         |                   / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))), 6) score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+         |  GROUP BY tf.doc_id, dl
+         |)
+         |SELECT doc_id, dl, score,
+         |       row_number() OVER (ORDER BY score DESC, doc_id) rnk
+         |FROM sc QUALIFY rnk <= $Bm25TopK ORDER BY rnk""".stripMargin
+    },
     "q_quality_percentile" -> {
       // v filters NULL scores, mirroring keyRange/histogram's non-null
       // counting (a NULL-text doc must not shift the rank target)
