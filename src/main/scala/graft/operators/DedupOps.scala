@@ -556,6 +556,27 @@ object DedupOps {
     */
   private[operators] val SemCosThreshold = 0.4
 
+  /** Shared nearest-anchor assignment of [[semDedup]] and
+    * [[prototypes]]: `e` carries (vec_id, embedding, nrm); returns the
+    * slim (vec_id, cell, ccos) triple. Cells = [[semCells]] of the
+    * memoized corpus count; per-vector argmax is a codegen'd
+    * min(struct) partial aggregate — n rows shuffled, never
+    * n × |cells| into per-vector sorts.
+    */
+  private def semAssign(spark: SparkSession, dir: String, e: DataFrame): DataFrame = {
+    import graft.plans.VectorExpressions
+    val cells = semCells(Tables.rowCount(spark, dir, "embeddings"))
+    val cents = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(VectorExpressions.cosineNative(
+        col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        negate(col("best.nc")).as("ccos"))
+  }
+
   /** SemDeDup — cluster-then-pair SEMANTIC dedup (Abbas et al. 2023,
     * arXiv:2303.09540): embeddings are coarse-clustered (nearest
     * deterministic lowest-id anchor by 6-decimal cosine, ties to the
@@ -581,21 +602,10 @@ object DedupOps {
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.VectorExpressions
-    val cells = semCells(Tables.rowCount(spark, dir, "embeddings"))
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .repartition(col("vec_id"))
-    val cents = e.filter(col("vec_id") < cells)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    // per-vector argmax as a codegen'd min(struct) partial aggregate —
-    // n rows shuffled, never n × |cells| into per-vector sorts
-    val asg = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(VectorExpressions.cosineNative(
-        col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"),
-        negate(col("best.nc")).as("ccos"))
+    val asg = semAssign(spark, dir, e)
     val a = asg.select(col("cell"), col("vec_id").as("a_id"), col("ccos").as("a_ccos"))
     val b = asg.select(col("cell").as("b_cell"), col("vec_id").as("b_id"),
       col("ccos").as("b_ccos"))
@@ -619,6 +629,57 @@ object DedupOps {
       .select(col("removed"), col("k.cell").as("cell"),
         col("k.kept_by").as("kept_by"), col("k.cos").as("cos"))
       .orderBy("removed")
+  }
+
+  private[operators] val ProtoK = 3
+
+  /** Prototypicality profile per cluster — the SSL-prototypes
+    * data-pruning metric (Sorscher et al. 2022, "Beyond neural scaling
+    * laws"): an example's cosine to its cluster centroid measures how
+    * PROTOTYPICAL (easy, redundant) it is; pruning keeps the
+    * low-centroid-cosine edge examples when data is abundant. Per
+    * cell: membership count, mean centroid-cosine, and the
+    * [[ProtoK]] most prototypical ("proto" — prune candidates) and
+    * least prototypical ("edge" — keep candidates) members, ranked on
+    * the ROUNDED 6-decimal ccos (id tiebreak) so the cut is
+    * engine-portable.
+    *
+    * 100 TB shape: one broadcast assignment pass (shared
+    * [[semAssign]]), then a keyed aggregation over the slim (vec_id,
+    * cell, ccos) triple — stats map-side-combine to one row per cell,
+    * and both rank directions run through the mergeable bounded
+    * top-k aggregate (≤ k heap per partition per cell), never a
+    * per-cell sort window. Output is |cells| × (2k) rows — bounded by
+    * the cell table, not the corpus.
+    */
+  def prototypes(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{TopKAgg, VectorExpressions}
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    val asg = semAssign(spark, dir, e)
+    // the mean over a DOUBLE column is summation-order-dependent at
+    // the 6th decimal (partition merge order flips the rounded value
+    // run to run): sum the 6-decimal ccos EXACTLY as decimal, then
+    // divide — deterministic on any engine, any partitioning
+    val stats = asg.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("ccos").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_ccos"))
+    def ranked(role: String, key: Column) = asg
+      .groupBy(col("cell"))
+      .agg(TopKAgg.topK(struct(key.as("k"), col("vec_id").as("vec_id"),
+        col("ccos").as("ccos")), ProtoK).as("tk"))
+      .select(col("cell"), posexplode(col("tk")).as(Seq("pos", "it")))
+      .select(col("cell"), lit(role).as("role"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("it.vec_id").as("vec_id"), col("it.ccos").as("ccos"))
+    ranked("proto", negate(col("ccos")))
+      .union(ranked("edge", col("ccos")))
+      .join(stats, "cell")
+      .select(col("cell"), col("role"), col("rnk"), col("vec_id"),
+        col("ccos"), col("n_members"), col("mean_ccos"))
+      .orderBy("cell", "role", "rnk")
   }
 
   /** Duplicate-cluster resolution: connected components over the
@@ -868,6 +929,7 @@ object DedupOps {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_semdedup" -> (semDedup _),
+    "q_prototypes" -> (prototypes _),
     "q_emb_dedup_recall" -> (embDedupRecall _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
@@ -1245,5 +1307,41 @@ object DedupOps {
          |FROM cand WHERE cos >= $SemCosThreshold
          |QUALIFY row_number() OVER (PARTITION BY b_id ORDER BY a_ccos, a_id) = 1
          |ORDER BY removed""".stripMargin
+    },
+    "q_prototypes" -> {
+      def cos(x: String, y: String): String =
+        s"""round(
+           |      list_sum(list_transform(range(1, len($x) + 1),
+           |               i -> $x[i]::DOUBLE * $y[i]::DOUBLE))
+           |      / (sqrt(list_sum(list_transform(range(1, len($x) + 1),
+           |               i -> $x[i]::DOUBLE * $x[i]::DOUBLE)))
+           |       * sqrt(list_sum(list_transform(range(1, len($y) + 1),
+           |               i -> $y[i]::DOUBLE * $y[i]::DOUBLE)))), 6)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |nc AS (SELECT greatest(16, CAST(ceil(count(*) / $SemCellTarget.0) AS BIGINT)) cells
+         |       FROM e),
+         |cents AS (SELECT vec_id cell, embedding c_emb FROM e, nc WHERE vec_id < cells),
+         |asg AS (
+         |  SELECT e.vec_id, cell, ${cos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), st AS (
+         |  SELECT cell, count(*) n_members,
+         |         round(sum(CAST(ccos AS DECIMAL(18,6)))::DOUBLE / count(*), 6) mean_ccos
+         |  FROM asg GROUP BY cell
+         |), pr AS (
+         |  SELECT cell, 'proto' AS "role",
+         |         row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id) rnk,
+         |         vec_id, ccos
+         |  FROM asg QUALIFY rnk <= $ProtoK
+         |), ed AS (
+         |  SELECT cell, 'edge' AS "role",
+         |         row_number() OVER (PARTITION BY cell ORDER BY ccos, vec_id) rnk,
+         |         vec_id, ccos
+         |  FROM asg QUALIFY rnk <= $ProtoK
+         |)
+         |SELECT cell, "role", rnk, vec_id, ccos, n_members, mean_ccos
+         |FROM (SELECT * FROM pr UNION ALL SELECT * FROM ed) u JOIN st USING (cell)
+         |ORDER BY cell, "role", rnk""".stripMargin
     })
 }
