@@ -82,10 +82,44 @@ object MultimodalOps {
         (count(lit(1)) - countDistinct(col("sig"))).as("n_dup_blobs"))
       .orderBy("source")
 
+  /** Cross-media duplicate-FRAME detection — the video-path dedup
+    * audit (re-encoded uploads, spliced clips and black/intro frames
+    * share byte-identical fixed-size frames even when whole blobs
+    * differ): each blob is segmented into [[FrameBytes]]-aligned
+    * frames, every frame is content-hashed, and a hash appearing in
+    * ≥ 2 distinct blobs is reported with its duplication counts.
+    * Fixed alignment is CORRECT here — video frames are fixed-size
+    * units — while q_chunk_dedup's content-defined chunking remains
+    * the right tool for byte streams with insertions.
+    *
+    * 100 TB shape: one scan, a generator expression fanning each blob
+    * to length/FrameBytes rows carrying only (doc_id, idx, 32-char
+    * hash) — blob bytes never ride the shuffle — then one hash-keyed
+    * aggregation (map-side combined) whose output is bounded by the
+    * number of DUPLICATED hashes, never the frame count.
+    */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(length(text) / $FrameBytes.0) AS INT) - 1, 1),
+           |  i -> md5(CAST(substring(text, i * $FrameBytes + 1, $FrameBytes) AS BINARY)))"""
+          .stripMargin)).as(Seq("frame_idx", "fh")))
+      .groupBy("fh")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        min(col("frame_idx").cast("long")).as("min_idx"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("fh")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_blob_stats" -> (blobStats _),
-    "q_frame_sample" -> (frameSample _))
+    "q_frame_sample" -> (frameSample _),
+    "q_frame_dedup" -> (frameDedup _))
 
   val oracle: Map[String, String] = Map(
     "q_blob_stats" ->
@@ -119,5 +153,16 @@ object MultimodalOps {
          |    / least($FrameBytes, length(text) - t.i * $FrameBytes)::DOUBLE, 4) byte_mean
          |FROM documents, range(0, 64) t(i)
          |WHERE t.i * $FrameBytes < length(text) AND t.i % $FrameStride = 0
-         |ORDER BY doc_id, frame_idx""".stripMargin)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_frame_dedup" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, t.i frame_idx,
+         |         md5(substring(text, t.i * $FrameBytes + 1, $FrameBytes)) fh
+         |  FROM documents, range(0, 64) t(i)
+         |  WHERE t.i * $FrameBytes < length(text)
+         |)
+         |SELECT fh, count(*) n_frames, count(DISTINCT doc_id) n_docs,
+         |       min(doc_id) min_doc, CAST(min(frame_idx) AS BIGINT) min_idx
+         |FROM fr GROUP BY fh HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY fh""".stripMargin)
 }
