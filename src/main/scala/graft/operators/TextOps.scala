@@ -392,8 +392,67 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  private[operators] val PmiVocab = 50
+  private[operators] val PmiMinPairDocs = 5
+
+  /** NPMI term-association mining over the capped head vocabulary —
+    * the collocation/phrase-discovery statistic (Church & Hanks 1990;
+    * normalized per Bouma 2009) a curation pipeline runs to find
+    * multi-word entities and template phrases:
+    * `npmi(a,b) = ln(p(a,b)/(p(a)p(b))) / −ln p(a,b)` over document
+    * co-occurrence probabilities, +1 for always-together, 0 for
+    * independent. Vocabulary is the deterministic top-[[PmiVocab]]
+    * head by document frequency (df desc, term tiebreak — an
+    * engine-portable cut), pairs below [[PmiMinPairDocs]] co-docs are
+    * dropped as noise.
+    *
+    * 100 TB shape: tokens are filtered against the BROADCAST head
+    * vocabulary before anything else, so the per-doc distinct-term
+    * frame carries ≤ |vocab| rows per doc and the within-doc pair
+    * fan-out is ≤ C(|vocab|, 2) per doc — output is bounded by
+    * C(|vocab|, 2) pair keys TOTAL regardless of corpus size, and
+    * every aggregation map-side combines. The vocab cut itself is a
+    * df aggregation + one bounded top-k (mergeable aggregate, no
+    * global sort).
+    */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dt = toks.distinct()
+    val df = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val vocab = df
+      .groupBy()
+      .agg(graft.plans.TopKAgg.topK(
+        struct(negate(col("df")).cast("long").as("ndf"), col("term").as("term"),
+          col("df").as("df")), PmiVocab).as("tk"))
+      .select(explode(col("tk")).as("it"))
+      .select(col("it.term").as("term"), col("it.df").as("df"))
+    val n = dt.select(countDistinct(col("doc_id")).as("n_docs"))
+    val hits = dt.join(broadcast(vocab), "term")
+    val pairs = hits.select(col("doc_id"), col("term").as("t1"), col("df").as("df1"))
+      .join(hits.select(col("doc_id"), col("term").as("t2"), col("df").as("df2")),
+        Seq("doc_id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n_both"),
+        min(col("df1")).as("df1"), min(col("df2")).as("df2"))
+      .filter(col("n_both") >= PmiMinPairDocs)
+    val pab = col("n_both") / col("n_docs").cast("double")
+    // an always-co-occurring pair has −ln p(a,b) = 0: npmi is +1 by
+    // definition (perfect association), pinned explicitly so neither
+    // engine divides by zero
+    val npmi = when(col("n_both") === col("n_docs"), lit(1.0))
+      .otherwise(log(pab / ((col("df1") / col("n_docs").cast("double")) *
+        (col("df2") / col("n_docs").cast("double")))) / negate(log(pab)))
+    pairs.crossJoin(broadcast(n))
+      .select(col("t1"), col("t2"), col("n_both"), col("df1"), col("df2"),
+        round(npmi, 6).as("npmi"))
+      .orderBy("t1", "t2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (bm25 _),
+    "q_pmi_pairs" -> (pmiPairs _),
     "q_quality_percentile" -> (qualityPercentile _),
     "q_quality_filter" -> (qualityFilter _),
     "q_repetition" -> (repetition _),
@@ -428,6 +487,27 @@ object TextOps {
          |       row_number() OVER (ORDER BY score DESC, doc_id) rnk
          |FROM sc QUALIFY rnk <= $Bm25TopK ORDER BY rnk""".stripMargin
     },
+    "q_pmi_pairs" ->
+      s"""WITH tok AS (SELECT DISTINCT * FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents)),
+         |df AS (SELECT term, count(*) df FROM tok GROUP BY term),
+         |vocab AS (SELECT term, df FROM df
+         |          QUALIFY row_number() OVER (ORDER BY df DESC, term) <= $PmiVocab),
+         |nd AS (SELECT count(DISTINCT doc_id) n_docs FROM tok),
+         |hits AS (SELECT doc_id, term, df FROM tok JOIN vocab USING (term)),
+         |p AS (
+         |  SELECT a.term t1, b.term t2, count(*) n_both,
+         |         min(a.df) df1, min(b.df) df2
+         |  FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY a.term, b.term
+         |  HAVING count(*) >= $PmiMinPairDocs
+         |)
+         |SELECT t1, t2, n_both, df1, df2,
+         |  round(CASE WHEN n_both = n_docs THEN 1.0 ELSE
+         |    ln((n_both / n_docs::DOUBLE)
+         |       / ((df1 / n_docs::DOUBLE) * (df2 / n_docs::DOUBLE)))
+         |    / (-ln(n_both / n_docs::DOUBLE)) END, 6) npmi
+         |FROM p, nd ORDER BY t1, t2""".stripMargin,
     "q_quality_percentile" -> {
       // v filters NULL scores, mirroring keyRange/histogram's non-null
       // counting (a NULL-text doc must not shift the rank target)
