@@ -93,6 +93,22 @@ object CoreOps {
       .orderBy("r_regionkey")
   }
 
+  /** ORC export/import round-trip — the Hive/Trino-ecosystem
+    * interchange path beside CSV and JSON: supplier goes out as ORC
+    * and comes back type-preserved (no schema argument — ORC carries
+    * its own), proven against the parquet-derived oracle by hash
+    * equality. `s_acctbal` re-rounds at the output boundary only.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    Codecs.exportOrc(Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")), tmp)
+    Codecs.importOrc(spark, tmp)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("acctbal"))
+      .orderBy("s_suppkey")
+  }
+
   /** Hierarchical totals via ROLLUP (subtotals + grand total). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -571,6 +587,7 @@ object CoreOps {
     "q_group_topn" -> (groupTopN _),
     "q_json_extract" -> (jsonExtract _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
@@ -730,6 +747,9 @@ object CoreOps {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_cube" ->

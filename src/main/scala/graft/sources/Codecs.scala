@@ -37,4 +37,18 @@ object Codecs {
 
   def importJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC export — the third first-class columnar interchange format
+    * beside parquet (Spark ships the reader/writer; Hive/Trino
+    * ecosystems still hand over ORC at scale). Type-preserving, so no
+    * schema argument on import: the round-trip proves fidelity by
+    * hash equality against the parquet-derived oracle.
+    */
+  def exportOrc(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode("overwrite").orc(path)
+  }
+
+  def importOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

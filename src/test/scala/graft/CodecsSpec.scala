@@ -43,4 +43,17 @@ class CodecsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(back === tricky.toSet)
   }
+
+  test("orc round-trip preserves types without a schema argument") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("codec_orc").toString
+    val df = tricky.toDF("id", "name")
+      .withColumn("score", org.apache.spark.sql.functions.col("id") * 1.5)
+    Codecs.exportOrc(df, dir)
+    val back = Codecs.importOrc(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      Seq(("id", LongType), ("name", StringType), ("score", DoubleType)))
+    val rows = back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows === tricky.map { case (i, n) => (i, n, i * 1.5) }.toSet)
+  }
 }
