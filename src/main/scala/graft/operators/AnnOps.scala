@@ -607,7 +607,74 @@ object AnnOps {
       .orderBy("probe_id")
   }
 
+  /** k-NN label prediction — classification by retrieval (Fix &
+    * Hodges 1951; the label-propagation readout every embedding-store
+    * evaluation runs): each probe's label is predicted as the
+    * majority label of its [[K]] nearest non-self neighbors by exact
+    * cosine (vote ties to the lexicographically smallest label), and
+    * compared against the probe's own label. Composes the registered
+    * exact top-k pipeline's shapes unchanged: broadcast probes, one
+    * scored pass, the bounded top-k aggregate, then two keyed
+    * aggregations whose output is |probes| × |labels| at most — the
+    * argmax vote is a codegen'd min(struct), never a window.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    val probes = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("nrm").as("probe_nrm"), col("label").as("true_label"))
+    val scored = e.crossJoin(broadcast(probes.drop("true_label")))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("probe_emb"), col("probe_nrm"), col("embedding"), col("nrm")), 6))
+    val votes = probeTopKDesc(scored, col("cos"), K, Seq("vec_id", "label"))
+      .groupBy("probe_id", "label").agg(count(lit(1)).as("n_votes"))
+    votes.groupBy("probe_id")
+      .agg(min(struct(negate(col("n_votes")).as("nv"),
+        col("label").as("pred_label"))).as("b"))
+      .select(col("probe_id"), col("b.pred_label").as("pred_label"),
+        negate(col("b.nv")).as("n_votes"))
+      .join(broadcast(probes.select(col("probe_id"), col("true_label"))), "probe_id")
+      .withColumn("correct", (col("pred_label") === col("true_label")).cast("int"))
+      .orderBy("probe_id")
+  }
+
+  /** Label purity per IVF cell — the cluster-quality audit against
+    * ground-truth labels (is the embedding space's coarse structure
+    * label-coherent before trusting cluster-level curation
+    * decisions?): per non-empty cell, membership, distinct labels,
+    * the majority label and its share. Same deterministic assignment
+    * as [[ivfCellStats]]; two keyed aggregations over the slim
+    * (cell, label) frame, majority via codegen'd min(struct), output
+    * ≤ |cells| rows.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    val asg = assignCells(e.select(col("vec_id"), col("embedding"), col("nrm")), ivfAnchors(e))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+    val counts = asg.groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy("cell")
+      .agg(sum(col("n")).as("n_members"), count(lit(1)).as("n_labels"))
+    val maj = counts.groupBy("cell")
+      .agg(min(struct(negate(col("n")).as("nn"), col("label").as("maj_label"))).as("m"))
+      .select(col("cell"), col("m.maj_label").as("maj_label"),
+        negate(col("m.nn")).as("n_majority"))
+    tot.join(maj, "cell")
+      .withColumn("purity", round(col("n_majority") / col("n_members").cast("double"), 6))
+      .select(col("cell"), col("n_members"), col("n_labels"),
+        col("maj_label"), col("n_majority"), col("purity"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_classify" -> (knnClassify _),
+    "q_cluster_purity" -> (clusterPurity _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_recall" -> (annRecall _),
     "q_ann_lsh" -> (annLsh _),
@@ -1036,5 +1103,44 @@ object AnnOps {
         |  round(min(embedding[t.i + 1]::DOUBLE), 6) mn,
         |  round(max(embedding[t.i + 1]::DOUBLE), 6) mx
         |FROM embeddings, range(0, 64) t(i)
-        |GROUP BY label, t.i ORDER BY label, dim""".stripMargin)
+        |GROUP BY label, t.i ORDER BY label, dim""".stripMargin,
+    "q_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |nn AS (
+         |  SELECT p.vec_id probe_id, c.label,
+         |         ${sqlCos("p.embedding", "c.embedding")} cos, c.vec_id
+         |  FROM e p JOIN e c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+         |                             ORDER BY cos DESC, c.vec_id) <= $K
+         |), v AS (
+         |  SELECT probe_id, label, count(*) n_votes FROM nn GROUP BY probe_id, label
+         |), pred AS (
+         |  SELECT probe_id, label pred_label, n_votes FROM v
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |                             ORDER BY n_votes DESC, label) = 1
+         |)
+         |SELECT probe_id, pred_label, n_votes, e.label true_label,
+         |       CAST(pred_label = e.label AS INT) correct
+         |FROM pred JOIN e ON e.vec_id = pred.probe_id
+         |ORDER BY probe_id""".stripMargin,
+    "q_cluster_purity" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT e.vec_id, cell, e.label, ${sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), counts AS (
+         |  SELECT cell, label, count(*) n FROM asg GROUP BY cell, label
+         |), tot AS (
+         |  SELECT cell, sum(n) n_members, count(*) n_labels FROM counts GROUP BY cell
+         |), maj AS (
+         |  SELECT cell, label maj_label, n n_majority FROM counts
+         |  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) = 1
+         |)
+         |SELECT cell, CAST(n_members AS BIGINT) n_members, n_labels,
+         |       maj_label, n_majority,
+         |       round(n_majority / n_members::DOUBLE, 6) purity
+         |FROM tot JOIN maj USING (cell) ORDER BY cell""".stripMargin)
 }
