@@ -319,7 +319,42 @@ object CdcOps {
     broadcast(feed.agg(
       expr("CAST(min(ts_ns) + (max(ts_ns) - min(ts_ns)) DIV 2 AS BIGINT)").as("cut_ns")))
 
+  private val PathTopK = 20
+
+  /** Event-path mining — the user-journey readout (the product
+    * analytics "path analysis" staple, and at pipeline scale the
+    * Markov-transition telemetry behind next-event models): the
+    * [[PathTopK]] most frequent event-type TRIGRAMS across all users,
+    * built from each user's time-ordered stream. Ranked on
+    * (count desc, path) so the cut is engine-portable.
+    *
+    * 100 TB shape: the lead windows partition on user_id — a
+    * high-cardinality key that splits fine — and carry only the
+    * event-type string; the trigram aggregation map-side combines to
+    * ≤ |types|³ rows, and the final cut is the mergeable bounded
+    * top-k, never a global sort.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val grams = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+    grams.groupBy()
+      .agg(graft.plans.TopKAgg.topK(
+        struct(negate(col("n")).as("nn"), col("e1").as("e1"), col("e2").as("e2"),
+          col("e3").as("e3"), col("n").as("n")), PathTopK).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "it")))
+      .select(col("it.e1").as("e1"), col("it.e2").as("e2"), col("it.e3").as("e3"),
+        col("it.n").as("n"), (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_paths" -> (eventPaths _),
     "q_cdc_latest" -> (cdcLatest _),
     "q_cdc_compact" -> (cdcCompact _),
     "q_cdc_envelope" -> (cdcEnvelope _),
@@ -353,6 +388,21 @@ object CdcOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_event_paths" ->
+      s"""WITH s AS (
+         |  SELECT event_type e1,
+         |         lead(event_type, 1) OVER (PARTITION BY user_id
+         |                                   ORDER BY ts, event_id) e2,
+         |         lead(event_type, 2) OVER (PARTITION BY user_id
+         |                                   ORDER BY ts, event_id) e3
+         |  FROM events
+         |), c AS (
+         |  SELECT e1, e2, e3, count(*) n FROM s
+         |  WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+         |)
+         |SELECT e1, e2, e3, n,
+         |       row_number() OVER (ORDER BY n DESC, e1, e2, e3) rnk
+         |FROM c QUALIFY rnk <= $PathTopK ORDER BY rnk""".stripMargin,
     "q_retention" ->
       """WITH d AS (
         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
