@@ -352,36 +352,44 @@ object TextOps {
     * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
     * with `idf = ln(1 + (N−df+0.5)/(df+0.5))`, k1=1.2, b=0.75.
     *
-    * 100 TB shape: tokens are filtered to the query terms BEFORE any
-    * aggregation, so the tf table carries ≤ |terms| rows per matching
-    * doc, never the corpus vocabulary; df is |terms| rows (broadcast);
-    * doc lengths are a map-side-combined count per doc; the corpus
-    * stats (N, avgdl) are a one-row broadcast literal. The final
-    * global top-k runs through the mergeable bounded
-    * [[graft.plans.TopKAgg]] — each partition keeps a ≤ k heap and the
-    * merge sees |partitions| × k rows — never a global sort or a
-    * partition-less rank window. Ranked on the ROUNDED score
-    * (doc tiebreak) so the cut is engine-portable.
+    * 100 TB shape: ONE corpus scan. Per doc, the length and each
+    * query term's tf come from array expressions over one tokenize —
+    * no explode, no token-row shuffle, and the slim
+    * (doc_id, dl, |terms| tf columns) projection is materialized once
+    * (eager localCheckpoint, the qualityPercentile discipline) so the
+    * stats pass and the scoring pass both read ~20 bytes/doc instead
+    * of re-scanning text. The corpus stats (N, avgdl, per-term df)
+    * collapse to a ONE-ROW broadcast; the final global top-k runs
+    * through the mergeable bounded [[graft.plans.TopKAgg]] — each
+    * partition keeps a ≤ k heap and the merge sees |partitions| × k
+    * rows — never a global sort or a partition-less rank window.
+    * Ranked on the ROUNDED score (doc tiebreak) so the cut is
+    * engine-portable.
     */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = toks.filter(col("term").isInCollection(Bm25Query))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val norm = col("tf") * lit(Bm25K1 + 1.0) /
-      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
-    val scored = tf
-      .join(broadcast(df), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .groupBy("doc_id")
-      .agg(first(col("dl")).as("dl"), round(sum(idf * norm), 6).as("score"))
-    scored
+    val toks = split(col("text"), " ")
+    def tfCol(t: String) = s"tf_${t}"
+    val perDoc = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select((col("doc_id") +: size(toks).cast("long").as("dl") +:
+        Bm25Query.map(t =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(tfCol(t)))): _*)
+      .localCheckpoint(true)
+    val statAggs = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+      Bm25Query.map(t => sum((col(tfCol(t)) > 0).cast("long")).as(s"df_${t}"))
+    val stats = broadcast(perDoc.agg(statAggs.head, statAggs.tail: _*))
+    def contrib(t: String) = {
+      val tf = col(tfCol(t))
+      val df = col(s"df_${t}")
+      val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+      when(tf > 0, idf * (tf * lit(Bm25K1 + 1.0) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(stats)
+      .filter(Bm25Query.map(t => col(tfCol(t)) > 0).reduce(_ || _))
+      .select(col("doc_id"), col("dl"),
+        round(Bm25Query.map(contrib).reduce(_ + _), 6).as("score"))
       .groupBy()
       .agg(graft.plans.TopKAgg.topK(
         struct(negate(col("score")).as("ns"), col("doc_id").as("doc_id"),
