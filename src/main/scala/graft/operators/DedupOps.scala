@@ -568,13 +568,21 @@ object DedupOps {
     val cells = semCells(Tables.rowCount(spark, dir, "embeddings"))
     val cents = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    e.crossJoin(broadcast(cents))
+    // materialized ONCE: every caller fans the slim triple out 2-3
+    // ways (pair sides, stats, both rank directions), and without the
+    // checkpoint each consumer re-runs the n x |cells| assignment
+    // cosine pass — the expensive stage of the whole family. Reliable
+    // checkpoint when a dir is configured (cluster), local otherwise
+    // (the connectedComponents discipline); ~24 bytes/vector.
+    val asg = e.crossJoin(broadcast(cents))
       .withColumn("ccos", round(VectorExpressions.cosineNative(
         col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
       .groupBy(col("vec_id"))
       .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell"))).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"),
         negate(col("best.nc")).as("ccos"))
+    if (spark.sparkContext.getCheckpointDir.isDefined) asg.checkpoint()
+    else asg.localCheckpoint(true)
   }
 
   /** SemDeDup — cluster-then-pair SEMANTIC dedup (Abbas et al. 2023,

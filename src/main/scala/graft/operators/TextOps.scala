@@ -426,7 +426,11 @@ object TextOps {
   def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val dt = toks.distinct()
+    // the distinct (doc_id, term) presence frame feeds FOUR consumers
+    // (df, the corpus count, both self-join sides) — materialized once
+    // so the corpus is scanned and the distinct exchange paid exactly
+    // once (the qualityPercentile discipline)
+    val dt = toks.distinct().localCheckpoint(true)
     val df = dt.groupBy("term").agg(count(lit(1)).as("df"))
     val vocab = df
       .groupBy()
