@@ -113,7 +113,7 @@ object AnnOps {
         round(max(col("v").cast("double")), 6).as("mx"))
       .orderBy("label", "dim")
 
-  private val IvfCells = 16
+  private[operators] val IvfCells = 16
   private[operators] val IvfProbeCells = 4
 
   /** Deterministic lowest-id float anchors: (cell, c_emb, c_nrm).
@@ -694,19 +694,19 @@ object AnnOps {
   /** `l / max(‖l‖, 1e-30)` over a double list — [[Kmeans.unitOf]]'s
     * SQL mirror (same epsilon, same index-ordered sum).
     */
-  private def sqlUnit(l: String): String =
+  private[operators] def sqlUnit(l: String): String =
     s"""list_transform($l, x -> x /
        |        greatest(sqrt(list_sum(list_transform($l, y -> y * y))), 1e-30))""".stripMargin
 
   /** Portable-mode assignment dot: `round(Σ a·b, 6)` over double lists. */
-  private def sqlDotR6(a: String, b: String): String =
+  private[operators] def sqlDotR6(a: String, b: String): String =
     s"round(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), 6)"
 
   /** One unrolled portable Lloyd round: assignment to `a${i-1}`,
     * per-(cell, dim) 6-decimal mean, renormalize, empty cells keep the
     * previous anchor — [[Kmeans.anchorsTrace]] in SQL.
     */
-  private def sqlLloydRound(i: Int): String = {
+  private[operators] def sqlLloydRound(i: Int): String = {
     val prev = s"a${i - 1}"
     s"""asg$i AS (
        |  SELECT nd.vec_id, cell, ${sqlDotR6("nv", "c")} dot
@@ -751,7 +751,7 @@ object AnnOps {
        |)""".stripMargin
   }
 
-  private def sqlCos(a: String, b: String): String =
+  private[operators] def sqlCos(a: String, b: String): String =
     s"""round(
        |      list_sum(list_transform(range(1, len($a) + 1),
        |               i -> $a[i]::DOUBLE * $b[i]::DOUBLE))

@@ -613,13 +613,22 @@ object DedupOps {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .repartition(col("vec_id"))
-    val asg = semAssign(spark, dir, e)
+    semPairs(semAssign(spark, dir, e), e)
+  }
+
+  /** Shared pair/verify/keeper stage of the SemDeDup family: `asg` is
+    * a (vec_id, cell, ccos) assignment (any anchor layout), `e` the
+    * (vec_id, embedding, nrm) corpus. Ordered candidate pairs — a
+    * dominates b when a's keep-priority (ccos, id) is lower — go ids
+    * only through the cell join; embeddings re-attach by key for the
+    * exact-cosine verify; one row per removed vector carries its
+    * lowest-(ccos, id) dominator.
+    */
+  private def semPairs(asg: DataFrame, e: DataFrame): DataFrame = {
+    import graft.plans.VectorExpressions
     val a = asg.select(col("cell"), col("vec_id").as("a_id"), col("ccos").as("a_ccos"))
     val b = asg.select(col("cell").as("b_cell"), col("vec_id").as("b_id"),
       col("ccos").as("b_ccos"))
-    // ordered candidate pairs: a dominates b when a's keep-priority
-    // (ccos, id) is lower; ids only through the cell join, embeddings
-    // re-attach by key for the exact-cosine verify
     val cand = a.join(b,
         col("cell") === col("b_cell") && col("a_id") =!= col("b_id") &&
           struct(col("a_ccos"), col("a_id")) < struct(col("b_ccos"), col("b_id")))
@@ -630,13 +639,51 @@ object DedupOps {
       .withColumn("cos", round(VectorExpressions.cosineNative(
         col("e1"), col("n1"), col("e2"), col("n2")), 6))
       .filter(col("cos") >= SemCosThreshold)
-      // one row per removed vector: its lowest-(ccos, id) dominator
       .groupBy(col("b_id").as("removed"))
       .agg(min(struct(col("a_ccos"), col("a_id").as("kept_by"),
         col("cos").as("cos"), col("cell").as("cell"))).as("k"))
       .select(col("removed"), col("k.cell").as("cell"),
         col("k.kept_by").as("kept_by"), col("k.cos").as("cos"))
       .orderBy("removed")
+  }
+
+  /** [[semDedup]] with an externally supplied UNIT-NORM double anchor
+    * table (cell, c) — e.g. Lloyd-refined [[Kmeans.anchors]], the
+    * layout the SemDeDup paper actually clusters with. Swaps ONLY the
+    * assignment's centroid table (the [[AnnOps.annIvfWith]]
+    * discipline): dot / ‖x‖ against unit anchors with the decision
+    * rounded to 6 decimals, argmax via the same codegen'd min(struct),
+    * the same one-time checkpoint, the same shared [[semPairs]] tail.
+    */
+  def semDedupWith(spark: SparkSession, dir: String, anchors: DataFrame): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    val asgRaw = e.crossJoin(broadcast(anchors))
+      .withColumn("ccos", round(
+        aggregate(zip_with(col("embedding"), col("c"), (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v) / col("nrm"), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        negate(col("best.nc")).as("ccos"))
+    val asg =
+      if (spark.sparkContext.getCheckpointDir.isDefined) asgRaw.checkpoint()
+      else asgRaw.localCheckpoint(true)
+    semPairs(asg, e)
+  }
+
+  /** SemDeDup over the Lloyd-refined cluster layout — the paper's
+    * actual pipeline (k-means the corpus, dedup within clusters):
+    * [[Kmeans.anchors]] in portable mode (means and dots pinned to 6
+    * decimals) keeps even the trained layout oracle-reproducible, so
+    * the WHOLE kmeans-then-dedup composition is hash-checked.
+    */
+  def semDedupKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    semDedupWith(spark, dir,
+      Kmeans.anchors(e, AnnOps.IvfCells, AnnOps.IvfKmeansIters, portable = true))
   }
 
   private[operators] val ProtoK = 3
@@ -937,6 +984,7 @@ object DedupOps {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_semdedup" -> (semDedup _),
+    "q_semdedup_kmeans" -> (semDedupKmeans _),
     "q_prototypes" -> (prototypes _),
     "q_emb_dedup_recall" -> (embDedupRecall _),
     "q_dedup_clusters" -> (dedupClusters _),
@@ -1307,6 +1355,38 @@ object DedupOps {
          |), cand AS (
          |  SELECT a.cell, a.vec_id a_id, a.ccos a_ccos, b.vec_id b_id,
          |         ${cos("ea.embedding", "eb.embedding")} cos
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |       AND (a.ccos, a.vec_id) < (b.ccos, b.vec_id)
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |)
+         |SELECT b_id removed, cell, a_id kept_by, cos
+         |FROM cand WHERE cos >= $SemCosThreshold
+         |QUALIFY row_number() OVER (PARTITION BY b_id ORDER BY a_ccos, a_id) = 1
+         |ORDER BY removed""".stripMargin
+    },
+    "q_semdedup_kmeans" -> {
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |nd AS (
+         |  SELECT vec_id,
+         |    ${AnnOps.sqlUnit("list_transform(embedding, x -> x::DOUBLE)")} nv
+         |  FROM e
+         |), a0 AS (
+         |  SELECT vec_id::BIGINT cell, nv c FROM nd WHERE vec_id < ${AnnOps.IvfCells}
+         |), ${(1 to AnnOps.IvfKmeansIters).map(AnnOps.sqlLloydRound).mkString(", ")},
+         |corpus AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))) nrm
+         |  FROM e
+         |), asg AS (
+         |  SELECT corpus.vec_id, cell,
+         |    round(list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> embedding[i]::DOUBLE * c[i])) / nrm, 6) ccos
+         |  FROM corpus CROSS JOIN a${AnnOps.IvfKmeansIters}
+         |  QUALIFY row_number() OVER (PARTITION BY corpus.vec_id
+         |                             ORDER BY ccos DESC, cell) = 1
+         |), cand AS (
+         |  SELECT a.cell, a.vec_id a_id, a.ccos a_ccos, b.vec_id b_id,
+         |         ${AnnOps.sqlCos("ea.embedding", "eb.embedding")} cos
          |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
          |       AND (a.ccos, a.vec_id) < (b.ccos, b.vec_id)
          |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id

@@ -73,6 +73,26 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans variant: invariants hold and the trained layout finds its own pairs") {
+    val rows = DedupOps.semDedupKmeans(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty, "semDedupKmeans emitted no rows on testdata")
+    rows.foreach { r =>
+      assert(r.getLong(0) !== r.getLong(2)) // removed != kept_by
+      assert(r.getDouble(3) >= DedupOps.SemCosThreshold)
+    }
+    // pairs are cell-CONDITIONAL: the trained layout groups differently
+    // than lowest-id anchors, so the two removal sets need not match —
+    // but both verify with the SAME exact cosine, so any (removed,
+    // kept_by) pair common to both must agree on the cosine
+    val det = DedupOps.semDedup(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      det.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(c === r.getDouble(3), s"cosine drift on pair ${r.getLong(0)}/${r.getLong(2)}")
+      }
+    }
+  }
+
   test("assignment broadcasts the anchors; no cartesian in the executed plan") {
     val df = DedupOps.semDedup(spark, TestSpark.Sf)
     df.collect()
