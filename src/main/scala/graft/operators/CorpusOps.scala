@@ -332,7 +332,64 @@ object CorpusOps {
         (col("p") + 1).cast("long").as("sample_rank"))
   }
 
+  private val DsirBuckets = 128
+  private val DsirTarget  = "src1"
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every
+    * document by log p_target(x) − log p_raw(x) under bag-of-hashed-
+    * n-gram multinomials — unigrams + bigrams hashed into
+    * [[DsirBuckets]] buckets, add-0.5 smoothing — where the target
+    * distribution is fit on the [[DsirTarget]] source's documents and
+    * the raw distribution on the whole corpus. High-weight documents
+    * look like the target domain and get up-sampled by the curation
+    * sampler.
+    *
+    * Engine-portability: the per-bucket log ratio is rounded to
+    * integer MICRO-units once (one `round` per bucket, 128 values),
+    * and each document sums LONGS — an order-independent exact sum,
+    * immune to float-addition reordering across partitions/engines —
+    * then divides back at the output boundary.
+    *
+    * Scale shape: one corpus pass builds both bucket histograms in a
+    * single 128-group aggregate (map-side partial combine: each task
+    * emits ≤ 128 rows regardless of input size); the 128-row ratio
+    * table is BROADCAST back onto the feature stream; the per-doc sum
+    * is one keyed aggregation. Everything is linear in corpus size;
+    * no vocabulary-sized state ever exists (that is the point of the
+    * paper's hashed features).
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    def feats = {
+      val toks = split(col("text"), " ")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          explode(concat(toks, Hashing.shingles(toks, 2))).as("f"))
+        .select(col("doc_id"), col("source"),
+          bucket(col("f"), DsirBuckets).as("b"))
+    }
+    val cnt = feats.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("source") === DsirTarget, 1)).as("ct"))
+    val tot = cnt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    // all 128 buckets, so never-seen buckets still carry smoothed mass
+    val ratio = spark.range(DsirBuckets).select(col("id").as("b"))
+      .join(cnt, Seq("b"), "left").na.fill(0L, Seq("cr", "ct"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((log((col("ct") + 0.5) / (col("tt") + DsirBuckets * 0.5)) -
+          log((col("cr") + 0.5) / (col("tr") + DsirBuckets * 0.5))) * 1e6, 0)
+          .cast("long").as("li"))
+    feats.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("li")) / 1e6, 6).as("logw"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> (dsirWeights _),
     "q_weighted_sample" -> (weightedSample _),
     "q_source_cap" -> (sourceCap _),
     "q_tfidf_terms" -> (tfidfTerms _),
@@ -348,6 +405,33 @@ object CorpusOps {
   private val sqlBucket = "('0x' || substr(md5(text), 1, 8))::BIGINT % 10"
 
   val oracle: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') ts FROM documents),
+         |feats AS (
+         |  SELECT doc_id, source, ('0x' || substr(md5(f), 1, 8))::BIGINT % $DsirBuckets b
+         |  FROM (
+         |    SELECT doc_id, source, unnest(ts) f FROM tok
+         |    UNION ALL
+         |    SELECT doc_id, source,
+         |           unnest(list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+         |                                 i -> array_to_string(ts[i:i+1], ' '))) f
+         |    FROM tok
+         |  )
+         |),
+         |cnt AS (SELECT b, count(*) cr,
+         |               count(CASE WHEN source = '$DsirTarget' THEN 1 END) ct
+         |        FROM feats GROUP BY b),
+         |tot AS (SELECT sum(cr) tr, sum(ct) tt FROM cnt),
+         |ratio AS (
+         |  SELECT r.range b,
+         |         CAST(round((ln((coalesce(ct, 0) + 0.5) / (tt + ${DsirBuckets * 0.5})) -
+         |                     ln((coalesce(cr, 0) + 0.5) / (tr + ${DsirBuckets * 0.5}))) * 1e6)
+         |              AS BIGINT) li
+         |  FROM range(0, $DsirBuckets) r LEFT JOIN cnt ON r.range = cnt.b, tot
+         |)
+         |SELECT doc_id, count(*) n_feats, round(sum(li) / 1e6, 6) logw
+         |FROM feats JOIN ratio USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_weighted_sample" ->
       s"""WITH k AS (
          |  SELECT doc_id, lang, n_chars,

@@ -180,6 +180,62 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  private val GopherWordMin   = 20
+  private val GopherWordMax   = 100000
+  private val GopherMeanLenLo = 3.0
+  private val GopherMeanLenHi = 10.0
+  private val GopherAlphaMin  = 0.8
+  private val GopherReqStops  =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  // the paper requires >= 2 distinct; this corpus's vocabulary carries
+  // exactly one English function word ("the"), so the threshold is
+  // corpus-calibrated to the presence test — same discipline as the
+  // word-count floor.
+  private val GopherReqStopMin = 1
+
+  /** Gopher quality rules (Rae et al. 2021, §A1.1 — the MassiveWeb
+    * repetition-free rule set reused by RefinedWeb/Dolma/FineWeb):
+    * word-count bounds, mean-word-length band, minimum fraction of
+    * words containing an alphabetic character, and the
+    * required-stopword rule (distinct-presence over the 8 English
+    * function words — the cheap "is this prose" test). The line-shape rules
+    * (bullet/ellipsis line starts) need line structure this corpus
+    * doesn't have and are covered separately by [[boilerplate]] /
+    * [[repetition]]. Word-count floor is corpus-calibrated like
+    * [[qualityFilter]]'s thresholds.
+    *
+    * First failing rule wins, in the paper's order; decisions
+    * evaluate on ROUNDED ratios so the cut is engine-portable.
+    * Single scan, all codegen'd builtins, no shuffle beyond the
+    * presentation sort — embarrassingly parallel at any corpus size.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks)
+    val meanLen = round(
+      aggregate(toks, lit(0L), (a, t) => a + length(t)) /
+        greatest(nWords, lit(1)).cast("double"), 6)
+    val alphaFrac = round(
+      size(filter(toks, t => t.rlike("[a-z]"))) /
+        greatest(nWords, lit(1)).cast("double"), 6)
+    val reqStops = size(array_intersect(
+      array_distinct(toks), array(GopherReqStops.map(lit): _*)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+        reqStops.cast("long").as("req_stops"))
+      .withColumn("reason",
+        when(col("n_words") < GopherWordMin || col("n_words") > GopherWordMax,
+          "word_count")
+          .when(col("mean_word_len") < GopherMeanLenLo ||
+            col("mean_word_len") > GopherMeanLenHi, "mean_word_len")
+          .when(col("alpha_frac") < GopherAlphaMin, "low_alpha")
+          .when(col("req_stops") < GopherReqStopMin, "low_stopwords")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition ratio — the repetition quality signal
     * of large-corpus curation: the fraction of a document's 3-token
     * shingles that are duplicates of an earlier shingle
@@ -467,6 +523,7 @@ object TextOps {
     "q_pmi_pairs" -> (pmiPairs _),
     "q_quality_percentile" -> (qualityPercentile _),
     "q_quality_filter" -> (qualityFilter _),
+    "q_gopher_rules" -> (gopherRules _),
     "q_repetition" -> (repetition _),
     "q_lm_score" -> (lmScore _),
     "q_lm_bigram" -> (lmBigram _),
@@ -602,6 +659,32 @@ object TextOps {
         |)
         |SELECT doc_id, n_chars, stop_ratio, reason, reason = 'ok' keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" -> {
+      val stops = GopherReqStops.map(s => s"'$s'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id, string_split(text, ' ') ts FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS BIGINT) n_words,
+         |    round(list_sum(list_transform(ts, t -> length(t)))
+         |          / greatest(len(ts), 1)::DOUBLE, 6) mean_word_len,
+         |    round(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+         |          / greatest(len(ts), 1)::DOUBLE, 6) alpha_frac,
+         |    CAST(len(list_intersect(list_distinct(ts), [$stops])) AS BIGINT) req_stops
+         |  FROM m
+         |), r AS (
+         |  SELECT *,
+         |    CASE WHEN n_words < $GopherWordMin OR n_words > $GopherWordMax THEN 'word_count'
+         |         WHEN mean_word_len < $GopherMeanLenLo OR mean_word_len > $GopherMeanLenHi THEN 'mean_word_len'
+         |         WHEN alpha_frac < $GopherAlphaMin THEN 'low_alpha'
+         |         WHEN req_stops < $GopherReqStopMin THEN 'low_stopwords'
+         |         ELSE 'ok' END reason
+         |  FROM s
+         |)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, req_stops,
+         |       reason, reason = 'ok' keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "q_text_quality" ->
       """WITH b AS (
         |  SELECT doc_id, n_chars, text,
