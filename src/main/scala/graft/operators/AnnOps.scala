@@ -36,12 +36,18 @@ object AnnOps {
     * partitions for a full sort, the one shape that concentrates at
     * 100× scale. Ordering note: `-cos` keeps doubles bit-consistent
     * with the window's `desc` (Double.compare semantics on ±0.0 agree
-    * after negation).
+    * after negation) — EXCEPT NaN, where negation is identity and
+    * asc/desc disagree. NaN arises only from a zero-norm vector
+    * (cos = 0/0; L2NormExpr carries no epsilon), so `ord` is pinned
+    * through nanvl to −∞ first: a degenerate vector ranks LAST,
+    * deterministically, instead of floating to rank 1 under the old
+    * window's desc-NaN-first.
     */
   private def probeTopKDesc(df: DataFrame, ord: Column, k: Int,
       payload: Seq[String]): DataFrame = {
     require(payload.headOption.contains("vec_id"), "tie-break must lead the payload")
-    val item = struct((negate(ord).as("_o") +: payload.map(c => col(c).as(c))): _*)
+    val ordSafe = nanvl(ord, lit(Double.NegativeInfinity))
+    val item = struct((negate(ordSafe).as("_o") +: payload.map(c => col(c).as(c))): _*)
     df.groupBy(col("probe_id"))
       .agg(graft.plans.TopKAgg.topK(item, k).as("_tk"))
       .select(col("probe_id"), posexplode(col("_tk")).as(Seq("_pos", "_it")))
@@ -256,12 +262,20 @@ object AnnOps {
     * rounding, same ties) and must reproduce the anchor table — and
     * therefore the search results — exactly.
     */
-  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    annIvfWith(spark, dir,
-      Kmeans.anchors(e, IvfCells, IvfKmeansIters, portable = true),
-      roundCcos = true)
-  }
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(spark, dir, trainedAnchors(spark, dir), roundCcos = true)
+
+  /** The session's ONE Lloyd-trained anchor table per (dir, params) —
+    * shared by q_ann_ivf_kmeans and q_semdedup_kmeans (both consume
+    * the identical portable-mode layout), trained on first use
+    * ([[Kmeans.memoized]]).
+    */
+  private[operators] def trainedAnchors(spark: SparkSession, dir: String): DataFrame =
+    Kmeans.memoized(spark,
+        s"$dir|anchors|k=$IvfCells|iters=$IvfKmeansIters|portable=true") {
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      Kmeans.anchors(e, IvfCells, IvfKmeansIters, portable = true)
+    }
 
   private[operators] val Sq8Rerank = 20
 
@@ -492,8 +506,12 @@ object AnnOps {
         subs(e.filter(col("vec_id") < PqK), "vec_id")
           .select(col("m"), col("vec_id").as("code"), col("sub").as("c_sub"))
       else
-        pqCodebook(subs(e, "vec_id").select(col("vec_id"), col("m"),
-          transform(col("sub"), x => x.cast("double")).as("sub")), trainIters)
+        // session-memoized: the trained codebook is a fixed cost per
+        // (dir, iters); train once, reuse across invocations
+        Kmeans.memoized(spark, s"$dir|pqcodebook|iters=$trainIters") {
+          pqCodebook(subs(e, "vec_id").select(col("vec_id"), col("m"),
+            transform(col("sub"), x => x.cast("double")).as("sub")), trainIters)
+        }
     // encode: nearest codeword per (vec_id, m) by rounded squared L2,
     // ties to the lowest code — the assignCells decision discipline
     val d2 = round(aggregate(zip_with(col("sub"), col("c_sub"), (a, b) =>
@@ -576,7 +594,6 @@ object AnnOps {
         round(min(col("qs")), 6).as("qscale"),
         round(sqrt(avg(pow(err, 2))), 6).as("rmse"),
         round(max(abs(err)), 6).as("max_err"))
-      .orderBy("vec_id")
   }
 
   /** ANN recall probe — the index-tuning dial, completing the

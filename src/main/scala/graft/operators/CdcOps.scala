@@ -40,7 +40,6 @@ object CdcOps {
         col("event_type").as("last_type"),
         round(col("value"), 2).as("last_value"),
         expr(s"ts_ns DIV $NsPerSec").as("last_epoch_s"))
-      .orderBy("user_id")
   }
 
   /** Debezium-style op tag for the synthetic change feed: ~10% of
@@ -86,7 +85,6 @@ object CdcOps {
         round(col("value"), 2).as("last_value"),
         expr(s"ts_ns DIV $NsPerSec").as("last_epoch_s"),
         col("n_changes"))
-      .orderBy("user_id")
   }
 
   /** The change feed carried through the JSON wire format and back —
@@ -127,7 +125,6 @@ object CdcOps {
         col("event_type").as("last_type"),
         round(col("value"), 2).as("last_value"),
         expr(s"ts_ns DIV $NsPerSec").as("last_epoch_s"))
-      .orderBy("user_id")
   }
 
   /** Gap-based sessionization: a >30-minute silence starts a new
@@ -148,7 +145,6 @@ object CdcOps {
         min(expr(s"ts_ns DIV $NsPerSec")).as("start_s"),
         max(expr(s"ts_ns DIV $NsPerSec")).as("end_s"),
         round(sum(col("value")), 2).as("sum_value"))
-      .orderBy("user_id", "session_id")
   }
 
   /** Concurrent-session load at purchase time — a genuine range-join
@@ -171,7 +167,6 @@ object CdcOps {
       .groupBy("purchase_id", "user_id", "ts_s")
       .agg(count(lit(1)).as("n_concurrent"),
         countDistinct(col("s_user")).as("n_users"))
-      .orderBy("purchase_id")
   }
 
   /** Overlapping-session pairs across users — a genuine
@@ -230,7 +225,6 @@ object CdcOps {
         col("event_id").as("purchase_id"),
         col("click_id").as("attributed_click_id"),
         expr(s"(ts_ns - click_ts) DIV $NsPerSec").as("gap_s"))
-      .orderBy("user_id", "purchase_id")
   }
 
   /** Funnel analysis: per user, first time reaching each stage and
@@ -248,7 +242,6 @@ object CdcOps {
           col("first_purchase_s").isNotNull &&
           col("first_signup_s") <= col("first_click_s") &&
           col("first_click_s") <= col("first_purchase_s"))
-      .orderBy("user_id")
 
   private val NsPerDay = 86400L * NsPerSec
 

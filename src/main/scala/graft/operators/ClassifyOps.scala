@@ -36,7 +36,6 @@ object ClassifyOps {
       .join(broadcast(kw), col("text").contains(col("kw")))
       .select(col("doc_id"), col("category"))
       .distinct()
-      .orderBy("doc_id", "category")
   }
 
   /** externalData.ts:426-461 — positive keyword list with a negative
@@ -47,7 +46,6 @@ object ClassifyOps {
     val neg = negativeKw.map(k => col("text").contains(k)).reduce(_ || _)
     Tables.documents(spark, dir)
       .select(col("doc_id"), (pos && !neg).as("flagged"))
-      .orderBy("doc_id")
   }
 
   /** merchants.ts:88-119 + externalData.ts:489-540 — single-pass per-row
@@ -66,7 +64,6 @@ object ClassifyOps {
         Text.punctRatio(col("text")).as("punct_ratio"),
         col("text").contains("spark").as("has_spark"),
         upper(col("source")).as("source_uc"))
-      .orderBy("doc_id")
 
   /** externalData.ts:124-186 estimateHoursFromCategory — rule-based
     * enrichment: category keyword → operating-hours profile, as a CASE
@@ -82,7 +79,6 @@ object ClassifyOps {
         when(seg.contains("food") || seg.contains("household"), 22)
           .when(seg.contains("machinery") || seg.contains("automobile"), 17)
           .otherwise(18).as("close_hour"))
-      .orderBy("c_custkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

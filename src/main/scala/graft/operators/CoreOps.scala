@@ -138,7 +138,6 @@ object CoreOps {
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         round(sum(col("value")).over(w), 2).as("running_value"))
-      .orderBy("user_id", "event_id")
   }
 
   /** Sliding event-time window via a RANGE frame: per user, each
@@ -156,7 +155,6 @@ object CoreOps {
       .withColumn("sum_trailing_hour", round(sum(col("value")).over(w), 2))
       .select(col("user_id"), col("event_id"), col("ts_s"),
         col("n_trailing_hour"), col("sum_trailing_hour"))
-      .orderBy("user_id", "event_id")
   }
 
   /** Full CUBE with grouping_id — every subtotal combination plus the
@@ -222,7 +220,6 @@ object CoreOps {
       .join(Tables.orders(spark, dir).select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
 
   /** Anti join: customers with no event activity (NOT EXISTS) — the
     * inactive-entity report.
@@ -232,7 +229,6 @@ object CoreOps {
       .join(Tables.events(spark, dir).select("user_id"),
         col("c_custkey") === col("user_id"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
 
   /** Correlated-aggregate semantics: customers above their nation's
     * average balance — a partial-aggregated groupBy broadcast-joined
@@ -250,7 +246,6 @@ object CoreOps {
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 2).as("acctbal"),
         round(col("nation_avg"), 4).as("nation_avg"))
-      .orderBy("c_custkey")
   }
 
   /** HyperLogLog registers: m = 2^10 buckets over a 60-bit md5 hash.
@@ -424,7 +419,6 @@ object CoreOps {
         Tables.customer(spark, dir), "c_custkey",
         Tables.orders(spark, dir), "o_custkey")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
 
   /** Join-key skew profile — the pre-flight check before choosing a
     * skew mitigation (salting, AQE skew-join, broadcast): per
@@ -489,7 +483,6 @@ object CoreOps {
       .filter(abs(col("z")) >= 3.0)
       .select(col("event_type"), col("event_id"),
         round(col("value"), 6).as("value"), col("z"))
-      .orderBy("event_type", "event_id")
   }
 
   /** Robust (median/MAD) outliers — [[valueOutliers]]'s z-score uses
@@ -540,7 +533,6 @@ object CoreOps {
       .filter(abs(col("rz")) >= 3.5)
       .select(col("event_type"), col("event_id"),
         round(col("value"), 6).as("value"), col("rz"))
-      .orderBy("event_type", "event_id")
   }
 
   /** [[valueOutliersRobustFrame]] plus the EXACT median/MAD audit
@@ -570,7 +562,6 @@ object CoreOps {
           round((col("value") - col("med_x")) / (lit(1.4826) * col("mad_x")), 6)))
       .select(col("event_type"), col("event_id"),
         round(col("value"), 6).as("value"), col("rz"), col("rz_exact"))
-      .orderBy("event_type", "event_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -29,7 +29,6 @@ object CorpusOps {
     Tables.documents(spark, dir)
       .filter(bucket(col("text"), 10) < 3)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .orderBy("doc_id")
 
   /** Deterministic train/val/test split assignment (80/10/10) by
     * content hash; emits the assignment, not a sampled subset.
@@ -40,7 +39,6 @@ object CorpusOps {
         when(bucket(col("text"), 10) < 8, "train")
           .when(bucket(col("text"), 10) < 9, "val")
           .otherwise("test").as("split"))
-      .orderBy("doc_id")
 
   /** Document-length histogram per language: fixed-width 100-char
     * buckets — the profile pass before length filtering.
@@ -64,7 +62,6 @@ object CorpusOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("h"))
-      .orderBy("doc_id")
   }
 
   /** Label-distribution profile of the embedding corpus. ONE scan:
@@ -111,7 +108,6 @@ object CorpusOps {
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_grams"),
         countDistinct(col("bench_id")).as("n_bench"))
-      .orderBy("doc_id")
   }
 
   /** Per-language resampling weights toward a uniform target mixture:
@@ -189,7 +185,6 @@ object CorpusOps {
         expr(s"(cum_tokens - est_tokens) DIV $ShardBudget"))
       .select(col("doc_id"), col("lang"), col("est_tokens"),
         col("cum_tokens"), col("shard"))
-      .orderBy("doc_id")
   }
 
   /** The one-window-partition-per-language reference layout the
@@ -205,7 +200,6 @@ object CorpusOps {
       .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
       .withColumn("shard",
         expr(s"(cum_tokens - est_tokens) DIV $ShardBudget"))
-      .orderBy("doc_id")
   }
 
   private val SourceCap = 20
@@ -290,7 +284,6 @@ object CorpusOps {
       .filter(col("rnk") <= TfidfK)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score"), col("rnk").cast("long").as("rnk"))
-      .orderBy("doc_id", "rnk")
   }
 
   /** Sample size for [[weightedSample]]. */
@@ -361,13 +354,19 @@ object CorpusOps {
     */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing
-    def feats = {
+    // the explode pass (the dominant cost) feeds TWO consumers — the
+    // 128-bucket histogram and the final per-doc join — so the slim
+    // (doc_id, source, b) frame is materialized exactly once (the dt
+    // discipline at TextOps.pmiPairs); without this the plan pays the
+    // full tokenize+shingle+explode scan twice
+    val feats = {
       val toks = split(col("text"), " ")
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"),
           explode(concat(toks, Hashing.shingles(toks, 2))).as("f"))
         .select(col("doc_id"), col("source"),
           bucket(col("f"), DsirBuckets).as("b"))
+        .localCheckpoint(true)
     }
     val cnt = feats.groupBy("b").agg(
       count(lit(1)).as("cr"),
@@ -381,11 +380,12 @@ object CorpusOps {
         round((log((col("ct") + 0.5) / (col("tt") + DsirBuckets * 0.5)) -
           log((col("cr") + 0.5) / (col("tr") + DsirBuckets * 0.5))) * 1e6, 0)
           .cast("long").as("li"))
+    // no presentation sort: the output is O(corpus) rows and the
+    // driver's checker row-sorts before hashing
     feats.join(broadcast(ratio), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         round(sum(col("li")) / 1e6, 6).as("logw"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -59,7 +59,6 @@ object DedupOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("h"))
-      .orderBy("doc_id")
   }
 
   /** n-gram (3-token shingle) Jaccard near-dup pairs: df-capped
@@ -74,7 +73,6 @@ object DedupOps {
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     dedupNgramFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")), DfCap)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
-      .orderBy("d1", "d2")
 
   /** Shared pair-intersection engine behind [[dedupNgramFrame]] and
     * [[dedupContainmentFrame]]: df-capped inverted-index candidates
@@ -150,7 +148,6 @@ object DedupOps {
     dedupContainmentFrame(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")), DfCap)
       .select(col("src"), col("dst"), round(col("cont"), 6).as("cont"))
-      .orderBy("src", "dst")
 
   /** Frame-based core of [[dedupContainment]] (spec entry point). */
   private[operators] def dedupContainmentFrame(docs: DataFrame, dfCap: Int): DataFrame =
@@ -220,7 +217,6 @@ object DedupOps {
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     dedupMinhashFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .orderBy("d1", "d2")
 
   /** 1-in-[[RecallSampleMod]] deterministic content-hash sample. */
   private[operators] val RecallSampleMod = 2
@@ -370,7 +366,6 @@ object DedupOps {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), ham.as("hamming"))
       .filter(col("hamming") <= SimHammingMax)
       .distinct()
-      .orderBy("d1", "d2")
   }
 
   // private[graft]: the streaming twin (streaming/EmbDedupStream) and
@@ -419,7 +414,7 @@ object DedupOps {
     // loudly instead of hash-diverging.
     val bits = graft.functions.Vectors.adaptiveBitsSqlSafe(
       Tables.rowCount(spark, dir, "embeddings"), EmbBits, EmbBucketTarget)
-    dedupEmbeddingFrame(e, bits).orderBy("v1", "v2")
+    dedupEmbeddingFrame(e, bits)
   }
 
   /** Banded-LSH + exact-verify core of [[dedupEmbedding]]: `e` must
@@ -535,7 +530,6 @@ object DedupOps {
         col("a.embedding"), col("a.nrm"), col("b.embedding"), col("b.nrm")), 6))
       .filter(col("cos") >= EmbCosThreshold)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("cos"))
-      .orderBy("v1", "v2")
   }
 
   /** Expected cell occupancy target for [[semDedup]]: cells scale as
@@ -644,7 +638,6 @@ object DedupOps {
         col("cos").as("cos"), col("cell").as("cell"))).as("k"))
       .select(col("removed"), col("k.cell").as("cell"),
         col("k.kept_by").as("kept_by"), col("k.cos").as("cos"))
-      .orderBy("removed")
   }
 
   /** [[semDedup]] with an externally supplied UNIT-NORM double anchor
@@ -680,11 +673,10 @@ object DedupOps {
     * decimals) keeps even the trained layout oracle-reproducible, so
     * the WHOLE kmeans-then-dedup composition is hash-checked.
     */
-  def semDedupKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    semDedupWith(spark, dir,
-      Kmeans.anchors(e, AnnOps.IvfCells, AnnOps.IvfKmeansIters, portable = true))
-  }
+  def semDedupKmeans(spark: SparkSession, dir: String): DataFrame =
+    // the session-memoized layout — the SAME trained table
+    // q_ann_ivf_kmeans consumes, trained once per (session, dir, params)
+    semDedupWith(spark, dir, AnnOps.trainedAnchors(spark, dir))
 
   private[operators] val ProtoK = 3
 
@@ -745,7 +737,6 @@ object DedupOps {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(dedupNgramEdges(spark, dir))
       .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
-      .orderBy("doc_id")
 
   /** Min-label connected components with POINTER DOUBLING: each round
     * first takes the min over neighbor labels, then replaces every
@@ -823,7 +814,6 @@ object DedupOps {
       .filter(col("rn") === 1)
       .select(col("cluster_id"), col("doc_id").as("keep_doc"),
         col("quality").as("keep_quality"), col("n_members"))
-      .orderBy("cluster_id")
   }
 
   /** Incremental near-dup detection — the daily-ingest shape: a NEW
@@ -872,7 +862,6 @@ object DedupOps {
       .union(dirty.select(col("new_id"), col("other_id"), col("jac")))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("new_id"), col("other_id"), round(col("jac"), 6).as("jac"))
-      .orderBy("new_id", "other_id")
   }
 
   /** Window length for the content-defined chunk boundary hash. */
@@ -940,7 +929,6 @@ object DedupOps {
       .agg(count(lit(1)).as("n_chunks"), count(col("sh")).as("n_shared"))
       .withColumn("shared_frac",
         round(col("n_shared") / col("n_chunks").cast("double"), 4))
-      .orderBy("doc_id")
   }
 
   /** Per-source exact-duplicate telemetry — the dedup dashboard a

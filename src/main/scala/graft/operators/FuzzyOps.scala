@@ -162,7 +162,6 @@ object FuzzyOps {
           when(col("p_partkey") % 2 === 0, lit(" Pte. Ltd. Stall 12"))
             .otherwise(lit(" #03-21 (Unit 4B)"))).as("raw"))
       .withColumn("cleaned", Text.cleanName(col("raw")))
-      .orderBy("p_partkey")
 
   /** halalService.ts:107-116 — exact tier: equal cleaned names across
     * two differently-decorated sides.
@@ -345,7 +344,6 @@ object FuzzyOps {
       .withColumn("sim", (col("maxlen") - col("lev")) / col("maxlen").cast("double"))
       .filter(col("lev") <= 2 && col("sim") >= 0.6)
       .select(col("t1"), col("t2"), round(col("sim"), 6).as("sim"))
-      .orderBy("t1", "t2")
   }
 
   private def vocabOf(spark: SparkSession, dir: String): DataFrame =
@@ -399,7 +397,6 @@ object FuzzyOps {
           .when(col("editsim") >= 0.6 && col("lev") <= 2, "edit"))
       .filter(col("sim_rule").isNotNull)
       .select(col("t1"), col("t2"), col("sim_rule"), round(col("editsim"), 6).as("editsim"))
-      .orderBy("t1", "t2")
   }
 
   /** halalService.ts:103-177 — the full tiered resolve: for each left
@@ -418,7 +415,6 @@ object FuzzyOps {
       p, "p_partkey", concat(col("p_name"), lit(" "), lower(col("p_type"))), col("p_size"),
       threshold = 0.5, dfCap = BigramDfCap)
       .withColumnRenamed("aux_match", "size_match")
-      .orderBy("lk")
   }
 
   /** The reference's word-matching dictionary, halalService.ts:205-216:
@@ -541,7 +537,6 @@ object FuzzyOps {
         col("b.size_match").as("size_match"))
     left.join(best, Seq("lcn", "lsize"))
       .select(col("lk"), col("rk"), col("wm"), col("nspecific"), col("sim"), col("size_match"))
-      .orderBy("lk")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -33,7 +33,6 @@ object GeoOps {
         round(Geo.haversineKm(lit(ProbeLat), lit(ProbeLon), col("lat"), col("lon")), 3))
       .filter(col("dist_km") <= 10.0)
       .select(col("c_custkey"), round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"), col("dist_km"))
-      .orderBy(col("dist_km"), col("c_custkey"))
   }
 
   /** locationUtils.ts:129-141 — k nearest customers per supplier probe
@@ -81,7 +80,6 @@ object GeoOps {
           concat(round(col("dist_km") * 1000, 0).cast("int").cast("string"), lit("m")))
           .otherwise(concat(round(col("dist_km"), 1).cast("string"), lit("km"))))
       .select(col("c_custkey"), col("dist_km"), col("pretty"))
-      .orderBy(col("dist_km"), col("c_custkey"))
 
   /** locationUtils.ts:56-74 getCoordinatesFromPostalCode — hierarchical
     * fallback geocoding: exact postal-code lookup, else same-area
@@ -130,7 +128,6 @@ object GeoOps {
         when(col("elat").isNotNull, "exact")
           .when(col("plat").isNotNull, "area_prefix")
           .otherwise("default").as("match_kind"))
-      .orderBy("c_custkey")
   }
 
   /** Z-order cells of the synthetic customer grid — the geo-layout

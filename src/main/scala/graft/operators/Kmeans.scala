@@ -111,6 +111,37 @@ object Kmeans {
       portable: Boolean = false): DataFrame =
     anchorsTrace(e, k, iters, portable).last
 
+  /** Session-scoped memoized trained artifacts (anchor tables, PQ
+    * codebooks) keyed by (session, key). Training is a fixed cost per
+    * corpus, but a production pipeline trains ONCE per (corpus,
+    * params) and reuses the layout across every consumer — re-running
+    * Lloyd per query invocation repays that fixed cost for nothing.
+    * The cached frame is the trainer's output, already eagerly
+    * localCheckpointed (k·dim cells — driver-bounded, tiny), so
+    * reuse costs zero jobs. Keyed weakly by the session object (the
+    * [[graft.sources.Tables.rowCount]] discipline): a closed
+    * session's entries are collectable, a new session re-trains —
+    * the correct scope when the directory contents may change
+    * between sessions. The key must encode every training input
+    * (dir, family, k, iters, portable).
+    */
+  private val trainCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def memoized(spark: org.apache.spark.sql.SparkSession, key: String)(
+      train: => DataFrame): DataFrame = {
+    val perSession = trainCache.synchronized {
+      var m = trainCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        trainCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => train)
+  }
+
   /** Mean spherical quantization cost `avg(1 − cos)` of `e` under its
     * best assignment to `anchors` — the quantity each Lloyd iteration
     * is guaranteed not to increase. One row: (cost).

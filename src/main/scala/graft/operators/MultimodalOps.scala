@@ -33,9 +33,27 @@ object MultimodalOps {
         ascii(expr("substring(cast(blob as string), (length(blob) + 1) DIV 2, 1)")).as("mid_byte"),
         ascii(expr("substring(cast(blob as string), length(blob), 1)")).as("last_byte"),
         col("source"))
-      .orderBy("doc_id")
 
   private val FrameBytes = 64
+
+  /** The DuckDB mirrors of the frame queries enumerate frames via
+    * `range(0, 64)` — a blob longer than 64 × [[FrameBytes]] bytes
+    * would silently lose tail frames in the ORACLE ONLY and surface
+    * as an unexplained hash mismatch. Fail loudly at the source
+    * instead (the adaptiveBitsSqlSafe discipline): a per-row
+    * `assert_true` filter aborts the job naming the ceiling the
+    * moment an over-long blob appears. Zero extra scans — the guard
+    * rides the existing one.
+    */
+  private val OracleMaxFrames = 64
+  private def guardFrameBound(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(assert_true(
+      length(col(textCol)) <= OracleMaxFrames * FrameBytes,
+      lit(s"blob exceeds ${OracleMaxFrames * FrameBytes} bytes: the DuckDB " +
+        s"frame mirrors enumerate at most $OracleMaxFrames frames/blob " +
+        "(range(0, 64)); widen the oracle range and this guard together"))
+      .isNull)
   private val FrameStride = 3
 
   /** Frame sampling over the blob column (the video path): fixed-size
@@ -49,12 +67,12 @@ object MultimodalOps {
     graft.multimodal.Blob.sampleFrames(
         spark,
         graft.multimodal.Blob.asMediaTable(
-          Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id", "text"),
+          guardFrameBound(Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text")), "text"), "doc_id", "text"),
         FrameBytes, FrameStride)
       .toDF()
       .select(col("id").as("doc_id"), col("frame_idx"), col("n_bytes"),
         round(col("byte_mean"), 4).as("byte_mean"))
-      .orderBy("doc_id", "frame_idx")
 
   /** Per-source blob telemetry — the media-curation audit run BEFORE
     * any decode is paid for: volumes (count/total/max bytes) and the
@@ -99,8 +117,8 @@ object MultimodalOps {
     * number of DUPLICATED hashes, never the frame count.
     */
   def frameDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+    guardFrameBound(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")), "text")
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, CAST(ceil(length(text) / $FrameBytes.0) AS INT) - 1, 1),
@@ -113,7 +131,6 @@ object MultimodalOps {
         min(col("doc_id")).as("min_doc"),
         min(col("frame_idx").cast("long")).as("min_idx"))
       .filter(col("n_docs") >= 2)
-      .orderBy("fh")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (multimodalFeatures _),

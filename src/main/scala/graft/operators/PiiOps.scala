@@ -39,7 +39,6 @@ object PiiOps {
         size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).cast("long"))
       .withColumn("redacted",
         regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
-      .orderBy("c_custkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -27,7 +27,6 @@ object SearchOps {
         lower(col("p_brand")).contains(term) ||
         lower(col("p_type")).contains(term))
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
-      .orderBy("p_partkey")
   }
 
   /** merchantUtils.ts:24-31 — numeric-code extraction from free text
@@ -47,7 +46,6 @@ object SearchOps {
       .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F" && col("l_quantity") >= 25)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         round(col("l_extendedprice"), 2).as("price"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** merchantUtils.ts:182-207 — multi-key sort with deterministic
     * tie-breaking (distance→name analog: balance desc, name, key).
@@ -124,7 +122,6 @@ object SearchOps {
     searchDispatch(spark, dir, DispatchPostalTerm).withColumn("q", lit("postal"))
       .union(searchDispatch(spark, dir, DispatchTextTerm).withColumn("q", lit("text")))
       .select(col("q"), col("merchant_id"), col("dist_km"))
-      .orderBy("q", "merchant_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_multifield" -> (searchMultifield _),

@@ -57,7 +57,6 @@ object TextOps {
         round(stopRatioCol, 6).as("stop_ratio"),
         Text.avgWordLen(col("text")).as("avg_word_len"),
         qualityCol.as("quality"))
-      .orderBy("doc_id")
 
   /** Marker-token language ID: count stopword-profile hits per
     * language, argmax with a fixed preference order. (The corpus text
@@ -80,7 +79,6 @@ object TextOps {
           .when(col("s_fr") >= col("s_de"), "fr")
           .otherwise("de"))
       .withColumn("correct", col("predicted") === col("lang"))
-      .orderBy("doc_id")
   }
 
   /** Per-language token-count rollup: whitespace tokens, BPE-ish regex
@@ -111,7 +109,6 @@ object TextOps {
         array_min(transform(
           array_distinct(Hashing.shingles(split(col("text"), " "), 4)),
           s => md5(s.cast("binary")))).as("fp"))
-      .orderBy("doc_id")
 
   /** Corpus vocabulary profile: the 20 most frequent tokens with
     * deterministic tie-breaking — the stopword-discovery pass.
@@ -177,7 +174,6 @@ object TextOps {
           .when(col("stop_ratio") > 0.12, "boilerplate")
           .otherwise("ok"))
       .withColumn("keep", col("reason") === "ok")
-      .orderBy("doc_id")
   }
 
   private val GopherWordMin   = 20
@@ -233,7 +229,6 @@ object TextOps {
           .when(col("req_stops") < GopherReqStopMin, "low_stopwords")
           .otherwise("ok"))
       .withColumn("keep", col("reason") === "ok")
-      .orderBy("doc_id")
   }
 
   /** Within-document repetition ratio — the repetition quality signal
@@ -253,7 +248,6 @@ object TextOps {
         round(when(col("n_grams") > 0,
           lit(1.0) - col("distinct_grams") / col("n_grams").cast("double"))
           .otherwise(0.0), 6))
-      .orderBy("doc_id")
   }
 
   private val BoilerK = 5
@@ -291,7 +285,6 @@ object TextOps {
         count(col("bf")).as("n_boiler"))
       .withColumn("boiler_frac",
         round(col("n_boiler") / col("n_shingles").cast("double"), 6))
-      .orderBy("doc_id")
   }
 
   /** Unigram language-model scoring — the CCNet-style LM quality
@@ -323,7 +316,6 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         round(avg(-log(col("p"))), 6).as("xent"))
-      .orderBy("doc_id")
   }
 
   /** Bigram language-model scoring — the next rung of the LM-filter
@@ -356,7 +348,6 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(avg(-log(col("p"))), 6).as("xent2"))
-      .orderBy("doc_id")
   }
 
   /** Percentile-based quality cutoff — the corpus-statistics filter a
@@ -393,7 +384,6 @@ object TextOps {
     scored.join(broadcast(thr), "lang")
       .filter(col("quality") >= col("thr"))
       .select(col("doc_id"), col("lang"), col("quality"), col("thr"))
-      .orderBy("doc_id")
   }
 
   private[operators] val Bm25K1 = 1.2
@@ -434,18 +424,24 @@ object TextOps {
     val statAggs = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
       Bm25Query.map(t => sum((col(tfCol(t)) > 0).cast("long")).as(s"df_${t}"))
     val stats = broadcast(perDoc.agg(statAggs.head, statAggs.tail: _*))
-    def contrib(t: String) = {
+    // per-term contributions accumulate as integer MICRO-units (one
+    // round per term, then an exact long sum, divide at the boundary
+    // — the dsirWeights discipline): a fixed-order double sum here vs
+    // the oracle's unordered sum() could flip round(score, 6) at a
+    // 5e-7 boundary and reorder the top-k cut
+    def contribMicro(t: String) = {
       val tf = col(tfCol(t))
       val df = col(s"df_${t}")
       val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
-      when(tf > 0, idf * (tf * lit(Bm25K1 + 1.0) /
-        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))))
-        .otherwise(lit(0.0))
+      when(tf > 0, round(idf * (tf * lit(Bm25K1 + 1.0) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+        * lit(1e6), 0).cast("long"))
+        .otherwise(lit(0L))
     }
     perDoc.crossJoin(stats)
       .filter(Bm25Query.map(t => col(tfCol(t)) > 0).reduce(_ || _))
       .select(col("doc_id"), col("dl"),
-        round(Bm25Query.map(contrib).reduce(_ + _), 6).as("score"))
+        round(Bm25Query.map(contribMicro).reduce(_ + _) / lit(1e6), 6).as("score"))
       .groupBy()
       .agg(graft.plans.TopKAgg.topK(
         struct(negate(col("score")).as("ns"), col("doc_id").as("doc_id"),
@@ -545,10 +541,15 @@ object TextOps {
          |       WHERE term IN ($terms) GROUP BY doc_id, term),
          |df AS (SELECT term, count(*) df FROM tf GROUP BY term),
          |sc AS (
+         |  -- per-term contribution rounded to integer micro-units BEFORE the
+         |  -- sum (exact, order-free long addition — the dsirWeights
+         |  -- discipline), association matching the Spark side exactly:
+         |  -- idf * (tf * (k1+1) / denom)
          |  SELECT tf.doc_id, dl,
-         |         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |                   * tf * ${Bm25K1 + 1.0}
-         |                   / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))), 6) score
+         |         round(sum(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |                   * (tf * ${Bm25K1 + 1.0}
+         |                      / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)))
+         |                   * 1e6, 0) AS BIGINT)) / 1e6, 6) score
          |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
          |  GROUP BY tf.doc_id, dl
          |)

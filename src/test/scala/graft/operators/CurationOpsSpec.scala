@@ -60,10 +60,12 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("range-bucketed packing is bit-identical to the single-window layout") {
+    // sortBy: the layouts carry no presentation orderBy (the driver's
+    // checker row-sorts; so does this spec)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
         r.getAs[Long]("est_tokens"), r.getAs[Long]("cum_tokens"),
-        r.getAs[Long]("shard"))).toSeq
+        r.getAs[Long]("shard"))).toSeq.sortBy(_._1)
     val ref = rows(CorpusOps.packShardsSingleWindow(spark, sf))
     assert(ref.nonEmpty)
     // widths chosen to force many buckets (incl. a non-divisor odd
