@@ -185,13 +185,35 @@ object AnnOps {
     * top-k. Assignment ships only (vec_id, cell) through its
     * shuffle — embeddings re-attach by key afterwards.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfAssigned(spark, dir, assignCells)
+
+  /** [[annIvf]] with the corpus assignment routed through the
+    * two-level [[HierAssign]] path (broadcast supers → grp-keyed leaf
+    * join) instead of the flat anchor broadcast — the layout that
+    * survives a corpus-adaptive anchor table outgrowing a broadcast.
+    * Candidate scores share the flat pass's exact rounding/ties, so
+    * the output is bit-identical to [[annIvf]] at current scales
+    * (spec-pinned; the registered oracle IS the flat pipeline's SQL).
+    */
+  def annIvfHier(spark: SparkSession, dir: String): DataFrame =
+    annIvfAssigned(spark, dir, (e, cents) => {
+      val g = HierAssign.defaultGroups(IvfCells)
+      // route = groups: exact by construction (see HierAssign doc) —
+      // the registered configuration removes the leaf-table BROADCAST
+      // (the actual scale ceiling), not the per-vector candidate count
+      HierAssign.assignFloat(e, cents, g, g)
+        .select(col("vec_id"), col("cell"))
+    })
+
+  private def annIvfAssigned(spark: SparkSession, dir: String,
+      assignFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
     val cents = ivfAnchors(e)
-    val assigned = assignCells(e, cents).join(e, "vec_id")
+    val assigned = assignFn(e, cents).join(e, "vec_id")
     val probeCells = nearestProbeCells(
       e.filter(col("vec_id") < NProbes)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm")),
@@ -213,7 +235,7 @@ object AnnOps {
     * pass, keyed cell join, per-probe top-k).
     */
   def annIvfWith(spark: SparkSession, dir: String, anchors: DataFrame,
-      roundCcos: Boolean = false): DataFrame = {
+      roundCcos: Boolean = false, hierarchical: Boolean = false): DataFrame = {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
@@ -228,13 +250,22 @@ object AnnOps {
         lit(0.0), (acc, v) => acc + v) / nrm
       if (roundCcos) round(c, 6) else c
     }
-    // per-vector argmax via codegen'd min(struct) — see [[assignCells]]
-    val assigned = e.crossJoin(broadcast(anchors))
-      .withColumn("ccos", anchorCos(col("embedding"), col("nrm")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"))
-      .join(e, "vec_id")
+    // per-vector argmax via codegen'd min(struct) — see [[assignCells]];
+    // `hierarchical` swaps ONLY this stage for the two-level
+    // [[HierAssign]] routing (same scores, same decision contract)
+    val assignedIds =
+      if (hierarchical) {
+        val g = HierAssign.defaultGroups(IvfCells)
+        HierAssign.assignUnit(e, anchors, g, g, roundCcos)
+          .select(col("vec_id"), col("cell"))
+      }
+      else
+        e.crossJoin(broadcast(anchors))
+          .withColumn("ccos", anchorCos(col("embedding"), col("nrm")))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell"))).as("best"))
+          .select(col("vec_id"), col("best.cell").as("cell"))
+    val assigned = assignedIds.join(e, "vec_id")
     val probeCells = e.filter(col("vec_id") < NProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
       .crossJoin(broadcast(anchors))
@@ -696,6 +727,7 @@ object AnnOps {
     "q_ann_recall" -> (annRecall _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_hier" -> (annIvfHier _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_sq8" -> (annSq8 _),
     "q_ann_ivf_sq8" -> (annIvfSq8 _),
@@ -777,7 +809,13 @@ object AnnOps {
        |       * sqrt(list_sum(list_transform(range(1, len($b) + 1),
        |               i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  // q_ann_ivf_hier's oracle IS the flat pipeline's SQL: the two-level
+  // routing is bit-identical to flat assignment at these scales (the
+  // point the CORRECTNESS gate then proves end to end)
+  val oracle: Map[String, String] = oracleBase +
+    ("q_ann_ivf_hier" -> oracleBase("q_ann_ivf"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "q_ivf_cell_stats" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),

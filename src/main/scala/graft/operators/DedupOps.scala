@@ -610,6 +610,31 @@ object DedupOps {
     semPairs(semAssign(spark, dir, e), e)
   }
 
+  /** [[semDedup]] with the assignment routed through the two-level
+    * [[HierAssign]] path — the layout for the corpus-adaptive anchor
+    * table PAST the broadcast ceiling the flat [[semAssign]] doc
+    * names: only the √cells super anchors broadcast; leaves resolve
+    * through a grp-keyed join. Bit-identical to [[semDedup]] at
+    * current scales (same rounded scores, same ties — spec-pinned,
+    * and the registered oracle is the flat pipeline's SQL).
+    */
+  def semDedupHier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    val cells = semCells(Tables.rowCount(spark, dir, "embeddings"))
+    val cents = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    // route = groups: exact by construction (see HierAssign doc)
+    val g = HierAssign.defaultGroups(cells.toInt)
+    val asgRaw = HierAssign.assignFloat(e, cents, g, g)
+    val asg =
+      if (spark.sparkContext.getCheckpointDir.isDefined) asgRaw.checkpoint()
+      else asgRaw.localCheckpoint(true)
+    semPairs(asg, e)
+  }
+
   /** Shared pair/verify/keeper stage of the SemDeDup family: `asg` is
     * a (vec_id, cell, ccos) assignment (any anchor layout), `e` the
     * (vec_id, embedding, nrm) corpus. Ordered candidate pairs — a
@@ -972,6 +997,7 @@ object DedupOps {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_semdedup" -> (semDedup _),
+    "q_semdedup_hier" -> (semDedupHier _),
     "q_semdedup_kmeans" -> (semDedupKmeans _),
     "q_prototypes" -> (prototypes _),
     "q_emb_dedup_recall" -> (embDedupRecall _),
@@ -1050,7 +1076,12 @@ object DedupOps {
        |  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
        |)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  // q_semdedup_hier's oracle IS the flat pipeline's SQL (two-level
+  // routing bit-identical at these scales — the HierAssign contract)
+  val oracle: Map[String, String] = oracleBase +
+    ("q_semdedup_hier" -> oracleBase("q_semdedup"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "q_dup_rate_by_source" ->
       """SELECT source,
         |       count(*) AS n_docs,
