@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * `spark.sql.files.maxPartitionBytes` so a task holds O(100) blobs,
   * and never collect blobs to the driver.
   *
-  * The decode step is STUBBED: this environment has no image/audio
-  * codecs, so [[decodeStub]] derives deterministic fake features from
-  * the bytes. The Spark-side plumbing — schema, batching via
-  * mapPartitions, feature struct — is real; swap [[decodeStub]] for a
-  * JNI/codec call in production.
+  * The decode step is STUBBED for genuinely-codec formats ONLY
+  * (JPEG/H.264/... — this environment has no codec libraries):
+  * [[decodeStub]] derives deterministic fake features from the bytes,
+  * and the Spark-side plumbing — schema, batching via mapPartitions,
+  * feature struct — is real; swap [[decodeStub]] for a JNI/codec call
+  * in production. Formats that are pure byte arithmetic are NOT
+  * stubbed: [[Wav]] builds and chunk-walks real RIFF/WAVE PCM with
+  * `java.nio` alone (q_wav_features), end to end.
   */
 object Blob {
 

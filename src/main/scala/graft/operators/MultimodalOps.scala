@@ -132,11 +132,29 @@ object MultimodalOps {
         min(col("frame_idx").cast("long")).as("min_idx"))
       .filter(col("n_docs") >= 2)
 
+  /** REAL audio decode (the de-stubbed half of the media path):
+    * synthesize a PCM16 RIFF/WAVE blob per document, parse it back
+    * through [[graft.multimodal.Wav]]'s chunk-walking `java.nio`
+    * reader, emit header fields + signal stats. Build and decode both
+    * genuinely run; the oracle recomputes the features from the same
+    * text with plain arithmetic, so any header-offset/endianness bug
+    * in the parser diverges the hash.
+    */
+  def wavFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Wav.features(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0))
+      .toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+        col("bit_depth"), col("n_samples"),
+        round(col("rms"), 4).as("rms"), col("peak"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_blob_stats" -> (blobStats _),
     "q_frame_sample" -> (frameSample _),
-    "q_frame_dedup" -> (frameDedup _))
+    "q_frame_dedup" -> (frameDedup _),
+    "q_wav_features" -> (wavFeatures _))
 
   val oracle: Map[String, String] = Map(
     "q_blob_stats" ->
@@ -181,5 +199,23 @@ object MultimodalOps {
          |SELECT fh, count(*) n_frames, count(DISTINCT doc_id) n_docs,
          |       min(doc_id) min_doc, CAST(min(frame_idx) AS BIGINT) min_idx
          |FROM fr GROUP BY fh HAVING count(DISTINCT doc_id) >= 2
-         |ORDER BY fh""".stripMargin)
+         |ORDER BY fh""".stripMargin,
+    "q_wav_features" ->
+      // ground-truth features from the SAME text the Spark side
+      // synthesizes its WAV from: sample i = (ord(char_i) - 96) * 256
+      // (the corpus is ASCII, so chars == bytes)
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> (ord(substring(text, i, 1)) - 96) * 256) smp
+        |  FROM documents WHERE length(text) > 0
+        |)
+        |SELECT doc_id,
+        |  CAST(16000 AS BIGINT) sample_rate,
+        |  CAST(1 AS BIGINT) n_channels,
+        |  CAST(16 AS BIGINT) bit_depth,
+        |  CAST(len(smp) AS BIGINT) n_samples,
+        |  round(sqrt(list_sum(list_transform(smp, x -> x * x)) / len(smp)::DOUBLE), 4) rms,
+        |  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) peak
+        |FROM s""".stripMargin)
 }
