@@ -195,6 +195,20 @@ object CdcOps {
           .as("overlap_s"))
   }
 
+  /** Hot-bucket pre-flight for [[sessionOverlap]]'s interval
+    * self-join ([[RangeJoin.overlapSelfPreflight]], same hour width):
+    * per bucket, the session count and the exact C(n, 2) candidate
+    * bound — read THIS before paying for the pair join; a bucket
+    * whose bound dwarfs the rest is the flash-event skew case to
+    * cap, sample, or salt. Output: one row per covered hour, bounded
+    * by the time range, never by pair volume.
+    */
+  def overlapPreflight(spark: SparkSession, dir: String): DataFrame =
+    RangeJoin.overlapSelfPreflight(
+        sessionize(spark, dir).select(col("start_s"), col("end_s")),
+        "start_s", "end_s", width = 3600L)
+      .orderBy("bucket")
+
   /** Tumbling-window aggregation per event type (hourly buckets). */
   def windowAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -354,6 +368,7 @@ object CdcOps {
     "q_cdc_incremental_view" -> (cdcIncrementalView _),
     "q_sessionize" -> (sessionize _),
     "q_session_overlap" -> (sessionOverlap _),
+    "q_overlap_preflight" -> (overlapPreflight _),
     "q_concurrent_sessions" -> (concurrentSessions _),
     "q_window_agg" -> (windowAgg _),
     "q_asof_attribution" -> (asofAttribution _),
@@ -446,6 +461,18 @@ object CdcOps {
          |FROM s a JOIN s b
          |  ON a.start_s <= b.end_s AND b.start_s <= a.end_s AND a.user_id < b.user_id
          |ORDER BY a_user, a_session, b_user, b_session""".stripMargin,
+    "q_overlap_preflight" ->
+      s"""WITH $sqlSessionCtes, s AS (
+         |  SELECT user_id, session_id,
+         |         min(ts_ns) // 1000000000 AS start_s,
+         |         max(ts_ns) // 1000000000 AS end_s
+         |  FROM g GROUP BY user_id, session_id
+         |), bk AS (
+         |  SELECT unnest(range(start_s // 3600, end_s // 3600 + 1)) AS bucket FROM s
+         |)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_intervals,
+         |       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_bound
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_cdc_compact" ->
       """WITH env AS (
         |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,

@@ -74,4 +74,30 @@ object RangeJoin {
       .filter(col(BucketCol) === expr(s"greatest($lLo, $rLo) DIV $width"))
       .drop(BucketCol)
   }
+
+  /** Per-bucket pre-flight for a SELF [[intervalOverlap]] — the
+    * interval-join member of the go/no-go telemetry family
+    * (q_skew_profile before the salted join, q_lsh_bucket_stats
+    * before the minhash pair join): pair volume in an interval
+    * self-join is QUADRATIC in per-bucket concurrency, so at 100 TB
+    * one hot bucket (a flash event packing n intervals into one
+    * second) is the realistic failure. Emits, per bucket, the
+    * interval count and the EXACT C(n, 2) candidate-pair bound that
+    * bucket contributes to the self-join BEFORE overlap verification
+    * and ownership dedup — one explode pass and one tiny aggregation,
+    * never touching pairs, so the degrade decision (cap, sample, or
+    * salt the hot bucket) is data-driven BEFORE the join is paid for.
+    * Output is bounded by the covered time range / width, never by
+    * pair volume.
+    */
+  def overlapSelfPreflight(intervals: DataFrame, loCol: String,
+      hiCol: String, width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    intervals.filter(col(loCol) <= col(hiCol))
+      .select(explode(expr(s"sequence($loCol DIV $width, $hiCol DIV $width)")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_intervals"))
+      .select(col("bucket"), col("n_intervals"),
+        expr("n_intervals * (n_intervals - 1) DIV 2").as("pair_bound"))
+  }
 }

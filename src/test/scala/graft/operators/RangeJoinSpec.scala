@@ -121,4 +121,37 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(rows.length === rows.distinct.length)
     assert(rows.contains((3L, 11L)))
   }
+
+  test("overlapSelfPreflight's pair bound equals the actual pre-verify candidate count per bucket") {
+    import spark.implicits._
+    // a deliberate hot bucket: 5 intervals packed into [0, 9] (plus the
+    // usual straddlers/degenerates) — the flash-event shape the
+    // pre-flight exists to surface
+    val iv = Seq(
+      (1L, 0L, 9L), (2L, 1L, 8L), (3L, 2L, 9L), (4L, 0L, 3L), (5L, 5L, 9L),
+      (6L, 95L, 210L), (7L, 100L, 100L), (8L, 300L, 250L) /* inverted */)
+      .toDF("id", "lo", "hi")
+    val width = 100L
+    val pf = RangeJoin.overlapSelfPreflight(iv, "lo", "hi", width)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // actual candidates: the banded self-join's per-bucket pair rows
+    // BEFORE overlap verification and ownership dedup (a.id < b.id —
+    // unordered pairs, never self)
+    val banded = iv.filter(col("lo") <= col("hi"))
+      .select(col("id"), explode(expr(s"sequence(lo DIV $width, hi DIV $width)")).as("bucket"))
+    val actual = banded.as("a")
+      .join(banded.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .groupBy(col("a.bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every bucket's bound IS the candidate count (zero-pair buckets
+    // appear in the pre-flight with bound 0, absent from the join)
+    pf.foreach { case (b, (n, bound)) =>
+      assert(bound === n * (n - 1) / 2)
+      assert(actual.getOrElse(b, 0L) === bound, s"bucket $b")
+    }
+    assert(actual.keySet.subsetOf(pf.keySet))
+    // the hot bucket is visible: 6 intervals touch bucket 0 (the five
+    // packed ones plus the 95..210 straddler) → C(6,2) = 15 candidates
+    assert(pf(0L) === ((6L, 15L)))
+  }
 }
