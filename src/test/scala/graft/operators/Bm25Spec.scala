@@ -29,15 +29,18 @@ class Bm25Spec extends AnyFunSuite {
         else {
           val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
           // parenthesized exactly as the Column expression associates,
-          // so the doubles agree bit for bit before the 6-decimal round
-          Some(idf * (tf * (TextOps.Bm25K1 + 1.0) /
+          // then rounded to integer MICRO-units per term (the
+          // operator's order-free long-sum discipline) — so the spec
+          // pins the exact accumulation contract, not merely a value
+          val c = idf * (tf * (TextOps.Bm25K1 + 1.0) /
             (tf + TextOps.Bm25K1 * ((1.0 - TextOps.Bm25B) +
-              TextOps.Bm25B * dl / avgdl))))
+              TextOps.Bm25B * dl / avgdl)))
+          Some(BigDecimal(c * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
         }
       }
       if (contribs.isEmpty) None
       else Some((id, dl.toLong,
-        BigDecimal(contribs.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        BigDecimal(contribs.sum / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
     }.toSeq.sortBy(r => (-r._3, r._1)).take(TextOps.Bm25TopK)
   }
 
