@@ -61,6 +61,57 @@ object DedupOps {
       .select(col("doc_id"), col("h"))
   }
 
+  private[operators] val WinnowK = 24        // char k-gram width (~4 words)
+  private[operators] val WinnowW = 8         // winnowing window (in grams)
+  private[operators] val WinnowMinShared = 2 // pair evidence threshold
+  private[operators] val WinnowDfCap = 200   // boilerplate fingerprint cap
+
+  /** Substring-level duplication candidates via WINNOWING fingerprints
+    * (Schleimer et al. 2003, the MOSS selector) — the dedup axis the
+    * doc-level family cannot see: two documents that are globally
+    * different but share one long pasted passage (the exact-substring
+    * duplication of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"). Per document: md5 char
+    * [[WinnowK]]-gram hashes, the lexicographic MIN of each
+    * [[WinnowW]]-gram sliding window is a selected fingerprint
+    * (distinct per doc). The classic guarantee: ANY shared substring
+    * of length ≥ k + w − 1 (31 chars here) contains a full common
+    * hash window on both sides, so its min is a SHARED fingerprint —
+    * detection is structural, not probabilistic (spec-pinned with a
+    * planted passage). Pairs sharing ≥ [[WinnowMinShared]] distinct
+    * fingerprints are reported with the evidence count.
+    *
+    * 100 TB shape: fingerprint density is ~1/w of gram count, so the
+    * inverted index is O(corpus chars / w); candidate generation is
+    * the df-capped self-join discipline of [[dedupNgram]] (a
+    * boilerplate fingerprint shared by d docs is d² pair work and
+    * zero signal); per-doc gram work is O(len · w) inside one scan,
+    * no window functions, no pair-side text.
+    */
+  def winnowDedup(spark: SparkSession, dir: String): DataFrame = {
+    val minLen = WinnowK + WinnowW - 1
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= minLen)
+      .repartition(col("doc_id")) // single-row-group input otherwise grams on one core
+    val g = d.withColumn("g",
+      transform(sequence(lit(1), length(col("text")) - (WinnowK - 1)),
+        i => md5(col("text").substr(i, lit(WinnowK)).cast("binary"))))
+    val fp = g
+      .withColumn("fp", array_distinct(transform(
+        sequence(lit(1), size(col("g")) - (WinnowW - 1)),
+        j => array_min(slice(col("g"), j, lit(WinnowW))))))
+      .select(col("doc_id").as("k"), explode(col("fp")).as("s"))
+    val hot = fp.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowDfCap).select("s")
+    val kept = fp.join(broadcast(hot), Seq("s"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.s") === col("b.s") && col("a.k") < col("b.k"))
+      .groupBy(col("a.k").as("d1"), col("b.k").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+  }
+
   /** n-gram (3-token shingle) Jaccard near-dup pairs: df-capped
     * inverted-index blocking generates candidates, whose measure is
     * recovered ARITHMETICALLY — the blocking key IS the shingle, so
@@ -991,6 +1042,7 @@ object DedupOps {
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
+    "q_winnow_dedup" -> (winnowDedup _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_lsh_bucket_stats" -> (lshBucketStats _),
     "q_minhash_recall" -> (minhashRecall _),
@@ -1176,6 +1228,24 @@ object DedupOps {
          |WHERE len(list_intersect(t1.sh, t2.sh))
          |      / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
          |ORDER BY d1, d2""".stripMargin,
+    "q_winnow_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents WHERE length(text) >= ${WinnowK + WinnowW - 1}
+         |), g AS (
+         |  SELECT doc_id, list_transform(range(1, length(text) - ${WinnowK - 2}),
+         |                                i -> md5(substring(text, i, $WinnowK))) g
+         |  FROM d
+         |), f AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           range(1, len(g) - ${WinnowW - 2}),
+         |           j -> list_min(g[j:j + ${WinnowW - 1}])))) s
+         |  FROM g
+         |), kept AS (
+         |  SELECT doc_id k, s FROM f QUALIFY count(*) OVER (PARTITION BY s) <= $WinnowDfCap
+         |)
+         |SELECT a.k d1, b.k d2, CAST(count(*) AS BIGINT) n_shared
+         |FROM kept a JOIN kept b ON a.s = b.s AND a.k < b.k
+         |GROUP BY a.k, b.k HAVING count(*) >= $WinnowMinShared""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH t AS (
          |  SELECT doc_id, $sqlShingles sh
