@@ -32,6 +32,12 @@ object Wav {
     * ((byte − 96) · 256 per character) — a real, playable WAV file.
     */
   def synth(text: String): Array[Byte] = {
+    // fail-loud ASCII guard (the guardFrameBound discipline): US_ASCII
+    // getBytes silently maps non-ASCII chars to '?' (0x3F) while the
+    // oracle computes ord(char) — a non-ASCII document would
+    // hash-diverge instead of erroring
+    require(text.forall(_ < 0x80),
+      "wav synth input must be ASCII; non-ASCII would alias to '?' and silently diverge from the oracle")
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val dataLen = bytes.length * 2
     val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
@@ -68,16 +74,22 @@ object Wav {
     var nSamples = 0L; var sumSq = 0L; var peak = 0L
     while (buf.remaining() >= 8) {
       val id = tag(); val size = buf.getInt
+      // loud bound check BEFORE any read: an oversized declared chunk
+      // must be a diagnosable container error, not a raw
+      // BufferUnderflowException from deep inside a getShort
+      require(size >= 0 && size <= buf.remaining(),
+        s"chunk '$id' declares $size bytes, only ${buf.remaining()} remain")
+      // RIFF chunks are word-aligned: an odd-sized chunk is followed by
+      // a pad byte (clamped — a final chunk may end the file unpadded)
+      val next = math.min(buf.position() + size + (size & 1), buf.limit())
       id match {
         case "fmt " =>
-          val fmtEnd = buf.position() + size
           val audioFormat = buf.getShort
           require(audioFormat == 1, s"not PCM (format $audioFormat)")
           channels = buf.getShort.toInt
           sampleRate = buf.getInt
           buf.getInt; buf.getShort // byte rate, block align
           bitDepth = buf.getShort.toInt
-          buf.position(fmtEnd)
         case "data" =>
           require(bitDepth == 16, s"PCM$bitDepth data before/without fmt")
           var i = 0
@@ -88,9 +100,9 @@ object Wav {
             i += 1
           }
           nSamples += size / 2
-        case _ => // skip unknown chunk (word-aligned)
-          buf.position(buf.position() + size + (size & 1))
+        case _ => // unknown chunk: skipped via `next`
       }
+      buf.position(next)
     }
     require(sampleRate > 0 && nSamples > 0, "missing fmt or data chunk")
     WavMeta(sampleRate, channels, bitDepth, nSamples,

@@ -41,7 +41,13 @@ object AnnOps {
     * (cos = 0/0; L2NormExpr carries no epsilon), so `ord` is pinned
     * through nanvl to −∞ first: a degenerate vector ranks LAST,
     * deterministically, instead of floating to rank 1 under the old
-    * window's desc-NaN-first.
+    * window's desc-NaN-first. NOTE: the DuckDB oracles rank by a plain
+    * `ORDER BY cos DESC`, which would put a NaN FIRST — the pin is
+    * therefore paired with a corpus invariant (no zero-norm vectors,
+    * spec-pinned in PipelineInvariantsSpec) rather than mirrored into
+    * ~20 oracle windows; if a corpus with degenerate vectors ever
+    * lands, mirror `CASE WHEN isnan(cos) THEN -1e308 ELSE cos END`
+    * into the oracle ORDER BYs.
     */
   private def probeTopKDesc(df: DataFrame, ord: Column, k: Int,
       payload: Seq[String]): DataFrame = {

@@ -178,6 +178,12 @@ object CdcOps {
     * overlap predicate would plan; the canonical co-presence /
     * co-occurrence workload shape.
     */
+  /** Candidate pairs one hot hour-bucket may contribute before the
+    * degrade path cuts it — see the in-plan comment in
+    * [[sessionOverlap]] and SCALE.md ("interval-overlap budget").
+    */
+  private[operators] val OverlapBucketBudget = 10_000_000L
+
   def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
     val s = sessionize(spark, dir)
       .select(col("user_id"), col("session_id"), col("start_s"), col("end_s"))
@@ -188,7 +194,19 @@ object CdcOps {
     // no presentation orderBy: 19.6M pairs at the sf1.0 slice — the
     // range sort is pure waste when the checker row-sorts before
     // hashing (the token-jaccard discipline)
-    RangeJoin.intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end", width = 3600L)
+    //
+    // budgeted: the hot-bucket bound q_overlap_preflight reports is
+    // CONSUMED here — a bucket whose candidate volume (n_a·n_b)
+    // exceeds OverlapBucketBudget is cut from the index instead of
+    // detonating the pair stage. The budget is ~10 s of one task's
+    // verify work and sits ~3 orders above the worst bucket at the
+    // tested SFs (max n ≈ 168 at sf0.1 → n² ≈ 28k candidates; the
+    // sf1.0 slice stays ≤ ~3M), so the oracle remains the plain naive
+    // join — the hash match PROVES the budget path is semantics-free
+    // until a genuine flash event trips it (RangeJoinSpec pins the
+    // above-budget behavior on a synthetic one).
+    RangeJoin.intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end",
+        width = 3600L, bucketPairBudget = Some(OverlapBucketBudget))
       .filter(col("a_user") < col("b_user")) // unordered pairs once, never self
       .select(col("a_user"), col("a_session"), col("b_user"), col("b_session"),
         (least(col("a_end"), col("b_end")) - greatest(col("a_start"), col("b_start")))
@@ -201,7 +219,10 @@ object CdcOps {
     * bound — read THIS before paying for the pair join; a bucket
     * whose bound dwarfs the rest is the flash-event skew case to
     * cap, sample, or salt. Output: one row per covered hour, bounded
-    * by the time range, never by pair volume.
+    * by the time range, never by pair volume. The bound is also
+    * consumed IN-PLAN: [[sessionOverlap]] runs with
+    * `bucketPairBudget = ` [[OverlapBucketBudget]], so an over-budget
+    * bucket degrades (is cut) instead of detonating the join.
     */
   def overlapPreflight(spark: SparkSession, dir: String): DataFrame =
     RangeJoin.overlapSelfPreflight(

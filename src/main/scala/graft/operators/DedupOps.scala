@@ -89,19 +89,7 @@ object DedupOps {
     * no window functions, no pair-side text.
     */
   def winnowDedup(spark: SparkSession, dir: String): DataFrame = {
-    val minLen = WinnowK + WinnowW - 1
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= minLen)
-      .repartition(col("doc_id")) // single-row-group input otherwise grams on one core
-    val g = d.withColumn("g",
-      transform(sequence(lit(1), length(col("text")) - (WinnowK - 1)),
-        i => md5(col("text").substr(i, lit(WinnowK)).cast("binary"))))
-    val fp = g
-      .withColumn("fp", array_distinct(transform(
-        sequence(lit(1), size(col("g")) - (WinnowW - 1)),
-        j => array_min(slice(col("g"), j, lit(WinnowW))))))
-      .select(col("doc_id").as("k"), explode(col("fp")).as("s"))
+    val fp = winnowPostings(Tables.documents(spark, dir))
     val hot = fp.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > WinnowDfCap).select("s")
     val kept = fp.join(broadcast(hot), Seq("s"), "left_anti")
@@ -111,6 +99,70 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
   }
+
+  /** Winnow fingerprint postings `(k = doc_id, s = fingerprint)`,
+    * distinct per doc — the shared input of [[winnowDedup]] and
+    * [[winnowPreflight]]. The whole selector (md5 char k-grams →
+    * sliding window-min → distinct) evaluates as ONE codegen'd node
+    * ([[graft.plans.TextExpressions.WinnowFingerprintsExpr]]) and is
+    * projected ONCE below a [[repartByKey]] barrier, so exchange
+    * reuse shares the single evaluation across every consumer (the
+    * df aggregation and both self-join sides) — the r12 formulation
+    * re-ran an interpreted per-char md5 HOF pipeline per consumer
+    * (615 s of the 702 s bench at sf0.1).
+    */
+  private def winnowPostings(docs: DataFrame): DataFrame = {
+    val minLen = WinnowK + WinnowW - 1
+    docs
+      .select(col("doc_id"), col("text"))
+      // isnotnull(doc_id) EXPLICITLY, even though the pair join would
+      // infer it: the inferred predicate is pushed below the exchanges
+      // only on the join branches, making their exchange subtrees
+      // canonically different from the df-aggregation branch's — four
+      // separate scan stages instead of one reused exchange
+      // (PlanGuardsSpec pins the one-evaluation contract)
+      .filter(col("doc_id").isNotNull && length(col("text")) >= minLen)
+      // parallelism barrier BELOW the md5 loop: per-doc gram hashing is
+      // CPU-bound at ~1 md5 per char, so its parallelism must not be
+      // hostage to the input's file/row-group layout (the bench corpus
+      // is one row group = one scan task). Payload is the raw doc
+      // rows — one linear pass, hash-balanced on the unique key. A
+      // deployment whose corpus is already thousands of splits can
+      // drop this and let the scan parallelize the loop.
+      .transform(repartByKey(_, col("doc_id")))
+      .select(col("doc_id").as("k"),
+        graft.plans.TextExpressions
+          .winnowPostingsNative(col("text"), WinnowK, WinnowW).as("s"))
+      // shared barrier ABOVE the generator, keyed on the fingerprint:
+      // every consumer reuses the one exchange AND is already aligned
+      // on s — the df aggregation and the pair self-join plan with no
+      // further shuffle of the postings
+      .transform(repartByKey(_, col("s")))
+  }
+
+  /** Pair-stage pre-flight for [[winnowDedup]] — the go/no-go twin of
+    * [[lshBucketStats]] for the winnow axis: the fingerprint
+    * document-frequency histogram in power-of-two bands, split at the
+    * df-cap, with the EXACT candidate-pair bound Σ df·(df−1)/2 per
+    * band. The kept-band bound is exactly the self-join's pre-aggregation
+    * row count (spec-pinned), so a pipeline reads this before paying
+    * for the pair stage; the dropped-band bound is the quadratic work
+    * the cap saved. Band = ⌊log2 df⌋ via binary-digit length — exact
+    * integer arithmetic on both engines, no float log.
+    */
+  def winnowPreflight(spark: SparkSession, dir: String): DataFrame =
+    winnowPreflightFrame(winnowPostings(Tables.documents(spark, dir)))
+
+  private[operators] def winnowPreflightFrame(postings: DataFrame): DataFrame =
+    postings.groupBy("s").agg(count(lit(1)).as("df"))
+      .withColumn("band", (length(conv(col("df"), 10, 2)) - 1).cast("long"))
+      .withColumn("kept", col("df") <= WinnowDfCap)
+      .groupBy("band", "kept")
+      .agg(
+        count(lit(1)).as("n_fp"),
+        sum(col("df")).as("n_postings"),
+        sum(expr("df * (df - 1) DIV 2")).as("pair_bound"))
+      .orderBy("band", "kept")
 
   /** n-gram (3-token shingle) Jaccard near-dup pairs: df-capped
     * inverted-index blocking generates candidates, whose measure is
@@ -139,8 +191,15 @@ object DedupOps {
   private def pairCoCounts(docs: DataFrame, dfCap: Int): DataFrame = {
     // repartition barrier ABOVE the shingle projection: exchange reuse
     // makes every consumer (explode, sizes, the exact-verify joins)
-    // share one evaluation of the shingle transform
+    // share one evaluation of the shingle transform. The filter is the
+    // UNION of every predicate any consumer infers (explode → size>0 ∧
+    // isnotnull(sh); join keys → isnotnull(doc_id)): inferred
+    // predicates are pushed below the exchange per-branch, and a
+    // branch whose pushed set differs breaks canonical equality — the
+    // meta (sizes) branch used to re-evaluate the shingle transform in
+    // its own scan stage (PlanGuardsSpec pins one site)
     val d = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .filter(col("doc_id").isNotNull && col("sh").isNotNull && size(col("sh")) > 0)
       .transform(repartByKey(_, col("doc_id")))
     val ex = d.select(col("doc_id").as("k"), explode(col("sh")).as("s"))
     // hot keys via aggregation + broadcast anti-join — the hot set is
@@ -1043,6 +1102,7 @@ object DedupOps {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_winnow_dedup" -> (winnowDedup _),
+    "q_winnow_preflight" -> (winnowPreflight _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_lsh_bucket_stats" -> (lshBucketStats _),
     "q_minhash_recall" -> (minhashRecall _),
@@ -1061,6 +1121,24 @@ object DedupOps {
   private val sqlShingles =
     """list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
       |                             i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin
+
+  /** SQL CTE chain `d, g, f` → winnow fingerprint postings
+    * `f(doc_id, s)`, distinct per doc — ONE definition for the two
+    * oracles that consume it (q_winnow_dedup, q_winnow_preflight),
+    * mirroring [[winnowPostings]]. */
+  private val sqlWinnowFps =
+    s"""d AS (
+       |  SELECT doc_id, text FROM documents WHERE length(text) >= ${WinnowK + WinnowW - 1}
+       |), g AS (
+       |  SELECT doc_id, list_transform(range(1, length(text) - ${WinnowK - 2}),
+       |                                i -> md5(substring(text, i, $WinnowK))) g
+       |  FROM d
+       |), f AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |           range(1, len(g) - ${WinnowW - 2}),
+       |           j -> list_min(g[j:j + ${WinnowW - 1}])))) s
+       |  FROM g
+       |)""".stripMargin
 
   private def mh(j: Int) = s"list_min(list_transform(sh, s -> md5('$j:' || s)))"
 
@@ -1229,23 +1307,22 @@ object DedupOps {
          |      / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= $JaccardThreshold
          |ORDER BY d1, d2""".stripMargin,
     "q_winnow_dedup" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, text FROM documents WHERE length(text) >= ${WinnowK + WinnowW - 1}
-         |), g AS (
-         |  SELECT doc_id, list_transform(range(1, length(text) - ${WinnowK - 2}),
-         |                                i -> md5(substring(text, i, $WinnowK))) g
-         |  FROM d
-         |), f AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |           range(1, len(g) - ${WinnowW - 2}),
-         |           j -> list_min(g[j:j + ${WinnowW - 1}])))) s
-         |  FROM g
-         |), kept AS (
+      s"""WITH $sqlWinnowFps, kept AS (
          |  SELECT doc_id k, s FROM f QUALIFY count(*) OVER (PARTITION BY s) <= $WinnowDfCap
          |)
          |SELECT a.k d1, b.k d2, CAST(count(*) AS BIGINT) n_shared
          |FROM kept a JOIN kept b ON a.s = b.s AND a.k < b.k
          |GROUP BY a.k, b.k HAVING count(*) >= $WinnowMinShared""".stripMargin,
+    "q_winnow_preflight" ->
+      s"""WITH $sqlWinnowFps, dfs AS (
+         |  SELECT s, count(*) df FROM f GROUP BY s
+         |)
+         |SELECT CAST(length(printf('%b', df)) - 1 AS BIGINT) band,
+         |       df <= $WinnowDfCap kept,
+         |       CAST(count(*) AS BIGINT) n_fp,
+         |       CAST(sum(df) AS BIGINT) n_postings,
+         |       CAST(sum(df * (df - 1) // 2) AS BIGINT) pair_bound
+         |FROM dfs GROUP BY 1, 2 ORDER BY band, kept""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH t AS (
          |  SELECT doc_id, $sqlShingles sh

@@ -58,10 +58,27 @@ object RangeJoin {
     * (`greatest(lLo, rLo)`), which both sides are guaranteed to
     * cover — exactly-once without a distinct over the pair blowup.
     * Inverted (empty) intervals on either side match nothing.
+    *
+    * `bucketPairBudget` is the DEGRADE dial the hot-bucket pre-flight
+    * ([[overlapSelfPreflight]]) exists to inform: pair volume per
+    * bucket is nL·nR, so at 100 TB one flash-event bucket can hold
+    * more candidate work than the rest of the corpus combined — AQE
+    * skew-split parallelizes it, but no amount of parallelism makes a
+    * 10¹² -pair bucket affordable. With a budget set, any (keys,
+    * bucket) whose candidate bound nL·nR exceeds it is excluded from
+    * the index on BOTH sides: overlaps whose START falls in an
+    * over-budget bucket are not emitted (a deterministic, documented
+    * recall cut), overlaps owned by within-budget buckets are
+    * untouched, and total candidate volume is bounded by
+    * budget × n_buckets. The hot set is found by two per-bucket
+    * count aggregations (linear, pre-pair) and is tiny by
+    * construction (each hot bucket represents ≥ budget avoided
+    * candidates), so it broadcasts. `None` (default) = exact join.
     */
   def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
       right: DataFrame, rLo: String, rHi: String,
-      width: Long, keys: Seq[String] = Nil): DataFrame = {
+      width: Long, keys: Seq[String] = Nil,
+      bucketPairBudget: Option[Long] = None): DataFrame = {
     require(width > 0, s"bucket width must be positive, got $width")
     require(!left.columns.contains(BucketCol) && !right.columns.contains(BucketCol),
       s"inputs must not carry a $BucketCol column")
@@ -69,7 +86,20 @@ object RangeJoin {
       .withColumn(BucketCol, explode(expr(s"sequence($lLo DIV $width, $lHi DIV $width)")))
     val rb = right.filter(col(rLo) <= col(rHi))
       .withColumn(BucketCol, explode(expr(s"sequence($rLo DIV $width, $rHi DIV $width)")))
-    lb.join(rb, keys :+ BucketCol, "inner")
+    val bk = keys :+ BucketCol
+    val (lbKept, rbKept) = bucketPairBudget match {
+      case None => (lb, rb)
+      case Some(budget) =>
+        require(budget > 0, s"bucket pair budget must be positive, got $budget")
+        val nl = lb.groupBy(bk.map(col): _*).agg(count(lit(1)).as("_nl"))
+        val nr = rb.groupBy(bk.map(col): _*).agg(count(lit(1)).as("_nr"))
+        val hot = nl.join(nr, bk)
+          .filter(col("_nl") * col("_nr") > budget)
+          .select(bk.map(col): _*)
+        (lb.join(broadcast(hot), bk, "left_anti"),
+          rb.join(broadcast(hot), bk, "left_anti"))
+    }
+    lbKept.join(rbKept, bk, "inner")
       .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
       .filter(col(BucketCol) === expr(s"greatest($lLo, $rLo) DIV $width"))
       .drop(BucketCol)

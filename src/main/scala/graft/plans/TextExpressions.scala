@@ -3,12 +3,14 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for text chunking.
@@ -37,9 +39,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExpressions {
 
-  /** md5 hex (lowercase) of a string's UTF-8 bytes. */
-  private def md5hex(md: MessageDigest, s: String): String = {
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** Lowercase hex of a 16-byte digest. */
+  private def hexOf(d: Array[Byte]): String = {
     val sb = new java.lang.StringBuilder(32)
     var i = 0
     while (i < 16) {
@@ -49,6 +50,10 @@ object TextExpressions {
     }
     sb.toString
   }
+
+  /** md5 hex (lowercase) of a string's UTF-8 bytes. */
+  private def md5hex(md: MessageDigest, s: String): String =
+    hexOf(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   private def tokenAt(toks: ArrayData, i: Int, who: String): String = {
     val u = toks.getUTF8String(i)
@@ -233,4 +238,152 @@ object TextExpressions {
   def minhashNative(shingleArr: Column, prefix: String): Column =
     ColumnBridge.column(MinHashExpr(
       ColumnBridge.expression(shingleArr), UTF8String.fromString(prefix)))
+
+  /** Static entry point referenced from generated code.
+    *
+    * Winnowing fingerprint selection (Schleimer et al. 2003) over a
+    * document string: md5 hex of every char k-gram, sliding
+    * window-min of width w (lexicographic, ≡ `array_min` over hex),
+    * distinct mins in first-occurrence order (≡ `array_distinct`).
+    * Char positions are Spark `substr` positions (code points via
+    * UTF-8 sequence starts) and each gram is hashed as the UTF-8
+    * bytes of the substring — bit-identical to
+    * `md5(substr(text, i, k) cast binary)` and to DuckDB's
+    * `md5(substring(text, i, k))`.
+    *
+    * One pass per doc with a monotonic-deque ring buffer: O(len)
+    * amortized time, O(w) live window state, no L-element gram array
+    * materialized — the HOF formulation this replaces built an
+    * L-element array of 32-char hex strings and then L window slices
+    * per doc, outside whole-stage codegen (615 s of the r12 bench).
+    */
+  def winnowFingerprintsCompute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    // char start offsets (UTF-8 sequence starts) — Spark substr units
+    var nChars = 0
+    var i = 0
+    while (i < nb) {
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      nChars += 1
+    }
+    val offs = new Array[Int](nChars + 1)
+    i = 0
+    var c = 0
+    while (i < nb) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offs(nChars) = nb
+    val ng = nChars - k + 1
+    val out = new java.util.LinkedHashSet[String]
+    if (ng >= w) {
+      val md = MessageDigest.getInstance("MD5")
+      // monotonic deque (increasing hex values) in a w+1 ring buffer
+      val cap = w + 1
+      val qIdx = new Array[Int](cap)
+      val qVal = new Array[String](cap)
+      var head = 0
+      var tail = 0 // absolute counters; ring slot = x % cap
+      var g = 0
+      while (g < ng) {
+        md.reset()
+        md.update(bytes, offs(g), offs(g + k) - offs(g))
+        val hx = hexOf(md.digest())
+        while (tail > head && qVal((tail - 1) % cap).compareTo(hx) >= 0) tail -= 1
+        qIdx(tail % cap) = g
+        qVal(tail % cap) = hx
+        tail += 1
+        if (qIdx(head % cap) <= g - w) head += 1
+        if (g >= w - 1) out.add(qVal(head % cap))
+        g += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size)
+    var j = 0
+    val it = out.iterator()
+    while (it.hasNext) {
+      arr(j) = UTF8String.fromString(it.next())
+      j += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  /** Distinct winnowing fingerprints of a document string — see
+    * [[winnowFingerprintsCompute]]. Empty array when the text has
+    * fewer than k + w − 1 chars (no full hash window exists).
+    */
+  case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    require(k >= 1 && w >= 1, s"winnow_fingerprints: k and w must be >= 1, got k=$k w=$w")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"winnow_fingerprints expects string, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      winnowFingerprintsCompute(a.asInstanceOf[UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.TextExpressions.winnowFingerprintsCompute($a, $k, $w);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def winnowFingerprintsNative(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprintsExpr(ColumnBridge.expression(text), k, w))
+
+  /** Generator form of [[WinnowFingerprintsExpr]]: streams the
+    * distinct fingerprints of one document as rows, one output column
+    * `s` (non-nullable).
+    *
+    * Why a Generator and not `explode(array-expr)`: exploding an
+    * expensive array expression triggers `InferFiltersFromGenerate`,
+    * whose `size(e) > 0 ∧ isnotnull(e)` guard is pushed below the
+    * projection by predicate pushdown with `e` substituted — the
+    * fingerprint loop then runs up to 3× per row (twice in the
+    * Filter, once in the Project) in the scan stage. The rule matches
+    * only `ExplodeBase`/`Inline`, so a custom generator keeps the
+    * one-evaluation contract structurally, and no per-doc array is
+    * materialized at all.
+    */
+  case class WinnowPostingsGen(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with Generator with CodegenFallback {
+    require(k >= 1 && w >= 1, s"winnow_postings: k and w must be >= 1, got k=$k w=$w")
+
+    override def elementSchema: StructType =
+      StructType(StructField("s", StringType, nullable = false) :: Nil)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"winnow_postings expects string, got $other")
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val t = child.eval(input)
+      if (t == null) Nil
+      else {
+        val fps = winnowFingerprintsCompute(t.asInstanceOf[UTF8String], k, w)
+        val n = fps.numElements()
+        val out = new Array[InternalRow](n)
+        var i = 0
+        while (i < n) {
+          out(i) = InternalRow(fps.getUTF8String(i))
+          i += 1
+        }
+        out
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def winnowPostingsNative(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowPostingsGen(ColumnBridge.expression(text), k, w))
 }

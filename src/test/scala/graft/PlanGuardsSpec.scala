@@ -117,6 +117,43 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"partition-less windows found in: ${offenders.mkString(", ")}")
   }
 
+  test("winnow/ngram fingerprint projections evaluate ONCE (exchange reuse below the pair fan-out)") {
+    // the r12 winnowDedup regression: the expensive fingerprint
+    // transform sat ABOVE its repartition barrier, so every consumer
+    // (df agg, both self-join sides) re-ran it — 615 s at sf0.1. The
+    // contract is: evaluate once below a shared exchange, every
+    // consumer reuses that exchange. Count EVALUATIONS of the
+    // transform in the executed plan: walk without descending into
+    // reused exchanges (a ReusedExchange shares the evaluation),
+    // dedupe by node identity, require exactly one site — a Generate
+    // (the winnow postings generator) or a Project (the ngram shingle
+    // transform).
+    import org.apache.spark.sql.execution.{GenerateExec, ProjectExec}
+    def evalSites(df: DataFrame, marker: String): Int = {
+      // execute THIS QueryExecution (df.write builds a fresh one whose
+      // AQE plan never finalizes) so the walk sees runtime stage reuse
+      df.queryExecution.toRdd.count()
+      def w(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: w(a.executedPlan)
+        case q: QueryStageExec => q +: w(q.plan)
+        case r: ReusedExchangeExec => Seq(r) // shared evaluation — stop
+        case other => other +: other.children.flatMap(w)
+      }
+      w(df.queryExecution.executedPlan)
+        .collect {
+          case p: ProjectExec
+              if p.projectList.exists(_.toString.toLowerCase.contains(marker)) => p
+          case g: GenerateExec
+              if g.generator.toString.toLowerCase.contains(marker) => g
+        }
+        .map(System.identityHashCode).distinct.size
+    }
+    val winnow = evalSites(SparkEntry.queries("q_winnow_dedup")(spark, sf), "winnowpostingsgen")
+    assert(winnow == 1, s"winnow fingerprint generator evaluated at $winnow sites, expected 1")
+    val ngram = evalSites(SparkEntry.queries("q_dedup_ngram")(spark, sf), "shingles")
+    assert(ngram == 1, s"ngram shingle transform evaluated at $ngram sites, expected 1")
+  }
+
   test("heavy pair pipelines plan no cartesian product") {
     for (q <- Seq("q_token_jaccard_join", "q_dedup_ngram", "q_dedup_minhash")) {
       val ns = nodes(SparkEntry.queries(q)(spark, sf))

@@ -24,6 +24,23 @@ class PipelineInvariantsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
   }
 
+  test("no zero-norm embedding in the corpus (the NaN-pin data invariant)") {
+    // probeTopKDesc pins NaN cosines (zero-norm vectors) to rank LAST
+    // via nanvl(-∞); the DuckDB oracles' plain ORDER BY cos DESC would
+    // rank a NaN FIRST — the Spark/oracle agreement therefore rests on
+    // the corpus containing no zero-norm vector. Pin that invariant at
+    // the gate SF so a corpus change surfaces here, not as a silent
+    // hash mismatch in whichever ANN query hits it first.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", sf)) {
+      val zero = graft.sources.Tables.embeddings(spark, dir)
+        .filter(graft.plans.VectorExpressions.normNative(col("embedding")) === 0.0)
+        .count()
+      assert(zero === 0L, s"$dir has $zero zero-norm embeddings — the ANN oracle " +
+        "ORDER BYs must gain the NaN pin (CASE WHEN isnan(cos) THEN -1e308 END) before this passes")
+    }
+  }
+
   test("int8 quantization error is bounded by half a scale step per dimension") {
     val rows = AnnOps.quantStats(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -154,4 +154,50 @@ class RangeJoinSpec extends AnyFunSuite {
     // packed ones plus the 95..210 straddler) → C(6,2) = 15 candidates
     assert(pf(0L) === ((6L, 15L)))
   }
+
+  test("bucketPairBudget is semantics-free below the budget") {
+    val (left, right) = overlapFixtures
+    for (width <- Seq(7L, 100L)) {
+      val exact = RangeJoin.intervalOverlap(left, "a_lo", "a_hi",
+          right, "b_lo", "b_hi", width)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // budget far above any bucket's nL·nR here → identical output
+      val budgeted = RangeJoin.intervalOverlap(left, "a_lo", "a_hi",
+          right, "b_lo", "b_hi", width, bucketPairBudget = Some(1000000L))
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(budgeted === exact, s"width $width: budget changed results below the budget")
+    }
+  }
+
+  test("bucketPairBudget cuts exactly the overlaps OWNED by an over-budget bucket") {
+    import spark.implicits._
+    val width = 100L
+    // flash event: 5×5 candidate pairs packed into bucket 0 (> budget
+    // 20), plus cool-bucket pairs, plus a pair that COLLIDES in the
+    // hot bucket but whose overlap STARTS in cool bucket 1 — the
+    // ownership rule must keep it
+    val a = Seq((1L, 0L, 9L), (2L, 1L, 8L), (3L, 2L, 9L), (4L, 0L, 3L), (5L, 5L, 9L),
+      (6L, 50L, 120L), (7L, 300L, 310L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((11L, 0L, 9L), (12L, 1L, 8L), (13L, 2L, 9L), (14L, 0L, 3L), (15L, 5L, 9L),
+      (16L, 110L, 220L), (17L, 305L, 320L)).toDF("b_id", "b_lo", "b_hi")
+    def pairs(budget: Option[Long]) =
+      RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", width,
+          bucketPairBudget = budget)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None)
+    val got = pairs(Some(20L))
+    // bucket 0 has nL·nR = 6·5 = 30 > 20 (six a-rows touch it: the five
+    // packed plus nothing else — a_id 6 starts at 50, same bucket 0):
+    // every overlap starting in bucket 0 is cut
+    val ownedByHot = exact.filter { case (ai, bi) => ai <= 6 && bi <= 15 }
+    assert(got === exact -- ownedByHot,
+      s"expected exactly the hot-owned pairs cut; missing=${(exact -- ownedByHot) -- got} extra=${got -- (exact -- ownedByHot)}")
+    // the collide-in-hot-but-owned-by-cool pair survives: a6 [50,120] ×
+    // b16 [110,220] overlaps from 110 (bucket 1), both cover bucket 1
+    assert(got.contains((6L, 16L)), "pair owned by a cool bucket was wrongly cut")
+    // cool bucket 3 untouched
+    assert(got.contains((7L, 17L)))
+    // bounded: output ≤ exact minus the hot bucket's contribution
+    assert(got.size < exact.size)
+  }
 }
