@@ -15,6 +15,23 @@ sbt -batch Test/compile >/tmp/precommit.log 2>&1 || {
   exit 1
 }
 echo "PRECOMMIT OK: Test/compile green."
+
+# Bench gate (round-12 lesson: q_winnow_dedup reached the registry
+# without ever being benched and shipped a 615 s plan): every
+# registered query must have a per-query entry in bench_queries.json —
+# after ANY registry change, re-run `tools/run.sh graft.Bench` at
+# sf0.1 (and tools/curve.sh for the new queries) before committing.
+tools/run.sh graft.ListQueries > /tmp/registry_names.txt
+python3 - <<'EOF' || { echo "PRECOMMIT FAIL: bench gate — re-run graft.Bench (and curve.sh for new queries) before commit." >&2; exit 1; }
+import json, sys
+reg = set(open("/tmp/registry_names.txt").read().split())
+bench = json.load(open("bench_queries.json")).get("queries", {})
+missing = sorted(reg - set(bench))
+if missing:
+    print("registered but never benched:", ", ".join(missing), file=sys.stderr)
+    sys.exit(1)
+EOF
+echo "PRECOMMIT OK: every registered query has a bench entry."
 if [[ "${PRECOMMIT_SMOKE:-0}" == "1" ]]; then
   sbt -batch "testOnly graft.QueriesSpec" >/tmp/precommit_smoke.log 2>&1 || {
     echo "PRECOMMIT FAIL: QueriesSpec smoke broken — do not commit." >&2
