@@ -93,12 +93,21 @@ object CorpusOps {
     * dedup suite's blocking discipline.
     */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    // pinned-width repartition: the single-row-group local scan would
-    // otherwise shingle the corpus on one core, once per consumer
-    val grams = repartByKey(Tables.documents(spark, dir).select("doc_id", "text"), col("doc_id"))
+    // streamed shingle generator above a doc-keyed parallelism barrier
+    // (the single-row-group local scan would otherwise shingle the
+    // corpus on one core); the is_bench flag (one md5 per doc) is
+    // computed below the barrier and rides the postings. Deliberately
+    // NO g-keyed barrier above the generator: the hot-df aggregation
+    // partial-aggregates map-side and the anti-join is a broadcast, so
+    // re-running the cheap generator per consumer beats shuffling the
+    // raw gram stream unaggregated (measured ~50% slower with the
+    // barrier at the sf1.0 slice); the train⋈bench join below is on g
+    // but both sides are post-anti-join slivers, not the raw stream
+    val grams = repartByKey(Tables.documents(spark, dir).select("doc_id", "text")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull), col("doc_id"))
       .select(col("doc_id"), (bucket(col("text"), 20) === 0).as("is_bench"),
-        explode(array_distinct(
-          graft.functions.Hashing.shingles(split(col("text"), " "), ContamK))).as("g"))
+        graft.plans.TextExpressions
+          .shinglePostingsNative(split(col("text"), " "), ContamK).as("g"))
     val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > ContamDfCap).select("g")
     val kept = grams.join(broadcast(hot), Seq("g"), "left_anti")

@@ -189,19 +189,24 @@ object DedupOps {
     * shingle arrays never ride the pair shuffle.
     */
   private def pairCoCounts(docs: DataFrame, dfCap: Int): DataFrame = {
-    // repartition barrier ABOVE the shingle projection: exchange reuse
-    // makes every consumer (explode, sizes, the exact-verify joins)
-    // share one evaluation of the shingle transform. The filter is the
-    // UNION of every predicate any consumer infers (explode → size>0 ∧
-    // isnotnull(sh); join keys → isnotnull(doc_id)): inferred
-    // predicates are pushed below the exchange per-branch, and a
-    // branch whose pushed set differs breaks canonical equality — the
-    // meta (sizes) branch used to re-evaluate the shingle transform in
-    // its own scan stage (PlanGuardsSpec pins one site)
-    val d = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
-      .filter(col("doc_id").isNotNull && col("sh").isNotNull && size(col("sh")) > 0)
+    // the winnowPostings discipline: a doc-keyed parallelism barrier
+    // BELOW the shingle generator (gram work never hostage to file
+    // layout), the streamed generator itself (no per-doc array, and no
+    // InferFiltersFromGenerate guards for predicate pushdown to
+    // substitute into the scan — the array+filter shape re-ran the
+    // shingle transform 3× per row there, 4× slower end-to-end at the
+    // sf1.0 slice), and a SHARED s-keyed barrier above it that every
+    // consumer reuses, already aligned for the df aggregation and the
+    // pair self-join. isnotnull(doc_id) EXPLICITLY below both
+    // exchanges so no consumer's inferred predicate breaks canonical
+    // equality (PlanGuardsSpec pins one evaluation site).
+    val ex = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .transform(repartByKey(_, col("doc_id")))
-    val ex = d.select(col("doc_id").as("k"), explode(col("sh")).as("s"))
+      .select(col("doc_id").as("k"),
+        graft.plans.TextExpressions
+          .shinglePostingsNative(toks(col("text")), ShingleK).as("s"))
+      .transform(repartByKey(_, col("s")))
     // hot keys via aggregation + broadcast anti-join — the hot set is
     // tiny, so no per-key window sort of the exploded shingle stream
     val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -212,16 +217,30 @@ object DedupOps {
       .groupBy(col("a.k").as("d1"), col("b.k").as("d2"))
       .agg(count(lit(1)).as("inter"))
     val tainted = ex.join(broadcast(hot), Seq("s")).select(col("k")).distinct()
-    val meta = d.select(col("doc_id"), size(col("sh")).as("n"))
+    // per-doc distinct-shingle count ≡ size(shingleSet): the postings
+    // are distinct per doc by construction, so n is a count aggregate
+    // over the SAME shared exchange — no second shingle evaluation
+    val meta = ex.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .withColumnRenamed("k", "doc_id")
       .join(tainted.withColumnRenamed("k", "doc_id").withColumn("tf", lit(1)),
         Seq("doc_id"), "left")
     val m = pairs
       .join(meta.select(col("doc_id").as("d1"), col("n").as("n1"), col("tf").as("tf1")), "d1")
       .join(meta.select(col("doc_id").as("d2"), col("n").as("n2"), col("tf").as("tf2")), "d2")
     val clean = m.filter(col("tf1").isNull || col("tf2").isNull)
-    val dirty = m.filter(col("tf1").isNotNull && col("tf2").isNotNull)
-      .join(d.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(d.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+    // exact verification arrays ONLY for the both-tainted pairs — a
+    // semi-filtered recompute over that tiny survivor set, never a
+    // corpus-wide array table (the verifyPairs discipline); the set is
+    // empty below the cap, so the recompute usually scans nothing
+    val dirtyPairs = m.filter(col("tf1").isNotNull && col("tf2").isNotNull)
+    val dirtyIds = dirtyPairs
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val dArr = docs.join(dirtyIds, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val dirty = dirtyPairs
+      .join(dArr.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(dArr.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("inter",
         size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
     clean.select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
@@ -291,18 +310,24 @@ object DedupOps {
     */
   /** (doc_id, band, key) rows of the minhash banding over `docs` —
     * the blocking structure [[dedupMinhash]] joins on and
-    * [[lshBucketStats]] audits. Minhash via explode → keyed
-    * min-aggregation: the shingle set is computed ONCE per doc
-    * (projection collapse would otherwise inline the interpreted
-    * shingle transform into all 8 minhash expressions), md5 runs
-    * codegen'd on flat rows, and the repartition spreads the corpus
-    * across cores.
+    * [[lshBucketStats]] audits. Minhash via a streamed shingle
+    * generator → keyed min-aggregation: the 8-seed md5 mins (the
+    * dominant compute, ~8 digests per posting row) run codegen'd on
+    * flat rows, and the doc-keyed repartition spreads the corpus
+    * across cores regardless of file layout. The band rows end at a
+    * (band, key)-keyed barrier: the candidate self-join's two sides
+    * and the bucket-stats aggregation all REUSE that one exchange —
+    * without it, each consumer re-ran the whole signature aggregation
+    * (the r13 audit found the 8-md5-per-posting agg executing twice
+    * in q_dedup_minhash's final plan).
     */
   private[operators] def minhashBandRows(docs: DataFrame): DataFrame = {
-    val d = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val exploded = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exploded = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.plans.TextExpressions
+          .shinglePostingsNative(toks(col("text")), ShingleK).as("s"))
     val mhCols = (0 until Bands * Rows).map(j =>
       min(md5(concat(lit(s"$j:"), col("s")).cast("binary"))).as(s"mh$j"))
     val sigs = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
@@ -310,6 +335,7 @@ object DedupOps {
       posexplode(array((0 until Bands).map(b =>
         md5(concat_ws("|", col(s"mh${b * Rows}"), col(s"mh${b * Rows + 1}")).cast("binary"))): _*))
         .as(Seq("band", "key")))
+      .transform(repartByKey(_, col("band"), col("key")))
   }
 
   /** Frame-based core of [[dedupMinhash]]: band-blocked candidates →
@@ -398,9 +424,28 @@ object DedupOps {
     * band); output is distinct.
     */
   def verifyPairs(cands: DataFrame, docs: DataFrame): DataFrame = {
-    val d = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    cands.select(col("d1"), col("d2")).distinct()
+    // the distinct is the shared barrier: the id derivation and the
+    // two shingle joins below all reuse its exchange, so the candidate
+    // subtree (the band self-join) evaluates once
+    val pairs = cands.select(col("d1"), col("d2")).distinct()
+    // shingle ONLY the docs that appear in some candidate pair: the
+    // verification set is near-dup-density-bounded, so the shingle
+    // arrays of the full corpus are never materialized (the previous
+    // shape shingled everything, and AQE then BROADCAST the whole
+    // shingled corpus to the pair join — a plan that cannot exist at
+    // 100 TB). The semi join's id set is tiny and broadcasts; the
+    // text scan prunes to survivors before any shingle work.
+    val ids = pairs.select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    // NO filter on the shingle column: a `size(sh) > 0`-style guard is
+    // semantically redundant here (a doc with no shingles cannot be a
+    // band candidate, and an empty-vs-empty pair yields jac = NaN,
+    // which the ≥ threshold drops) and predicate pushdown would
+    // substitute it below the semi join — re-evaluating the shingle
+    // transform twice per row over the FULL corpus in the scan stage
+    val d = docs.join(ids, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    pairs
       .join(d.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(d.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("jac",
@@ -439,13 +484,19 @@ object DedupOps {
     * can pin the vote/pack arithmetic against a JVM reference.
     */
   private[operators] def simhashBands(docs: DataFrame): DataFrame = {
-    // Votes via explode → keyed sums: per-shingle md5 runs codegen'd
-    // exactly once (the fold-over-array form re-evaluates the hash
-    // array per bit, interpreted), and the corpus parallelizes.
-    // Integer sums are order-free, so results are identical.
+    // Votes via the streamed shingle generator → keyed sums:
+    // per-shingle md5 runs codegen'd exactly once (the fold-over-array
+    // form re-evaluates the hash array per bit, interpreted; the
+    // explode-of-array form re-evaluates the shingle transform in the
+    // scan filter through InferFiltersFromGenerate substitution), and
+    // the doc-keyed barrier parallelizes the corpus regardless of file
+    // layout. Integer sums are order-free, so results are identical.
     val exploded = docs
-      .select(col("doc_id"), explode(shingleSet(col("text"))).as("s"))
-      .repartition(col("doc_id"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .transform(repartByKey(_, col("doc_id")))
+      .select(col("doc_id"),
+        graft.plans.TextExpressions
+          .shinglePostingsNative(toks(col("text")), ShingleK).as("s"))
       .withColumn("h1", conv(substring(md5(col("s").cast("binary")), 1, 8), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(md5(col("s").cast("binary")), 9, 8), 16, 10).cast("long"))
     val voteCols = (0 until SimBands * SimBandBits).map { g =>
@@ -463,11 +514,16 @@ object DedupOps {
 
   private[operators] def dedupSimhashFrame(docs: DataFrame): DataFrame = {
     val d = simhashBands(docs)
+    // (band, bv)-keyed barrier: both self-join sides reuse ONE
+    // evaluation of the whole fingerprint pipeline (shingle generator
+    // + 2 md5/shingle + 64 vote sums — the r13 audit found it running
+    // twice), and the band bucket join is aligned on the exchange keys
     val banded = d.select(col("doc_id") +: (0 until SimBands).map(i => col(s"b$i")) :+
       explode(array((0 until SimBands).map(i =>
         struct(lit(i).as("band"), col(s"b$i").as("bv"))): _*)).as("bk"): _*)
       .select(col("doc_id") +: (0 until SimBands).map(i => col(s"b$i")) :+
         col("bk.band").as("band") :+ col("bk.bv").as("bv"): _*)
+      .transform(repartByKey(_, col("band"), col("bv")))
     val ham = (0 until SimBands).map(i =>
       bit_count(col(s"a.b$i").bitwiseXOR(col(s"b.b$i")))).reduce(_ + _)
     banded.as("a").join(banded.as("b"),
@@ -534,9 +590,16 @@ object DedupOps {
     */
   private[graft] def dedupEmbeddingFrame(e: DataFrame, bits: Int): DataFrame = {
     import graft.plans.VectorExpressions
-    val banded = e.select(col("vec_id"),
-      posexplode(VectorExpressions.hyperplaneSigsNative(
-        col("embedding"), EmbBands, bits, AnnOps.Dim)).as(Seq("band", "sig")))
+    // (band, sig)-keyed barrier above the signature projection: both
+    // self-join sides reuse ONE evaluation of the hyperplane sigs
+    // (bands × bits dots per vector — the r13 audit found it running
+    // twice), and the bucket join is already aligned on the exchange
+    // keys; isnotnull(vec_id) explicit for canonical symmetry
+    val banded = e.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"),
+        posexplode(VectorExpressions.hyperplaneSigsNative(
+          col("embedding"), EmbBands, bits, AnnOps.Dim)).as(Seq("band", "sig")))
+      .transform(repartByKey(_, col("band"), col("sig")))
     // candidate ids only through the keyed bucket join; embeddings
     // re-attach after distinct so vectors never ride the shuffle
     val cand = banded.as("a").join(banded.as("b"),
@@ -559,10 +622,18 @@ object DedupOps {
     */
   def verifyEmbPairs(cands: DataFrame, emb: DataFrame): DataFrame = {
     import graft.plans.VectorExpressions
+    val pairs = cands.select(col("v1"), col("v2"))
+    // attach vectors ONLY for ids that appear in some candidate pair
+    // (the verifyPairs discipline): the id set is near-dup-bounded and
+    // broadcasts, so the corpus-wide vector table (and its norms) is
+    // never materialized into the pair join
+    val ids = pairs.select(explode(array(col("v1"), col("v2"))).as("vec_id")).distinct()
+    val needed = emb.join(ids, Seq("vec_id"), "left_semi")
+      .filter(col("vec_id").isNotNull)
     val e =
-      if (emb.columns.contains("nrm")) emb
-      else emb.withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-    cands.select(col("v1"), col("v2"))
+      if (needed.columns.contains("nrm")) needed
+      else needed.withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+    pairs
       .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1")), "v1")
       .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")), "v2")
       .withColumn("cos", round(VectorExpressions.cosineNative(
@@ -961,13 +1032,20 @@ object DedupOps {
     * deployment would keep materialized between ingests.
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"),
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // the pairCoCounts discipline: doc-keyed parallelism barrier below
+    // the streamed shingle generator, shared s-keyed barrier above it;
+    // the is_new flag (1 md5/doc) is computed below the barriers and
+    // rides the postings
+    val ex = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .transform(repartByKey(_, col("doc_id")))
+      .select(col("doc_id").as("k"),
         (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
           .cast("long") % 10 >= 8).as("is_new"),
-        shingleSet(col("text")).as("sh"))
-      .transform(repartByKey(_, col("doc_id")))
-    val ex = d.select(col("doc_id").as("k"), col("is_new"), explode(col("sh")).as("s"))
+        graft.plans.TextExpressions
+          .shinglePostingsNative(toks(col("text")), ShingleK).as("s"))
+      .transform(repartByKey(_, col("s")))
     val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select("s")
     val kept = ex.join(broadcast(hot), Seq("s"), "left_anti")
@@ -978,7 +1056,10 @@ object DedupOps {
       .groupBy(col("a.k").as("new_id"), col("b.k").as("other_id"))
       .agg(count(lit(1)).as("inter"))
     val tainted = ex.join(broadcast(hot), Seq("s")).select(col("k")).distinct()
-    val meta = d.select(col("doc_id"), size(col("sh")).as("n"))
+    // distinct-posting count per doc ≡ size(shingleSet) — aggregated
+    // over the shared exchange, no second shingle evaluation
+    val meta = ex.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .withColumnRenamed("k", "doc_id")
       .join(tainted.withColumnRenamed("k", "doc_id").withColumn("tf", lit(1)),
         Seq("doc_id"), "left")
     val m = pairs
@@ -987,9 +1068,17 @@ object DedupOps {
     val clean = m.filter(col("tf1").isNull || col("tf2").isNull)
       .withColumn("jac",
         col("inter") / (col("n1") + col("n2") - col("inter")).cast("double"))
-    val dirty = m.filter(col("tf1").isNotNull && col("tf2").isNotNull)
-      .join(d.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
-      .join(d.select(col("doc_id").as("other_id"), col("sh").as("sh2")), "other_id")
+    // both-tainted verification arrays: semi-filtered recompute over
+    // the survivor ids only, never a corpus-wide array table
+    val dirtyPairs = m.filter(col("tf1").isNotNull && col("tf2").isNotNull)
+    val dirtyIds = dirtyPairs
+      .select(explode(array(col("new_id"), col("other_id"))).as("doc_id")).distinct()
+    val dArr = docs.join(dirtyIds, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val dirty = dirtyPairs
+      .join(dArr.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
+      .join(dArr.select(col("doc_id").as("other_id"), col("sh").as("sh2")), "other_id")
       .withColumn("jac",
         size(array_intersect(col("sh1"), col("sh2"))) /
           size(array_union(col("sh1"), col("sh2"))).cast("double"))

@@ -269,9 +269,20 @@ object TextOps {
     * oracle.
     */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val grams = repartByKey(Tables.documents(spark, dir).select("doc_id", "text"), col("doc_id"))
+    // streamed shingle generator above a doc-keyed parallelism
+    // barrier. Deliberately NO shared g-keyed barrier above it: both
+    // consumers (df aggregation, scoring join vs the broadcast boiler
+    // set) partial-aggregate map-side, so re-running the cheap
+    // generator per consumer beats shuffling the raw gram stream
+    // unaggregated — measured ~30% slower WITH the barrier at the
+    // sf1.0 slice. The shared-exchange pattern pays only where a
+    // downstream self-join REQUIRES the gram partitioning
+    // (pairCoCounts, winnowPostings).
+    val grams = repartByKey(Tables.documents(spark, dir).select("doc_id", "text")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull), col("doc_id"))
       .select(col("doc_id"),
-        explode(array_distinct(Hashing.shingles(split(col("text"), " "), BoilerK))).as("g"))
+        graft.plans.TextExpressions
+          .shinglePostingsNative(split(col("text"), " "), BoilerK).as("g"))
     // join against the BOILERPLATE set only (df ≥ threshold), not the
     // full df table: most shingles are unique, so the full join would
     // shuffle ~the whole gram stream a second time for rows that can
@@ -335,7 +346,15 @@ object TextOps {
     * windows anywhere.
     */
   def lmBigram(spark: SparkSession, dir: String): DataFrame = {
+    // the bigram stream has THREE consumers (bigram counts, unigram
+    // counts, the per-doc scoring join) — all aggregate map-side or
+    // join a broadcast model, so re-running the explode per consumer
+    // beats forcing the raw stream through a shared b-keyed exchange
+    // (measured neutral-to-slower with the barrier at the sf1.0
+    // slice; the shared-exchange pattern pays only where a self-join
+    // REQUIRES the gram partitioning)
     val bg = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"),
         explode(Hashing.shingles(split(col("text"), " "), 2)).as("b"))
       .withColumn("t1", substring_index(col("b"), " ", 1))

@@ -13,6 +13,6 @@ package object operators {
     * width keeps the shared projection parallel while still letting
     * every consumer reuse the one exchange.
     */
-  private[operators] def repartByKey(df: DataFrame, c: Column): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, c)
+  private[operators] def repartByKey(df: DataFrame, c: Column, more: Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, (c +: more): _*)
 }

@@ -386,4 +386,73 @@ object TextExpressions {
 
   def winnowPostingsNative(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowPostingsGen(ColumnBridge.expression(text), k, w))
+
+  /** Static entry point referenced from generated/eval code: DISTINCT
+    * k-token shingles of a token array, first-occurrence order.
+    */
+  def shinglePostingsCompute(toks: ArrayData, k: Int): java.util.LinkedHashSet[String] = {
+    val n = toks.numElements()
+    val ns = math.max(n - (k - 1), 0)
+    val out = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i < ns) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(tokenAt(toks, j, "shingle_postings"))
+        j += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** Generator form of `explode(array_distinct(shingles(toks, k)))`:
+    * streams the distinct k-token shingles of one document as rows
+    * (one non-nullable string column `s`). Same rationale as
+    * [[WinnowPostingsGen]]: a pipeline that only consumes shingle
+    * POSTINGS (explode → aggregate/join) pays the array
+    * materialization for nothing, and `InferFiltersFromGenerate`'s
+    * `size/isnotnull` guards re-evaluate the shingle transform inside
+    * the scan-stage Filter after predicate-pushdown substitution; the
+    * custom generator sidesteps both (the inference rule matches only
+    * ExplodeBase/Inline). A doc with fewer than k tokens emits no
+    * rows — exactly the rows `size(sh) > 0` kept.
+    */
+  case class ShinglePostingsGen(child: Expression, k: Int)
+      extends UnaryExpression with Generator with CodegenFallback {
+    require(k >= 1, s"shingle_postings: k must be >= 1, got $k")
+
+    override def elementSchema: StructType =
+      StructType(StructField("s", StringType, nullable = false) :: Nil)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"shingle_postings expects array<string>, got $other")
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val t = child.eval(input)
+      if (t == null) Nil
+      else {
+        val set = shinglePostingsCompute(t.asInstanceOf[ArrayData], k)
+        val out = new Array[InternalRow](set.size)
+        val it = set.iterator()
+        var i = 0
+        while (it.hasNext) {
+          out(i) = InternalRow(UTF8String.fromString(it.next()))
+          i += 1
+        }
+        out
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def shinglePostingsNative(toks: Column, k: Int): Column =
+    ColumnBridge.column(ShinglePostingsGen(ColumnBridge.expression(toks), k))
 }

