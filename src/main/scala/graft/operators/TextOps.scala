@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{Hashing, Text}
 import graft.sources.Tables
@@ -533,6 +534,161 @@ object TextOps {
       .orderBy("t1", "t2")
   }
 
+  /** §2.I q_ttr — per-document lexical diversity: token count, type
+    * count, hapax count, type-token ratio, hapax share and mean token
+    * length — the vocabulary-richness signals quality filters read
+    * alongside the Gopher rules (machine-generated spam repeats a
+    * tiny vocabulary; boilerplate has near-zero hapax share). One
+    * explode + two keyed aggregations, both map-side partial
+    * combined; every count is integer-exact, division only at the
+    * final ratio projection. 100 TB: linear scan shape, shuffles
+    * keyed (doc_id, token) then doc_id — never wider than the token
+    * stream, no windows, no corpus-sized state.
+    */
+  def ttr(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(length(col("t")).cast("long") * col("cnt")).as("sum_len"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_hapax") / col("n_types").cast("double"), 6).as("hapax_ratio"),
+        round(col("sum_len") / col("n_tokens").cast("double"), 4).as("avg_token_len"))
+
+  private val ZipfTopK = 1000
+
+  /** §2.I q_zipf_slope — Zipf's-law fit per language: token
+    * frequencies ranked (count desc, token asc) and the least-squares
+    * slope/R² of log-frequency vs log-rank over the top [[ZipfTopK]]
+    * types. Natural language sits near slope −1; a corrupted,
+    * templated or machine-generated slice drifts visibly, so the
+    * slope is a per-slice corpus-QA dial. The rank cut uses the
+    * mergeable bounded top-k aggregate — the vocabulary is NEVER
+    * globally sorted (map-side ≤K heaps per lang, the shuffle carries
+    * partitions×K rows, constant in vocabulary size); the regression
+    * itself is Spark's codegen'd regr_slope/regr_r2 over ≤K rows per
+    * lang. Rank ties break on the token string, so the rank sequence
+    * (and hence the fit) is engine-portable bit-for-bit.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang", "t")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_types"),
+        graft.plans.TopKAgg.topK(
+          struct(negate(col("n")).as("nn"), col("t").as("t"), col("n").as("n")),
+          ZipfTopK).as("tk"))
+      .select(col("lang"), col("n_types"), posexplode(col("tk")).as(Seq("pos", "it")))
+      .select(col("lang"), col("n_types"),
+        (col("pos") + 1).cast("double").as("rank"),
+        col("it.n").cast("double").as("n"))
+      .groupBy("lang")
+      .agg(max(col("n_types")).as("n_types"),
+        count(lit(1)).as("n_top"),
+        round(expr("regr_slope(ln(n), ln(rank))"), 4).as("zipf_slope"),
+        round(expr("regr_r2(ln(n), ln(rank))"), 4).as("zipf_r2"))
+      .orderBy("lang")
+
+  /** §2.I q_char_entropy — per-document character-level Shannon
+    * entropy (bits/char over the exact code-point histogram) plus the
+    * distinct-character count: the gibberish / encoding-corruption /
+    * key-mash filter (natural text sits ~4 bits, base64 blobs ~6,
+    * single-char floods ~0). Both statistics are single codegen'd
+    * expressions ([[graft.plans.TextExpressions.CharEntropyExpr]]) —
+    * one histogram pass per ROW, alphabet-sized state — so the query
+    * is a zero-shuffle scan-bound projection; the explode-per-char
+    * formulation would shuffle |chars| rows (≈ the corpus itself) to
+    * compute a per-row number.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TextExpressions
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextExpressions.charDistinctNative(col("text")).as("n_distinct_chars"),
+        round(TextExpressions.charEntropyNative(col("text")), 4).as("entropy"))
+  }
+
+  private val TrDamping   = 0.85
+  private val TrIters     = 5
+  private val TrTopK      = 20
+
+  /** §2.I q_textrank — TextRank keyword extraction: weighted PageRank
+    * over the token co-occurrence graph (nodes = vocabulary, edges =
+    * adjacent-token pairs symmetrized, weight = corpus co-occurrence
+    * count), [[TrIters]] damped iterations, top [[TrTopK]] tokens by
+    * converged rank. The canonical iterative-graph workload expressed
+    * Spark-natively: each iteration is ONE keyed join (edges ⋈ ranks
+    * on the source node) + ONE aggregation (sum of weighted
+    * contributions per target) — the textbook distributed PageRank
+    * shape that scales to any vocabulary. The edge table (derived
+    * from a corpus scan) is materialized ONCE before the loop and
+    * each rank table's lineage truncated per round (the
+    * connectedComponents discipline), so no iteration re-reads the
+    * corpus. Isolated nodes (tokens never adjacent to a different
+    * token) keep the damping floor via the left join. The final cut
+    * ranks by round(rank, 6) — fp-noise-free and engine-portable —
+    * through the bounded top-k aggregate, so the vocabulary is never
+    * globally sorted.
+    */
+  def textrank(spark: SparkSession, dir: String): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    val toks = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val adj = toks
+      .withColumn("nxt", lead(col("t"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("t") =!= col("nxt"))
+      .select(col("t").as("u"), col("nxt").as("v"))
+    val edges = materialize(
+      adj.union(adj.select(col("v").as("u"), col("u").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("w")))
+    val wdeg = edges.groupBy("u").agg(sum("w").as("wdeg"))
+    // out-edge transition ratios: w(u,v) / wdeg(u), fixed across iterations
+    val trans = materialize(
+      edges.join(wdeg, "u")
+        .select(col("u"), col("v"), (col("w") / col("wdeg").cast("double")).as("ratio")))
+    val nodes = materialize(edges.select(col("u").as("t")).distinct())
+    // Per-round truncation measured FASTER here than the lazy 5-join
+    // chain (2.1-2.5 s vs 2.6-3.2 s at sf0.1): the rank table is
+    // node-sized, so each round's checkpoint is tiny, while the lazy
+    // chain pays AQE's sequential per-stage replanning over the full
+    // lineage. At cluster scale the same truncation also caps
+    // recovery cost per round — the connectedComponents discipline.
+    var ranks = nodes.select(col("t"), lit(1.0).as("r"))
+    for (_ <- 1 to TrIters) {
+      val contrib = trans.join(ranks.withColumnRenamed("t", "u"), "u")
+        .groupBy(col("v").as("t"))
+        .agg(sum(col("ratio") * col("r")).as("c"))
+      ranks = materialize(
+        nodes.join(contrib, Seq("t"), "left")
+          .select(col("t"),
+            (lit(1.0 - TrDamping) + lit(TrDamping) * coalesce(col("c"), lit(0.0))).as("r")))
+    }
+    ranks.join(wdeg.withColumnRenamed("u", "t"), "t")
+      .select(col("t"), round(col("r"), 6).as("rank"), col("wdeg"))
+      .groupBy()
+      .agg(graft.plans.TopKAgg.topK(
+        struct(negate(col("rank")).as("nr"), col("t").as("t"),
+          col("rank").as("rank"), col("wdeg").as("wdeg")), TrTopK).as("tk"))
+      .select(explode(col("tk")).as("it"))
+      .select(col("it.t").as("t"), col("it.rank").as("rank"), col("it.wdeg").as("wdeg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (bm25 _),
     "q_pmi_pairs" -> (pmiPairs _),
@@ -548,9 +704,98 @@ object TextOps {
     "q_token_count" -> (tokenCount _),
     "q_fingerprint" -> (fingerprint _),
     "q_top_tokens" -> (topTokens _),
-    "q_heavy_hitters" -> (heavyHitters _))
+    "q_heavy_hitters" -> (heavyHitters _),
+    "q_ttr" -> (ttr _),
+    "q_zipf_slope" -> (zipfSlope _),
+    "q_char_entropy" -> (charEntropy _),
+    "q_textrank" -> (textrank _))
 
   val oracle: Map[String, String] = Map(
+    "q_ttr" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) t
+        |  FROM documents WHERE length(text) > 0
+        |), c AS (
+        |  SELECT doc_id, t, count(*) cnt FROM tok GROUP BY doc_id, t
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) n_tokens,
+        |  CAST(count(*) AS BIGINT) n_types,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) n_hapax,
+        |  round(count(*) / sum(cnt)::DOUBLE, 6) ttr,
+        |  round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) hapax_ratio,
+        |  round(sum(length(t) * cnt) / sum(cnt)::DOUBLE, 4) avg_token_len
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_zipf_slope" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) t
+         |  FROM documents WHERE length(text) > 0
+         |), c AS (
+         |  SELECT lang, t, count(*) n FROM tok GROUP BY lang, t
+         |), r AS (
+         |  SELECT lang, n,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, t) rank,
+         |    count(*) OVER (PARTITION BY lang) n_types
+         |  FROM c
+         |)
+         |SELECT lang, CAST(max(n_types) AS BIGINT) n_types,
+         |  CAST(count(*) AS BIGINT) n_top,
+         |  round(regr_slope(ln(n), ln(rank)), 4) zipf_slope,
+         |  round(regr_r2(ln(n), ln(rank)), 4) zipf_r2
+         |FROM r WHERE rank <= $ZipfTopK
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, ord(substring(text, i, 1)) cp
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) i
+        |        FROM documents WHERE length(text) > 0)
+        |), h AS (
+        |  SELECT doc_id, cp, count(*) c FROM ch GROUP BY doc_id, cp
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) n_chars,
+        |  CAST(count(*) AS BIGINT) n_distinct_chars,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) entropy
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_textrank" -> {
+      // 5 damped weighted-PageRank iterations unrolled as chained CTEs
+      // (DuckDB lacks iterative UPDATE; the unroll IS the oracle).
+      val iters = (1 to TrIters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.t,
+           |    ${1.0 - TrDamping} + $TrDamping * coalesce(sum(tr.ratio * p.r), 0) AS r
+           |  FROM nodes n
+           |  LEFT JOIN trans tr ON tr.v = n.t
+           |  LEFT JOIN r${k - 1} p ON p.t = tr.u
+           |  GROUP BY n.t
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') toks
+         |  FROM documents WHERE length(text) > 0
+         |), adj0 AS (
+         |  SELECT toks[i] u, toks[i + 1] v
+         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok)
+         |  WHERE toks[i] <> toks[i + 1]
+         |), adj AS (
+         |  SELECT u, v FROM adj0 UNION ALL SELECT v, u FROM adj0
+         |), edges AS (
+         |  SELECT u, v, count(*) w FROM adj GROUP BY u, v
+         |), wdeg AS (
+         |  SELECT u, sum(w) wdeg FROM edges GROUP BY u
+         |), trans AS (
+         |  SELECT e.u, e.v, e.w / wd.wdeg::DOUBLE ratio
+         |  FROM edges e JOIN wdeg wd ON wd.u = e.u
+         |), nodes AS (
+         |  SELECT DISTINCT u AS t FROM edges
+         |), r0 AS (
+         |  SELECT t, 1.0::DOUBLE AS r FROM nodes
+         |), $iters
+         |SELECT t, round(r, 6) AS rank, CAST(wdeg AS BIGINT) AS wdeg
+         |FROM r$TrIters JOIN wdeg ON wdeg.u = r$TrIters.t
+         |QUALIFY row_number() OVER (ORDER BY round(r, 6) DESC, t) <= $TrTopK
+         |ORDER BY rank DESC, t""".stripMargin
+    },
     "q_bm25" -> {
       val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),

@@ -455,4 +455,101 @@ object TextExpressions {
 
   def shinglePostingsNative(toks: Column, k: Int): Column =
     ColumnBridge.column(ShinglePostingsGen(ColumnBridge.expression(toks), k))
+
+  /** Static entry point referenced from generated code: Shannon
+    * entropy in bits per character over the CODE-POINT histogram of
+    * one string (exact integer counts; entropy = log2(n) −
+    * Σ c·log2(c) / n). The histogram fits a tiny map (alphabet-sized,
+    * not text-sized), so the whole statistic is one pass per row —
+    * no per-char explode, no shuffle. Empty input → 0.0.
+    */
+  def charEntropyCompute(text: UTF8String): Double = {
+    val s = text.toString
+    if (s.isEmpty) return 0.0
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      m(cp.toLong) = m.getOrElse(cp.toLong, 0L) + 1L
+      i += Character.charCount(cp)
+      n += 1L
+    }
+    val ln2 = Math.log(2.0)
+    var acc = 0.0
+    m.foreachValue { c => acc += c.toDouble * (Math.log(c.toDouble) / ln2) }
+    Math.log(n.toDouble) / ln2 - acc / n.toDouble
+  }
+
+  /** Static entry point referenced from generated code: distinct
+    * code-point count of one string (same single histogram pass as
+    * [[charEntropyCompute]]).
+    */
+  def charDistinctCompute(text: UTF8String): Long = {
+    val s = text.toString
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      m(cp.toLong) = 1L
+      i += Character.charCount(cp)
+    }
+    m.size.toLong
+  }
+
+  /** Per-row character-level Shannon entropy (double, bits/char) —
+    * the gibberish/encoding-corruption quality signal. A single
+    * codegen'd node whose generated code is one static call; the
+    * array-free alternative to explode-per-char + two keyed
+    * aggregations (which would put |chars| rows through a shuffle
+    * for a per-row statistic).
+    */
+  case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"char_entropy expects string, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      charEntropyCompute(a.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.TextExpressions.charEntropyCompute($a);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Per-row distinct code-point count — [[CharEntropyExpr]]'s
+    * companion statistic, kept a SEPARATE expression (not one
+    * struct-returning node) so each projected column is exactly one
+    * evaluation site under the AuditEval one-evaluation contract.
+    */
+  case class CharDistinctExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"char_distinct expects string, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      charDistinctCompute(a.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.TextExpressions.charDistinctCompute($a);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def charEntropyNative(text: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(text)))
+
+  def charDistinctNative(text: Column): Column =
+    ColumnBridge.column(CharDistinctExpr(ColumnBridge.expression(text)))
 }
