@@ -87,6 +87,40 @@ object CdcOps {
         col("n_changes"))
   }
 
+  /** Slowly-changing-dimension type-2 history built from the change
+    * feed: every non-delete change opens a validity interval
+    * `[valid_from, valid_to)`; the next change on the same key (of ANY
+    * op, deletes included) closes it. A key whose newest record is a
+    * `d` tombstone therefore has NO current row — its last interval is
+    * closed at the delete's timestamp — and a later re-insert opens a
+    * fresh current row, so delete/resurrect semantics match
+    * [[cdcCompact]] exactly. `is_current` marks the open interval.
+    *
+    * Plan: ONE keyed window (lead over (ts_ns, event_id) per user_id)
+    * — the same single user-keyed shuffle as [[cdcLatest]]; the
+    * history table is the feed minus tombstones, so output size is
+    * bounded by the feed. At 100 TB this is the standard dimension-
+    * history build: no self-join, no range join, no per-key collect —
+    * the warehouse-scale alternative (MERGE per batch) costs a keyed
+    * join per refresh and converges to this exact table.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    changeFeed(spark, dir)
+      .withColumn("valid_to_ns", lead(col("ts_ns"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("op"),
+        col("event_type"),
+        round(col("value"), 2).as("value"),
+        expr(s"ts_ns DIV $NsPerSec").as("valid_from_s"),
+        expr(s"valid_to_ns DIV $NsPerSec").as("valid_to_s"),
+        col("valid_to_ns").isNull.as("is_current"))
+  }
+
   /** The change feed carried through the JSON wire format and back —
     * the source-connector path end to end: envelope render
     * ([[graft.sources.CdcEnvelope.serialize]], the Kafka-shaped value
@@ -381,10 +415,40 @@ object CdcOps {
       .orderBy("rnk")
   }
 
+  /** §2.F q_rate_anomaly — volumetric anomaly detection over the
+    * event stream: per (event_type, hour) counts, each hour's
+    * z-score against its type's hourly mean and population σ, hours
+    * flagged at |z| ≥ 3 — the ingest-monitoring pass that catches a
+    * flash crowd, a stuck producer (rate → 0 is a missing row, rate
+    * collapse a negative z) or a replay storm BEFORE it poisons
+    * downstream stats. The flag decides on the ROUNDED z (the suite's
+    * engine-portable decision discipline); a constant-rate type
+    * (σ = 0) pins z = 0 explicitly rather than dividing by zero.
+    * Two tiny aggregations (hourly cells, then |types| stat rows
+    * broadcast back) — no windows, no corpus-sized state; scale-bound
+    * by hours × types.
+    */
+  def rateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_ns DIV $NsPerHour").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(avg(col("n")).as("mu"), stddev_pop(col("n")).as("sigma"))
+    val z = when(col("sigma") > 0,
+      round((col("n") - col("mu")) / col("sigma"), 4)).otherwise(lit(0.0))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), (col("hour") * 3600).as("hour_s"), col("n"),
+        round(col("mu"), 4).as("mu"), round(col("sigma"), 4).as("sigma"), z.as("z"))
+      .withColumn("is_anomaly", abs(col("z")) >= 3.0)
+      .orderBy("event_type", "hour_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rate_anomaly" -> (rateAnomaly _),
     "q_event_paths" -> (eventPaths _),
     "q_cdc_latest" -> (cdcLatest _),
     "q_cdc_compact" -> (cdcCompact _),
+    "q_scd2" -> (scd2 _),
     "q_cdc_envelope" -> (cdcEnvelope _),
     "q_cdc_incremental_view" -> (cdcIncrementalView _),
     "q_sessionize" -> (sessionize _),
@@ -494,6 +558,39 @@ object CdcOps {
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_intervals,
          |       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_bound
          |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_rate_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour, count(*) n
+        |  FROM events GROUP BY event_type, hour
+        |), s AS (
+        |  SELECT event_type, avg(n) mu, stddev_pop(n) sigma
+        |  FROM h GROUP BY event_type
+        |)
+        |SELECT h.event_type, hour * 3600 AS hour_s, CAST(n AS BIGINT) n,
+        |  round(mu, 4) mu, round(sigma, 4) sigma,
+        |  CASE WHEN sigma > 0 THEN round((n - mu) / sigma, 4) ELSE 0.0 END z,
+        |  abs(CASE WHEN sigma > 0 THEN round((n - mu) / sigma, 4) ELSE 0.0 END) >= 3.0 is_anomaly
+        |FROM h JOIN s USING (event_type)
+        |ORDER BY event_type, hour_s""".stripMargin,
+    "q_scd2" ->
+      """WITH env AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+        |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 THEN 'd'
+        |         WHEN event_type = 'signup' THEN 'c'
+        |         ELSE 'u' END AS op
+        |  FROM events
+        |), h AS (
+        |  SELECT user_id, event_id, op, event_type, value, ts_ns,
+        |    lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS valid_to_ns
+        |  FROM env
+        |)
+        |SELECT user_id, event_id, op, event_type,
+        |  round(value, 2) AS value,
+        |  ts_ns // 1000000000 AS valid_from_s,
+        |  valid_to_ns // 1000000000 AS valid_to_s,
+        |  valid_to_ns IS NULL AS is_current
+        |FROM h WHERE op <> 'd'
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_cdc_compact" ->
       """WITH env AS (
         |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
