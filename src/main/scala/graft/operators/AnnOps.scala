@@ -525,7 +525,13 @@ object AnnOps {
     cur
   }
 
-  private def annPqImpl(spark: SparkSession, dir: String, trainIters: Int): DataFrame = {
+  /** Shared PQ machinery for [[annPqImpl]] and [[annIvfPq]]: the
+    * normalized corpus `e`, the per-(vec_id, m) nearest-codeword codes
+    * against the seed (or Lloyd-trained) codebook, and the probes'
+    * integer ADC lookup table (probe_id, m, code, pdotq).
+    */
+  private def pqParts(spark: SparkSession, dir: String,
+      trainIters: Int): (DataFrame, DataFrame, DataFrame) = {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
@@ -568,6 +574,11 @@ object AnnOps {
         .select(col("vec_id").as("probe_id"), col("embedding")), "probe_id")
       .join(broadcast(cb), "m")
       .select(col("probe_id"), col("m"), col("code"), pdotq.as("pdotq"))
+    (e, codes, lut)
+  }
+
+  private def annPqImpl(spark: SparkSession, dir: String, trainIters: Int): DataFrame = {
+    val (e, codes, lut) = pqParts(spark, dir, trainIters)
     val scored = codes.join(broadcast(lut), Seq("m", "code"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("pdotq")).as("qdot")) // exact long sum — order-free
@@ -575,6 +586,49 @@ object AnnOps {
       .join(broadcast(e.filter(col("vec_id") < NProbes)
         .select(col("vec_id").as("probe_id"), col("nrm").as("p_nrm"))), "probe_id")
       .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(col("qdot").cast("double") / lit(1e6) / (col("nrm") * col("p_nrm")), 6)
+          .as("qcos"))
+    sq8Rerank(scored, e, PqRerank)
+  }
+
+  /** IVF × PQ — the FAISS IVF-ADC layout, the production composition
+    * the suite was still missing beside [[annIvfSq8]]: coarse cells
+    * bound WHICH vectors a probe scans (~nprobe/k of the corpus,
+    * exactly [[annIvf]]'s routing), PQ codes bound WHAT the scan costs
+    * per vector (32 BITS each — the ADC sum of M integer table
+    * lookups), and the exact re-rank confines float math to
+    * [[PqRerank]] candidates per probe. Cell assignment, probe-cell
+    * selection, codebook, encode and LUT are IDENTICAL to the
+    * standalone pipelines (shared helpers), so the composition stays
+    * oracle-checkable bit for bit.
+    *
+    * 100 TB: this is the layout a billion-vector deployment actually
+    * runs — the candidate stream entering the ADC aggregation is
+    * nprobe/k of the corpus (not all of it, [[annPq]]'s one concession
+    * to exhaustiveness), codes are 32 bits/vector, the LUT and cell
+    * tables broadcast, and only slim id/code/long-dot rows ever ride
+    * a shuffle.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (e, codes, lut) = pqParts(spark, dir, trainIters = 0)
+    val cents = ivfAnchors(e)
+    val assigned = assignCells(e, cents)
+    val probeCells = nearestProbeCells(
+      e.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("nrm").as("p_nrm")),
+      cents, Seq.empty)
+    val cand = assigned.join(broadcast(probeCells.select("probe_id", "cell")), "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val scored = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("probe_id", "m", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdotq")).as("qdot")) // exact long sum — order-free
+      .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+      .join(broadcast(e.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("nrm").as("p_nrm"))), "probe_id")
       .select(col("probe_id"), col("vec_id"),
         round(col("qdot").cast("double") / lit(1e6) / (col("nrm") * col("p_nrm")), 6)
           .as("qcos"))
@@ -737,6 +791,7 @@ object AnnOps {
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_sq8" -> (annSq8 _),
     "q_ann_ivf_sq8" -> (annIvfSq8 _),
+    "q_ann_ivf_pq" -> (annIvfPq _),
     "q_ann_pq" -> (annPq _),
     "q_ann_pq_kmeans" -> (annPqKmeans _),
     "q_ivf_cell_stats" -> (ivfCellStats _),
@@ -900,6 +955,63 @@ object AnnOps {
          |  WHERE p.vec_id < $NProbes AND c.vec_id <> p.vec_id
          |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
          |                             ORDER BY qcos DESC, c.vec_id) <= $Sq8Rerank
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, cand.qcos,
+         |         ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |)
+         |SELECT probe_id, vec_id, qcos, cos,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+         |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
+    "q_ann_ivf_pq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))) nrm
+         |  FROM embeddings
+         |), ms AS (SELECT unnest(range(0, $PqM)) m),
+         |sub AS (
+         |  SELECT vec_id, m, list_slice(embedding, m * $PqSub + 1, m * $PqSub + $PqSub) sub
+         |  FROM e, ms
+         |), cb AS (
+         |  SELECT m, vec_id code, sub c_sub FROM sub WHERE vec_id < $PqK
+         |), enc AS (
+         |  SELECT s.vec_id, s.m, code,
+         |    round(list_sum(list_transform(range(1, $PqSub + 1),
+         |      i -> (s.sub[i]::DOUBLE - c.c_sub[i]::DOUBLE)
+         |         * (s.sub[i]::DOUBLE - c.c_sub[i]::DOUBLE))), 6) d2
+         |  FROM sub s JOIN cb c USING (m)
+         |  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY d2, code) = 1
+         |), lut AS (
+         |  SELECT s.vec_id probe_id, s.m, c.code,
+         |    CAST(round(list_sum(list_transform(range(1, $PqSub + 1),
+         |      i -> s.sub[i]::DOUBLE * c.c_sub[i]::DOUBLE)) * 1000000.0, 0) AS BIGINT) pdotq
+         |  FROM sub s JOIN cb c USING (m)
+         |  WHERE s.vec_id < $NProbes
+         |), cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT e.vec_id, cell, ${sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), pc AS (
+         |  SELECT p.vec_id probe_id, cell, ${sqlCos("c_emb", "p.embedding")} ccos
+         |  FROM e p CROSS JOIN cents WHERE p.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= $IvfProbeCells
+         |), adc AS (
+         |  SELECT pc.probe_id, asg.vec_id, sum(pdotq) qdot
+         |  FROM asg JOIN pc USING (cell)
+         |       JOIN enc ON enc.vec_id = asg.vec_id
+         |       JOIN lut ON lut.probe_id = pc.probe_id
+         |              AND lut.m = enc.m AND lut.code = enc.code
+         |  WHERE asg.vec_id <> pc.probe_id
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT a.probe_id, a.vec_id,
+         |    round(a.qdot::DOUBLE / 1000000.0 / (c.nrm * p.nrm), 6) qcos
+         |  FROM adc a JOIN e c ON c.vec_id = a.vec_id
+         |             JOIN e p ON p.vec_id = a.probe_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.probe_id
+         |                             ORDER BY qcos DESC, a.vec_id) <= $PqRerank
          |), scored AS (
          |  SELECT cand.probe_id, cand.vec_id, cand.qcos,
          |         ${sqlCos("pe.embedding", "ce.embedding")} cos

@@ -397,7 +397,77 @@ object CorpusOps {
         round(sum(col("li")) / 1e6, 6).as("logw"))
   }
 
+  private[operators] val BootB = 64
+  private val CiLoRank = math.ceil(0.025 * BootB).toInt // 2
+  private val CiHiRank = math.ceil(0.975 * BootB).toInt // 63
+
+  /** Poisson(1) inverse-CDF thresholds as exact uint32 bounds:
+    * resample weight w = #{k : u32 ≥ t_k}, u32 the md5-derived
+    * uniform. The SAME Scala doubles print into the oracle SQL, so
+    * the weights are engine-exact by construction.
+    */
+  private[operators] val PoisThresholds: Seq[Long] = {
+    var p = math.exp(-1.0)
+    var cum = p
+    val b = Seq.newBuilder[Long]
+    b += math.floor(cum * 4294967296.0).toLong
+    for (k <- 1 to 7) { p = p / k; cum += p; b += math.floor(cum * 4294967296.0).toLong }
+    b.result()
+  }
+
+  /** §2.K q_bootstrap_ci — distributed uncertainty quantification for
+    * corpus statistics: a 95 % Poisson-bootstrap confidence interval
+    * for the per-language mean document length. The POISSON bootstrap
+    * (Chamandy et al. 2012 — "Estimating Uncertainty for Massive Data
+    * Streams", the standard bootstrap at map-reduce scale) replaces
+    * multinomial resampling (which needs n known and a global draw)
+    * with i.i.d. Poisson(1) weights per (row, resample) — every
+    * weight is a pure function of (doc_id, b) through md5, so the
+    * whole procedure is deterministic, reshuffle-stable and
+    * engine-portable like every sampling pass here. [[BootB]] = 64
+    * resamples; per-resample means are EXACT-integer-sum ratios
+    * (identical doubles on any engine, so the rank order — tie-broken
+    * on b — is bit-stable); the CI is the (2.5 %, 97.5 %) order
+    * statistic of the resample means.
+    *
+    * 100 TB: the fan-out is B rows per doc but the aggregation is
+    * map-side combined onto |langs|·B cells — the shuffle carries
+    * partitions × |langs| × B partial sums, constant in corpus size;
+    * the rank window sees B rows per lang.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = PoisThresholds.map(t =>
+      when(col("u") >= lit(t), 1L).otherwise(0L)).reduce(_ + _)
+    val means = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u", Hashing.hex32(
+        concat(col("doc_id").cast("string"), lit(":"), col("b").cast("string"))))
+      .select(col("lang"), col("b"), w.as("w"), col("n_chars"))
+      .groupBy("lang", "b")
+      .agg(sum(col("w") * col("n_chars")).as("swx"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0) // a degenerate all-zero resample (P ≈ e^-n) drops out
+      .select(col("lang"), col("b"), (col("swx") / col("sw").cast("double")).as("mean_b"))
+    val rw = Window.partitionBy("lang").orderBy("mean_b", "b")
+    val ci = means.withColumn("rnk", row_number().over(rw))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_resamples"),
+        min(when(col("rnk") === CiLoRank, col("mean_b"))).as("ci_lo"),
+        min(when(col("rnk") === CiHiRank, col("mean_b"))).as("ci_hi"))
+    val point = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), avg(col("n_chars")).as("mean"))
+    point.join(ci, "lang")
+      .select(col("lang"), col("n_docs"), round(col("mean"), 4).as("mean"),
+        round(col("ci_lo"), 4).as("ci_lo"), round(col("ci_hi"), 4).as("ci_hi"),
+        col("n_resamples"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci" -> (bootstrapCi _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_weighted_sample" -> (weightedSample _),
     "q_source_cap" -> (sourceCap _),
@@ -414,6 +484,35 @@ object CorpusOps {
   private val sqlBucket = "('0x' || substr(md5(text), 1, 8))::BIGINT % 10"
 
   val oracle: Map[String, String] = Map(
+    "q_bootstrap_ci" -> {
+      val wSql = PoisThresholds.map(t =>
+        s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+         |rs AS (
+         |  SELECT lang, b, $wSql w, n_chars
+         |  FROM (SELECT doc_id, lang, n_chars, b,
+         |          ('0x' || substr(md5(doc_id::VARCHAR || ':' || b::VARCHAR), 1, 8))::BIGINT u
+         |        FROM d, (SELECT unnest(range(0, $BootB)) b))
+         |), m AS (
+         |  SELECT lang, b, sum(w * n_chars) / sum(w)::DOUBLE mean_b
+         |  FROM rs GROUP BY lang, b HAVING sum(w) > 0
+         |), r AS (
+         |  SELECT lang, mean_b,
+         |         row_number() OVER (PARTITION BY lang ORDER BY mean_b, b) rnk
+         |  FROM m
+         |), ci AS (
+         |  SELECT lang, count(*) n_resamples,
+         |         min(CASE WHEN rnk = $CiLoRank THEN mean_b END) ci_lo,
+         |         min(CASE WHEN rnk = $CiHiRank THEN mean_b END) ci_hi
+         |  FROM r GROUP BY lang
+         |), p AS (
+         |  SELECT lang, count(*) n_docs, avg(n_chars) pmean FROM d GROUP BY lang
+         |)
+         |SELECT lang, CAST(n_docs AS BIGINT) n_docs,
+         |  round(pmean, 4) "mean", round(ci_lo, 4) ci_lo, round(ci_hi, 4) ci_hi,
+         |  CAST(n_resamples AS BIGINT) n_resamples
+         |FROM p JOIN ci USING (lang) ORDER BY lang""".stripMargin
+    },
     "q_dsir_weights" ->
       s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') ts FROM documents),
          |feats AS (

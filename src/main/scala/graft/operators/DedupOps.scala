@@ -321,7 +321,14 @@ object DedupOps {
     * (the r13 audit found the 8-md5-per-posting agg executing twice
     * in q_dedup_minhash's final plan).
     */
-  private[operators] def minhashBandRows(docs: DataFrame): DataFrame = {
+  /** Per-doc minhash signature columns (doc_id, mh0..mh7): the 8-seed
+    * md5 mins over the streamed shingle postings — the shared
+    * signature stage under [[minhashBandRows]] and
+    * [[minhashEstError]]. Docs with no 3-token shingle produce no
+    * posting rows and are absent, mirroring the oracles'
+    * `len(sh) > 0`.
+    */
+  private[operators] def minhashSigs(docs: DataFrame): DataFrame = {
     val exploded = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .repartition(col("doc_id"))
@@ -330,13 +337,17 @@ object DedupOps {
           .shinglePostingsNative(toks(col("text")), ShingleK).as("s"))
     val mhCols = (0 until Bands * Rows).map(j =>
       min(md5(concat(lit(s"$j:"), col("s")).cast("binary"))).as(s"mh$j"))
-    val sigs = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    sigs.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b =>
-        md5(concat_ws("|", col(s"mh${b * Rows}"), col(s"mh${b * Rows + 1}")).cast("binary"))): _*))
-        .as(Seq("band", "key")))
-      .transform(repartByKey(_, col("band"), col("key")))
+    exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
   }
+
+  /** The [[Bands]] band keys of a signature row, in band order. */
+  private def bandKeyCols: Seq[Column] = (0 until Bands).map(b =>
+    md5(concat_ws("|", col(s"mh${b * Rows}"), col(s"mh${b * Rows + 1}")).cast("binary")))
+
+  private[operators] def minhashBandRows(docs: DataFrame): DataFrame =
+    minhashSigs(docs)
+      .select(col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "key")))
+      .transform(repartByKey(_, col("band"), col("key")))
 
   /** Frame-based core of [[dedupMinhash]]: band-blocked candidates →
     * exact-Jaccard verify over `docs` (doc_id, text).
@@ -385,6 +396,56 @@ object DedupOps {
         when(col("n_truth") > 0,
           round(col("n_hit") / col("n_truth").cast("double"), 6)).as("recall"),
         (col("n_found") - col("n_hit")).as("n_extra"))
+  }
+
+  /** MinHash estimator-quality audit — the third dial of the banding
+    * instrument cluster beside [[minhashRecall]] (completeness) and
+    * [[lshBucketStats]] (cost): per LSH candidate pair, the
+    * signature-estimated Jaccard (matching components / [[Bands]]·
+    * [[Rows]]) against the exact shingle Jaccard, with the absolute
+    * error. An 8-hash signature estimates Jaccard with σ =
+    * √(j(1−j)/8) ≈ 0.17 — this query MEASURES the realized error on
+    * this corpus, the audit a deployment runs before trusting
+    * signature-only (verify-free) dedup at a tighter threshold.
+    *
+    * Plan: the signature aggregation evaluates ONCE — band keys AND
+    * signature columns ride the same (band, key)-barriered rows into
+    * the self-join, so the estimate needs no second signature join;
+    * the exact-Jaccard stage shingles only candidate survivors (the
+    * [[verifyPairs]] semi-join discipline). 100 TB: identical blocked
+    * cost shape to [[dedupMinhash]] plus 8 hex columns riding the
+    * band shuffle.
+    */
+  def minhashEstError(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sigCols = (0 until Bands * Rows).map(c => col(s"mh$c"))
+    val br = minhashSigs(docs)
+      .select(col("doc_id") +: sigCols :+
+        posexplode(array(bandKeyCols: _*)).as(Seq("band", "key")): _*)
+      .transform(repartByKey(_, col("band"), col("key")))
+    val nMatch = (0 until Bands * Rows).map(j =>
+      when(col(s"a.mh$j") === col(s"b.mh$j"), 1L).otherwise(0L)).reduce(_ + _)
+    val cand = br.as("a").join(br.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), nMatch.as("n_match"))
+      .groupBy("d1", "d2") // per-band repeats carry identical sigs
+      .agg(max(col("n_match")).as("n_match"))
+    val ids = cand.select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val d = docs.join(ids, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    cand
+      .join(d.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(d.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("jac",
+        size(array_intersect(col("sh1"), col("sh2"))) /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .select(col("d1"), col("d2"), col("n_match"),
+        round(col("n_match") / lit((Bands * Rows).toDouble), 6).as("est"),
+        round(col("jac"), 6).as("jac"),
+        round(abs(col("n_match") / lit((Bands * Rows).toDouble) - col("jac")), 6)
+          .as("abs_err"))
   }
 
   /** LSH band-bucket pre-flight — the dedup-side member of the
@@ -1195,6 +1256,7 @@ object DedupOps {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_lsh_bucket_stats" -> (lshBucketStats _),
     "q_minhash_recall" -> (minhashRecall _),
+    "q_minhash_est_error" -> (minhashEstError _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_semdedup" -> (semDedup _),
@@ -1412,6 +1474,35 @@ object DedupOps {
          |       CAST(sum(df) AS BIGINT) n_postings,
          |       CAST(sum(df * (df - 1) // 2) AS BIGINT) pair_bound
          |FROM dfs GROUP BY 1, 2 ORDER BY band, kept""".stripMargin,
+    "q_minhash_est_error" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlShingles sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+         |), m AS (
+         |  SELECT doc_id, sh,
+         |         ${(0 until Bands * Rows).map(j => s"${mh(j)} mh$j").mkString(", ")}
+         |  FROM t WHERE len(sh) > 0
+         |), bands AS (
+         |  ${(0 until Bands).map(b =>
+              s"SELECT doc_id, $b band, md5(mh${b * Rows} || '|' || mh${b * Rows + 1}) bkey FROM m")
+              .mkString(" UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), p AS (
+         |  SELECT d1, d2,
+         |    ${(0 until Bands * Rows).map(j =>
+              s"(CASE WHEN m1.mh$j = m2.mh$j THEN 1 ELSE 0 END)").mkString(" + ")} n_match,
+         |    len(list_intersect(m1.sh, m2.sh))
+         |      / len(list_distinct(list_concat(m1.sh, m2.sh)))::DOUBLE jac
+         |  FROM cand JOIN m m1 ON m1.doc_id = d1 JOIN m m2 ON m2.doc_id = d2
+         |)
+         |SELECT d1, d2, CAST(n_match AS BIGINT) n_match,
+         |  round(n_match / ${(Bands * Rows).toDouble}, 6) est,
+         |  round(jac, 6) jac,
+         |  round(abs(n_match / ${(Bands * Rows).toDouble} - jac), 6) abs_err
+         |FROM p ORDER BY d1, d2""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH t AS (
          |  SELECT doc_id, $sqlShingles sh

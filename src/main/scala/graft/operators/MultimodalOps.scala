@@ -149,14 +149,62 @@ object MultimodalOps {
         col("bit_depth"), col("n_samples"),
         round(col("rms"), 4).as("rms"), col("peak"))
 
+  /** §2.J q_bmp_features — the image half of the real (non-stub)
+    * media path, the [[wavFeatures]] pattern applied to BMP: build a
+    * real 24-bit bottom-up BMP from the document bytes, parse it back
+    * through [[graft.multimodal.Bmp.parse]]'s header/row walker, emit
+    * image-space features. The oracle recomputes every feature from
+    * the SAME text with plain arithmetic, so a bottom-up, padding or
+    * BGR-order bug in the parser diverges the hash (see Bmp's doc for
+    * which column catches which bug).
+    */
+  def bmpFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Bmp.features(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"),
+        col("top_row_sum"), col("luma_sum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (multimodalFeatures _),
+    "q_bmp_features" -> (bmpFeatures _),
     "q_blob_stats" -> (blobStats _),
     "q_frame_sample" -> (frameSample _),
     "q_frame_dedup" -> (frameDedup _),
     "q_wav_features" -> (wavFeatures _))
 
   val oracle: Map[String, String] = Map(
+    "q_bmp_features" ->
+      // ground-truth image features from the SAME text the Spark side
+      // synthesizes its BMP from: pixel p has R/G/B = text bytes
+      // 3p/3p+1/3p+2 (0 beyond the end) on a 10-px-wide canvas
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) len,
+        |         ((length(text) + 2) // 3 + 9) // 10 AS h
+        |  FROM documents WHERE length(text) > 0
+        |), px AS (
+        |  SELECT doc_id, len, h, text, unnest(range(0, h * 10)) AS p FROM d
+        |), b AS (
+        |  SELECT doc_id, h, p,
+        |    CASE WHEN 3*p     < len THEN ord(substring(text, 3*p + 1, 1)) ELSE 0 END r,
+        |    CASE WHEN 3*p + 1 < len THEN ord(substring(text, 3*p + 2, 1)) ELSE 0 END g,
+        |    CASE WHEN 3*p + 2 < len THEN ord(substring(text, 3*p + 3, 1)) ELSE 0 END bl
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |  CAST(10 AS BIGINT) width,
+        |  CAST(max(h) AS BIGINT) height,
+        |  CAST(count(*) AS BIGINT) n_px,
+        |  round(sum(r) / count(*)::DOUBLE, 4) mean_r,
+        |  round(sum(g) / count(*)::DOUBLE, 4) mean_g,
+        |  round(sum(bl) / count(*)::DOUBLE, 4) mean_b,
+        |  CAST(sum(CASE WHEN p < 10 THEN r + g + bl ELSE 0 END) AS BIGINT) top_row_sum,
+        |  CAST(sum(299*r + 587*g + 114*bl) AS BIGINT) luma_sum
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_blob_stats" ->
       """SELECT source,
         |  CAST(count(*) AS BIGINT) n_blobs,
