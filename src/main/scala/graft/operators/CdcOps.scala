@@ -104,21 +104,98 @@ object CdcOps {
     * the warehouse-scale alternative (MERGE per batch) costs a keyed
     * join per refresh and converges to this exact table.
     */
-  def scd2(spark: SparkSession, dir: String): DataFrame = {
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Present(scd2HistNs(spark, dir))
+
+  /** ns-precision SCD2 history core shared by [[scd2]],
+    * [[scd2SnapshotAt]] and [[scd2Incremental]]: a change-feed slice
+    * with each non-delete row carrying its `[ts_ns, valid_to_ns)`
+    * validity interval (null valid_to_ns = open). Kept at nanosecond
+    * precision so downstream point-in-time filters decide on the
+    * EXACT commit ordering, never on second-truncated boundaries.
+    */
+  private def histNs(feed: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns"), col("event_id"))
-    changeFeed(spark, dir)
+    feed
       .withColumn("valid_to_ns", lead(col("ts_ns"), 1).over(w))
       .filter(col("op") =!= "d")
+  }
+
+  private def scd2HistNs(spark: SparkSession, dir: String): DataFrame =
+    histNs(changeFeed(spark, dir))
+
+  /** The SCD2 presentation columns over an ns-interval history. */
+  private def scd2Present(hist: DataFrame): DataFrame =
+    hist.select(
+      col("user_id"),
+      col("event_id"),
+      col("op"),
+      col("event_type"),
+      round(col("value"), 2).as("value"),
+      expr(s"ts_ns DIV $NsPerSec").as("valid_from_s"),
+      expr(s"valid_to_ns DIV $NsPerSec").as("valid_to_s"),
+      col("valid_to_ns").isNull.as("is_current"))
+
+  /** §2.F q_scd2_incremental — incremental SCD2 maintenance, the IVM
+    * discipline applied to the dimension history: the history built
+    * from the base slice (feed ≤ the [[midpointCut]]) is UPDATED with
+    * the delta slice alone — each touched key's open base interval
+    * closes at that key's first delta change (one keyed join against
+    * the |delta-keys|-sized min table), the delta chains its own
+    * intervals internally, and everything unions. Closed base rows
+    * pass through untouched: the incremental work is O(|delta| +
+    * |touched keys|), never a rebuild — at 100 TB this is the nightly
+    * MERGE a warehouse actually runs instead of recomputing years of
+    * history. The oracle recomputes the history from the FULL feed,
+    * so the hash match PROVES incremental ≡ full — deletes,
+    * resurrections and cross-boundary chains included (the
+    * cdc_incremental_view proof pattern).
+    */
+  def scd2Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val feed = changeFeed(spark, dir)
+    val tagged = feed.crossJoin(midpointCut(feed))
+    val base = tagged.filter(col("ts_ns") <= col("cut_ns")).drop("cut_ns")
+    val delta = tagged.filter(col("ts_ns") > col("cut_ns")).drop("cut_ns")
+    // first delta change per touched key — closes that key's open row
+    // (delete or not: any newer change closes the interval)
+    val firstDelta = delta.groupBy("user_id")
+      .agg(min(col("ts_ns")).as("d_first_ns"))
+    // plain keyed join — AQE broadcasts a small nightly delta's key
+    // table on its own; a hinted broadcast would break on a backfill
+    // delta that outgrows the driver
+    val baseMerged = histNs(base)
+      .join(firstDelta, Seq("user_id"), "left")
+      .withColumn("valid_to_ns",
+        when(col("valid_to_ns").isNull, col("d_first_ns")).otherwise(col("valid_to_ns")))
+      .drop("d_first_ns")
+    scd2Present(baseMerged.unionByName(histNs(delta)))
+  }
+
+  /** §2.F q_scd2_snapshot_at — point-in-time reconstruction from the
+    * SCD2 history: the dimension snapshot AS OF the feed's midpoint
+    * commit time (the [[midpointCut]] integer-ns discipline) — the
+    * query that justifies keeping history at all: audits, model
+    * time-travel ("what did this entity look like when the training
+    * snapshot was cut"), reproducible backfills. One codegen'd filter
+    * over the ns-precision history (`valid_from ≤ T < valid_to`, open
+    * intervals extend to ∞) + a broadcast one-row cut — no shuffle
+    * beyond the history's own keyed window, which proves the history
+    * table is a lossless superset of every historical snapshot.
+    */
+  def scd2SnapshotAt(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2HistNs(spark, dir)
+    val cut = midpointCut(changeFeed(spark, dir))
+    hist.crossJoin(cut)
+      .filter(col("ts_ns") <= col("cut_ns") &&
+        (col("valid_to_ns").isNull || col("valid_to_ns") > col("cut_ns")))
       .select(
         col("user_id"),
-        col("event_id"),
-        col("op"),
-        col("event_type"),
-        round(col("value"), 2).as("value"),
+        col("event_id").as("asof_event_id"),
+        col("event_type").as("asof_type"),
+        round(col("value"), 2).as("asof_value"),
         expr(s"ts_ns DIV $NsPerSec").as("valid_from_s"),
-        expr(s"valid_to_ns DIV $NsPerSec").as("valid_to_s"),
-        col("valid_to_ns").isNull.as("is_current"))
+        expr(s"cut_ns DIV $NsPerSec").as("cut_s"))
   }
 
   /** The change feed carried through the JSON wire format and back —
@@ -449,6 +526,8 @@ object CdcOps {
     "q_cdc_latest" -> (cdcLatest _),
     "q_cdc_compact" -> (cdcCompact _),
     "q_scd2" -> (scd2 _),
+    "q_scd2_snapshot_at" -> (scd2SnapshotAt _),
+    "q_scd2_incremental" -> (scd2Incremental _),
     "q_cdc_envelope" -> (cdcEnvelope _),
     "q_cdc_incremental_view" -> (cdcIncrementalView _),
     "q_sessionize" -> (sessionize _),
@@ -479,6 +558,57 @@ object CdcOps {
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM f
       |)""".stripMargin
+
+  /** The SCD2 full-history oracle — shared verbatim by q_scd2 and
+    * q_scd2_incremental: the incremental build must equal the FULL
+    * rebuild row for row, so its oracle IS the full-feed history SQL
+    * and the hash match proves incremental ≡ full (the
+    * cdc_incremental_view proof pattern).
+    */
+  private val sqlScd2 =
+    """WITH env AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+      |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 THEN 'd'
+      |         WHEN event_type = 'signup' THEN 'c'
+      |         ELSE 'u' END AS op
+      |  FROM events
+      |), h AS (
+      |  SELECT user_id, event_id, op, event_type, value, ts_ns,
+      |    lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS valid_to_ns
+      |  FROM env
+      |)
+      |SELECT user_id, event_id, op, event_type,
+      |  round(value, 2) AS value,
+      |  ts_ns // 1000000000 AS valid_from_s,
+      |  valid_to_ns // 1000000000 AS valid_to_s,
+      |  valid_to_ns IS NULL AS is_current
+      |FROM h WHERE op <> 'd'
+      |ORDER BY user_id, event_id""".stripMargin
+
+  private val sqlScd2SnapshotAt =
+    """WITH env AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+      |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 THEN 'd'
+      |         WHEN event_type = 'signup' THEN 'c'
+      |         ELSE 'u' END AS op
+      |  FROM events
+      |), h AS (
+      |  SELECT user_id, event_id, op, event_type, value, ts_ns,
+      |    lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS valid_to_ns
+      |  FROM env
+      |), cut AS (
+      |  SELECT CAST(min(ts_ns) + (max(ts_ns) - min(ts_ns)) // 2 AS BIGINT) cut_ns FROM env
+      |)
+      |SELECT user_id,
+      |  event_id AS asof_event_id,
+      |  event_type AS asof_type,
+      |  round(value, 2) AS asof_value,
+      |  ts_ns // 1000000000 AS valid_from_s,
+      |  cut_ns // 1000000000 AS cut_s
+      |FROM h CROSS JOIN cut
+      |WHERE op <> 'd' AND ts_ns <= cut_ns
+      |  AND (valid_to_ns IS NULL OR valid_to_ns > cut_ns)
+      |ORDER BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_event_paths" ->
@@ -558,6 +688,7 @@ object CdcOps {
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_intervals,
          |       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_bound
          |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_scd2_snapshot_at" -> sqlScd2SnapshotAt,
     "q_rate_anomaly" ->
       """WITH h AS (
         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour, count(*) n
@@ -572,25 +703,11 @@ object CdcOps {
         |  abs(CASE WHEN sigma > 0 THEN round((n - mu) / sigma, 4) ELSE 0.0 END) >= 3.0 is_anomaly
         |FROM h JOIN s USING (event_type)
         |ORDER BY event_type, hour_s""".stripMargin,
-    "q_scd2" ->
-      """WITH env AS (
-        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
-        |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 THEN 'd'
-        |         WHEN event_type = 'signup' THEN 'c'
-        |         ELSE 'u' END AS op
-        |  FROM events
-        |), h AS (
-        |  SELECT user_id, event_id, op, event_type, value, ts_ns,
-        |    lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS valid_to_ns
-        |  FROM env
-        |)
-        |SELECT user_id, event_id, op, event_type,
-        |  round(value, 2) AS value,
-        |  ts_ns // 1000000000 AS valid_from_s,
-        |  valid_to_ns // 1000000000 AS valid_to_s,
-        |  valid_to_ns IS NULL AS is_current
-        |FROM h WHERE op <> 'd'
-        |ORDER BY user_id, event_id""".stripMargin,
+    "q_scd2" -> sqlScd2,
+    // the incremental build must equal the FULL rebuild row for row —
+    // the oracle IS the full-feed history SQL, so the hash match
+    // proves incremental ≡ full (the cdc_incremental_view pattern)
+    "q_scd2_incremental" -> sqlScd2,
     "q_cdc_compact" ->
       """WITH env AS (
         |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,

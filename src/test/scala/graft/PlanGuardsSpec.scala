@@ -158,6 +158,20 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(ngram == 1, s"ngram shingle generator evaluated at $ngram sites, expected 1")
   }
 
+  test("media feature extraction is shuffle-free (blob bytes never ride an exchange)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // the multimodal contract: decode happens inside the scan-side
+    // mapPartitions boundary and emits one slim row per blob — a
+    // shuffle anywhere in these plans means bytes (or per-blob rows
+    // pre-slimming) started riding exchanges
+    Seq("q_bmp_features", "q_wav_features").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // finalize AQE
+      val shuffles = nodes(df).count(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shuffles === 0, s"$name plans $shuffles shuffle(s)")
+    }
+  }
+
   test("heavy pair pipelines plan no cartesian product") {
     for (q <- Seq("q_token_jaccard_join", "q_dedup_ngram", "q_dedup_minhash")) {
       val ns = nodes(SparkEntry.queries(q)(spark, sf))

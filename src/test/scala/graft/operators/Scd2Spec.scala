@@ -56,6 +56,42 @@ class Scd2Spec extends AnyFunSuite {
     assert(snap.count() > 0)
   }
 
+  test("snapshot at the midpoint cut equals compaction of the log prefix (time travel)") {
+    import org.apache.spark.sql.expressions.Window
+    val feed = CdcOps.changeFeed(spark, sf)
+    val mm = feed.agg(min(col("ts_ns")), max(col("ts_ns"))).collect()(0)
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    // independent shape: latest-wins compaction over the truncated log
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val expected = feed.filter(col("ts_ns") <= cut)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("user_id"), col("event_id").as("asof_event_id"),
+        col("event_type").as("asof_type"), round(col("value"), 2).as("asof_value"))
+    val got = CdcOps.scd2SnapshotAt(spark, sf)
+      .select("user_id", "asof_event_id", "asof_type", "asof_value")
+    assert(expected.count() > 0)
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("incremental maintenance (base + delta merge) equals the full rebuild row for row") {
+    val full = CdcOps.scd2(spark, sf)
+    val inc = CdcOps.scd2Incremental(spark, sf)
+    assert(full.count() > 0)
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+    // the merge is non-trivial: some base keys ARE touched by the delta
+    // (their open interval closed at a delta change)
+    val feed = CdcOps.changeFeed(spark, sf)
+    val mm = feed.agg(min(col("ts_ns")), max(col("ts_ns"))).collect()(0)
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val touched = feed.filter(col("ts_ns") <= cut).select("user_id")
+      .intersect(feed.filter(col("ts_ns") > cut).select("user_id")).count()
+    assert(touched > 0, "delta touched no base key — the merge path was not exercised")
+  }
+
   test("a key whose newest record is a tombstone has a closed history and no current row") {
     import spark.implicits._
     // event_ids are chosen so the md5-derived op tag is FORCED: the
