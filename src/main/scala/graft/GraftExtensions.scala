@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply}
 
-import graft.plans.VectorExpressions
+import graft.plans.{TextExpressions, VectorExpressions}
 
 /** Session-extension entry point: install the graft native functions
   * into any SparkSession via configuration —
@@ -36,6 +36,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hyperplane_sigs"),
       new ExpressionInfo(classOf[VectorExpressions.HyperplaneSigsExpr].getName, "graft_hyperplane_sigs"),
       (exprs: Seq[Expression]) => GraftExtensions.hyperplaneSigsExpr(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[TextExpressions.CharEntropyExpr].getName, "graft_char_entropy"),
+      (exprs: Seq[Expression]) => TextExpressions.CharEntropyExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_distinct"),
+      new ExpressionInfo(classOf[TextExpressions.CharDistinctExpr].getName, "graft_char_distinct"),
+      (exprs: Seq[Expression]) => TextExpressions.CharDistinctExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_fingerprints"),
+      new ExpressionInfo(classOf[TextExpressions.WinnowFingerprintsExpr].getName,
+        "graft_winnow_fingerprints"),
+      (exprs: Seq[Expression]) => GraftExtensions.winnowExpr(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chunk_hashes"),
+      new ExpressionInfo(classOf[TextExpressions.ChunkHashesExpr].getName, "graft_chunk_hashes"),
+      (exprs: Seq[Expression]) => GraftExtensions.chunkHashesExpr(exprs)))
   }
 }
 
@@ -64,5 +81,29 @@ object GraftExtensions {
     }
     VectorExpressions.HyperplaneSigsExpr(
       exprs.head, graft.functions.Vectors.hyperplaneWeights(bands * bits, dim), bits)
+  }
+
+  /** graft_winnow_fingerprints(text, k, w): the codegen'd winnowing
+    * selector (md5 char k-grams, window-min w) — k/w must be literals.
+    */
+  private[graft] def winnowExpr(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "graft_winnow_fingerprints(text, k, w) takes 3 arguments")
+    val Seq(k, w) = exprs.tail.map { e =>
+      require(e.foldable, "graft_winnow_fingerprints k/w must be literals")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    TextExpressions.WinnowFingerprintsExpr(exprs.head, k, w)
+  }
+
+  /** graft_chunk_hashes(tokens, k, div): content-defined chunk md5s
+    * over a token array — k/div must be literals.
+    */
+  private[graft] def chunkHashesExpr(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "graft_chunk_hashes(tokens, k, div) takes 3 arguments")
+    val Seq(k, div) = exprs.tail.map { e =>
+      require(e.foldable, "graft_chunk_hashes k/div must be literals")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    TextExpressions.ChunkHashesExpr(exprs.head, k, div)
   }
 }
