@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.BpeTrainer.Merge
+
+/** BPE training contracts: the distributed greedy loop must equal an
+  * independent driver-side reference (same argmax, same tie-break,
+  * same stop rule) merge for merge; the apply semantics are the
+  * standard left-to-right no-rescan order; encoding round-trips.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Independent reference trainer over word counts. */
+  private def referenceTrain(words: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
+    var state = words.map { case (w, n) =>
+      (w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp))), n)
+    }
+    val out = Seq.newBuilder[Merge]
+    var rank = 0
+    var continue = true
+    while (rank < nMerges && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (syms, n) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.isEmpty) continue = false
+      else {
+        // argmax: count desc, then the "a b" pair string ascending —
+        // the exact distributed tie-break
+        val ((a, b), c) = eligible.toSeq
+          .sortBy { case ((a, b), c) => (-c, a + " " + b) }.head
+        out += Merge(rank, a, b, c)
+        state = state.map { case (syms, n) =>
+          val merged = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += a + b; i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.result(), n)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  private def trainOn(docs: Seq[String], nMerges: Int): (Seq[Merge], Seq[Merge]) = {
+    import spark.implicits._
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val wc = BpeTrainer.wordCounts(df)
+    val got = BpeTrainer.train(spark, wc, nMerges)
+    val ref = referenceTrain(
+      wc.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq, nMerges)
+    (got, ref)
+  }
+
+  test("the classic corpus learns the expected first merges") {
+    val (got, _) = trainOn(Seq("low low low low lower lower lowest"), 4)
+    // 'l o' appears in every word (7 occurrences), then 'lo w'
+    assert(got.head.a === "l" && got.head.b === "o" && got.head.count === 7L)
+    assert(got(1).a === "lo" && got(1).b === "w" && got(1).count === 7L)
+  }
+
+  test("distributed training equals the reference implementation, merge for merge") {
+    val docs = Seq(
+      "the cat sat on the mat with another cat and the hat",
+      "bananas and ananas in a cabana", "deterministic deterministic determinism")
+    val (got, ref) = trainOn(docs, 12)
+    assert(got === ref)
+    assert(got.nonEmpty)
+  }
+
+  test("distributed training equals the reference on the real corpus") {
+    val wc = BpeTrainer.wordCounts(
+      graft.sources.Tables.documents(spark, TestSpark.Sf).select("doc_id", "text"))
+    val got = BpeTrainer.train(spark, wc, 20)
+    val ref = referenceTrain(
+      wc.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq, 20)
+    assert(got === ref)
+    assert(got.size === 20, "the real corpus supports at least 20 merges")
+  }
+
+  test("apply semantics: left-to-right, no rescan of the merged token") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = new GenericArrayData(
+      Array[AnyRef](UTF8String.fromString("a"), UTF8String.fromString("a"),
+        UTF8String.fromString("a")))
+    val merged = BpeTrainer.mergePairCompute(arr,
+      UTF8String.fromString("a"), UTF8String.fromString("a"))
+    assert(merged.numElements() === 2)
+    assert(merged.getUTF8String(0).toString === "aa")
+    assert(merged.getUTF8String(1).toString === "a")
+    // and the driver-side encoder agrees
+    assert(BpeTrainer.encodeWord("aaa", Seq(Merge(0, "a", "a", 2))) === Seq("aa", "a"))
+  }
+
+  test("encoding round-trips: token concatenation reproduces the word") {
+    val (got, _) = trainOn(Seq("tokenization tokenizer tokens token"), 8)
+    Seq("tokenization", "tokenizer", "untokenized").foreach { w =>
+      val toks = BpeTrainer.encodeWord(w, got)
+      assert(toks.mkString === w)
+      assert(toks.size <= w.length)
+    }
+    assert(BpeTrainer.encodeWord("abc", Nil) === Seq("a", "b", "c"))
+  }
+}
