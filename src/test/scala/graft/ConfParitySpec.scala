@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-independence proofs: the suite's results must not depend on
+  * HOW Spark executes them. The docs claim every operator is
+  * deterministic and reshuffle-stable — this spec TESTS it by
+  * re-running representative queries under hostile execution configs
+  * (AQE off, an odd shuffle width, broadcasts disabled so every
+  * broadcast join degrades to shuffle) and requiring bit-identical
+  * result SETS. A query that silently depends on partition count,
+  * broadcast planning, or adaptive re-planning fails here before it
+  * ships — the local stand-in for "same answer on a 1000-executor
+  * cluster".
+  */
+class ConfParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  // the hard cases: probabilistic signatures, iterative training,
+  // interval self-joins, bounded top-k cuts, stateful history builds
+  private val Probes = Seq(
+    "q_winnow_dedup", "q_dedup_minhash", "q_session_overlap",
+    "q_ann_ivf_pq", "q_textrank", "q_scd2_incremental",
+    "q_bootstrap_ci", "q_group_topn")
+
+  private def rows(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.selectExpr(cols.map(c => s"`$c`"): _*).collect()
+      .map(_.toSeq.map(v => if (v == null) "∅" else v.toString).mkString("|"))
+      .toSeq.sorted
+  }
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("results are identical with AQE off, an odd shuffle width, and no broadcast joins") {
+    val baseline = Probes.map(n => n -> rows(SparkEntry.queries(n)(spark, sf))).toMap
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "7",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      Probes.foreach { n =>
+        val hostile = rows(SparkEntry.queries(n)(spark, sf))
+        assert(hostile === baseline(n), s"$n diverged under hostile execution config")
+        assert(hostile.nonEmpty, s"$n returned no rows — parity is vacuous")
+      }
+    }
+  }
+}
