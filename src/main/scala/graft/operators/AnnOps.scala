@@ -246,14 +246,14 @@ object AnnOps {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .repartition(col("vec_id"))
-    // cosine against a unit-norm double anchor: dot / ‖x‖ with builtin
-    // zip_with/aggregate (anchors are double, the corpus is float —
-    // the native fold rejects mixed element types by design).
-    // `roundCcos` pins the assignment score to 6 decimals so the
-    // argmax decision is reproducible by an external SQL engine.
+    // cosine against a unit-norm double anchor: dot / ‖x‖ through the
+    // codegen'd widened dot (float corpus × double anchors — the
+    // interpreted zip_with/aggregate form this replaces ran at
+    // corpus × |anchors| volume). `roundCcos` pins the assignment
+    // score to 6 decimals so the argmax decision is reproducible by
+    // an external SQL engine.
     def anchorCos(emb: Column, nrm: Column): Column = {
-      val c = aggregate(zip_with(emb, col("c"), (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, v) => acc + v) / nrm
+      val c = VectorExpressions.widenedDotNative(emb, col("c")) / nrm
       if (roundCcos) round(c, 6) else c
     }
     // per-vector argmax via codegen'd min(struct) — see [[assignCells]];
@@ -308,10 +308,17 @@ object AnnOps {
     * ([[Kmeans.memoized]]).
     */
   private[operators] def trainedAnchors(spark: SparkSession, dir: String): DataFrame =
+    trainedAnchorsK(spark, dir, IvfCells)
+
+  /** [[trainedAnchors]] with an explicit cell count — the SemDeDup
+    * path trains k = cells(n) (corpus-adaptive occupancy), the IVF
+    * path keeps [[IvfCells]]; both memoize per (session, dir, k).
+    */
+  private[graft] def trainedAnchorsK(spark: SparkSession, dir: String, k: Int): DataFrame =
     Kmeans.memoized(spark,
-        s"$dir|anchors|k=$IvfCells|iters=$IvfKmeansIters|portable=true") {
+        s"$dir|anchors|k=$k|iters=$IvfKmeansIters|portable=true") {
       val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-      Kmeans.anchors(e, IvfCells, IvfKmeansIters, portable = true)
+      Kmeans.anchors(e, k, IvfKmeansIters, portable = true)
     }
 
   private[operators] val Sq8Rerank = 20

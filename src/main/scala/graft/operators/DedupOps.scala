@@ -920,10 +920,14 @@ object DedupOps {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .repartition(col("vec_id"))
+    // codegen'd widened dot (float corpus × double anchors) — the
+    // interpreted HOF form here was the r13 slice bench's 4.4×
+    // overhead vs the deterministic-anchor twin; accumulation order
+    // and widening are bit-identical, so scores (and the oracle) are
+    // unchanged
     val asgRaw = e.crossJoin(broadcast(anchors))
       .withColumn("ccos", round(
-        aggregate(zip_with(col("embedding"), col("c"), (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, v) => acc + v) / col("nrm"), 6))
+        VectorExpressions.widenedDotNative(col("embedding"), col("c")) / col("nrm"), 6))
       .groupBy(col("vec_id"))
       .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell"))).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"),
@@ -941,9 +945,16 @@ object DedupOps {
     * the WHOLE kmeans-then-dedup composition is hash-checked.
     */
   def semDedupKmeans(spark: SparkSession, dir: String): DataFrame =
-    // the session-memoized layout — the SAME trained table
-    // q_ann_ivf_kmeans consumes, trained once per (session, dir, params)
-    semDedupWith(spark, dir, AnnOps.trainedAnchors(spark, dir))
+    // trained with CORPUS-ADAPTIVE k = semCells(n) — the same
+    // occupancy pin as the deterministic-anchor path. The r13 slice
+    // bench caught the fixed-k=16 layout going quadratic (cells hold
+    // n/16 members, so the within-cell pair join grows as n²/16:
+    // 11.2 s at the slice vs 3.1 s for the adaptive twin); with
+    // occupancy pinned at ~SemCellTarget the pair volume stays
+    // Θ(target · n) at any corpus size. Memoized per (session, dir,
+    // k), so the layout still trains once.
+    semDedupWith(spark, dir, AnnOps.trainedAnchorsK(spark, dir,
+      semCells(Tables.rowCount(spark, dir, "embeddings")).toInt))
 
   private[operators] val ProtoK = 3
 
@@ -1716,8 +1727,11 @@ object DedupOps {
          |  SELECT vec_id,
          |    ${AnnOps.sqlUnit("list_transform(embedding, x -> x::DOUBLE)")} nv
          |  FROM e
+         |), kc AS (
+         |  SELECT greatest(16, CAST(ceil(count(*) / $SemCellTarget.0) AS BIGINT)) cells FROM e
          |), a0 AS (
-         |  SELECT vec_id::BIGINT cell, nv c FROM nd WHERE vec_id < ${AnnOps.IvfCells}
+         |  SELECT vec_id::BIGINT cell, nv c FROM nd
+         |  WHERE vec_id < (SELECT cells FROM kc)
          |), ${(1 to AnnOps.IvfKmeansIters).map(AnnOps.sqlLloydRound).mkString(", ")},
          |corpus AS (
          |  SELECT vec_id, embedding,

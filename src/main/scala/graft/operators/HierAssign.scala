@@ -90,16 +90,15 @@ object HierAssign {
 
   /** Unit-double-layout assignment (the [[Kmeans.anchors]] layout
     * behind annIvfWith): `cents` is (cell, c: unit-norm
-    * array<double>), scored as dot / ‖x‖ with the SAME builtin
-    * zip_with/aggregate fold (and the same `roundCcos` pin) as the
-    * flat annIvfWith pass, so candidate scores are bit-identical.
+    * array<double>), scored as dot / ‖x‖ with the SAME codegen'd
+    * widened dot (and the same `roundCcos` pin) as the flat
+    * annIvfWith pass, so candidate scores are bit-identical.
     * Returns (vec_id, cell, ccos).
     */
   def assignUnit(e: DataFrame, cents: DataFrame,
       groups: Int, route: Int, roundCcos: Boolean): DataFrame = {
     def anchorCos(c: Column, emb: Column, nrm: Column): Column = {
-      val v = aggregate(zip_with(emb, c, (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, x) => acc + x) / nrm
+      val v = VectorExpressions.widenedDotNative(emb, c) / nrm
       if (roundCcos) round(v, 6) else v
     }
     val supers = broadcast(cents.filter(col("cell") < groups)

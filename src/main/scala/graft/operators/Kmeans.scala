@@ -46,8 +46,7 @@ object Kmeans {
     */
   private def assign(nd: DataFrame, anchors: DataFrame,
       portable: Boolean = false): DataFrame = {
-    val dotRaw = aggregate(zip_with(col("nv"), col("c"), (a, b) => a * b),
-      lit(0.0), (acc, v) => acc + v)
+    val dotRaw = graft.plans.VectorExpressions.widenedDotNative(col("nv"), col("c"))
     val dot = if (portable) round(dotRaw, 6) else dotRaw
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cell"))
     nd.crossJoin(broadcast(anchors))

@@ -283,6 +283,78 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Σ aᵢ·bᵢ with PER-SIDE widening: each side may independently be
+    * array<float> or array<double>, every element widens to double
+    * before the multiply, accumulation in array order — bit-identical
+    * to the `aggregate(zip_with(a, b, x.cast(double)·y), 0.0, +)`
+    * HOF it replaces at the anchor-scoring sites (float corpus ×
+    * trained double anchors). WHY it exists: higher-order-function
+    * lambdas evaluate INTERPRETED, and anchor scoring runs them at
+    * corpus × |anchors| volume — the r13 slice bench measured
+    * q_semdedup_kmeans at 4.4× its deterministic-anchor twin purely
+    * on that interpreter overhead. The same-type [[DotProductExpr]]
+    * stays strict by design (the SQL-facing graft_dot must not
+    * silently mix widths); this variant NAMES the widening.
+    */
+  case class WidenedDotExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def sideOk(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    private lazy val leftFloat = elemIsFloat(left.dataType)
+    private lazy val rightFloat = elemIsFloat(right.dataType)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (sideOk(left.dataType) && sideOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_widened_dot expects array<float|double> on each side, " +
+          s"got ${left.dataType.catalogString} vs ${right.dataType.catalogString}")
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (y.numElements() != n) lengthMismatch("graft_widened_dot", n, y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val getL = if (leftFloat) "getFloat" else "getDouble"
+      val getR = if (rightFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  throw new IllegalArgumentException(
+           |    "graft_widened_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
+           |${ev.value} = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value} += (double) $a.$getL($i) * (double) $b.$getR($i);
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def widenedDotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(WidenedDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def longDotNative(a: Column, b: Column): Column =
     ColumnBridge.column(LongDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
