@@ -33,30 +33,45 @@ object AuditEval {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sweep(spark, sf).foreach {
+      case (name, Left(err)) => println(s"ERR $name: $err")
+      case (name, Right(hits)) if hits.nonEmpty =>
+        println(s"MULTI $name: ${hits.toSeq.sorted.map { case (m, c) => s"$m=$c" }.mkString(", ")}")
+      case _ =>
+    }
+    spark.stop()
+  }
+
+  /** Execute every registered query at `sf` and return, per query,
+    * the expensive-marker evaluation-site counts where a marker
+    * appears at MORE than one site (empty map = clean). Shared by the
+    * CLI main and AuditBaselineSpec (which pins the adjudicated
+    * whitelist so a new multi-site plan fails CI).
+    */
+  def sweep(spark: SparkSession,
+      sf: String): Seq[(String, Either[String, Map[String, Int]])] = {
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case q: QueryStageExec => walk(q.plan)
       case _: ReusedExchangeExec => Nil
       case other => other +: other.children.flatMap(walk)
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try {
         val df = fn(spark, sf)
         df.queryExecution.toRdd.count()
         val nodes = walk(df.queryExecution.executedPlan).distinct
-        val hits = markers.flatMap { m =>
-          val sites = nodes.filter { n =>
+        Right(markers.flatMap { m =>
+          val sites = nodes.count { n =>
             val cls = n.getClass.getSimpleName
             // only node classes that EVALUATE expressions per row
             (cls.contains("Project") || cls.contains("Filter") ||
               cls.contains("Generate") || cls.contains("Aggregate") ||
               cls.contains("Expand")) && n.simpleString(100000).toLowerCase.contains(m)
           }
-          if (sites.size > 1) Some(s"$m=${sites.size}") else None
-        }
-        if (hits.nonEmpty) println(s"MULTI $name: ${hits.mkString(", ")}")
-      } catch { case e: Throwable => println(s"ERR $name: ${e.getMessage.take(100)}") }
+          if (sites > 1) Some(m -> sites) else None
+        }.toMap)
+      } catch { case e: Throwable => Left(Option(e.getMessage).getOrElse("?").take(100)) })
     }
-    spark.stop()
   }
 }
