@@ -60,4 +60,51 @@ object OnlineStats {
           Iterator.single(out)
         })
   }
+
+  /** One sequenced keyed observation (`seq` orders within the key —
+    * an event-time ns or a log offset).
+    */
+  case class TimedObs(key: String, seq: Long, v: Double)
+
+  /** One scored observation: `z` against the distribution of the
+    * PRIOR `n_seen` values (never including itself), flagged at
+    * `|z| ≥ zBar`. `z = 0` while the key has seen < [[MinHistory]]
+    * values or its σ is 0 — a monitor must not fire off two samples.
+    */
+  case class Scored(key: String, seq: Long, v: Double, n_seen: Long,
+      z: Double, is_anomaly: Boolean)
+
+  private val MinHistory = 10
+
+  /** The streaming anomaly MONITOR composed from the moments state:
+    * score-then-update in one pass — each arriving value is z-scored
+    * against the distribution seen STRICTLY BEFORE it (the only
+    * causally-valid score a live monitor can emit; the batch
+    * [[graft.operators.CdcOps.rateAnomaly]] twin scores against the
+    * whole window in hindsight), then folded into the state. Values
+    * are processed in `seq` order within each micro-batch (the group
+    * iterator's order is not contractual), so the score sequence is
+    * deterministic given per-key in-order delivery across batches.
+    * One emission per observation, O(1) state per key, runs
+    * indefinitely.
+    */
+  def scoreStream(spark: SparkSession, obs: Dataset[TimedObs],
+      zBar: Double = 3.0): Dataset[Scored] = {
+    import spark.implicits._
+    obs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, batch: Iterator[TimedObs], state: GroupState[KeyStats]) => {
+          var s = state.getOption.getOrElse(KeyStats(key, 0L, 0.0, 0.0))
+          val out = batch.toSeq.sortBy(_.seq).map { o =>
+            val z =
+              if (s.n >= MinHistory && s.stddevPop > 0) (o.v - s.mean) / s.stddevPop
+              else 0.0
+            s = update(s, o.v)
+            Scored(key, o.seq, o.v, s.n - 1, z, math.abs(z) >= zBar)
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
 }

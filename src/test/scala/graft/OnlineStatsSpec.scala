@@ -25,6 +25,38 @@ class OnlineStatsSpec extends AnyFunSuite {
     assert(s.stddevPop === 2.0)
   }
 
+  test("the monitor flags a planted spike against PRIOR history only, and stays quiet on steady keys") {
+    import spark.implicits._
+    import graft.streaming.OnlineStats.{Scored, TimedObs}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // steady key: N(10, 1)-ish deterministic wiggle; spiked key: same
+    // wiggle with one 10-sigma spike planted at seq 30
+    def wiggle(i: Int): Double = 10.0 + (i % 5 - 2) * 0.5
+    val steady = (0 until 40).map(i => TimedObs("steady", i, wiggle(i)))
+    val spiked = (0 until 40).map { i =>
+      TimedObs("spiked", i, if (i == 30) 60.0 else wiggle(i))
+    }
+    val obs = (steady ++ spiked).sortBy(_.seq)
+    val input = MemoryStream[TimedObs]
+    val q = OnlineStats.scoreStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("monitor")
+      .outputMode(OutputMode.Append).start()
+    obs.grouped(16).foreach { c => input.addData(c); q.processAllAvailable() }
+    val scored = spark.table("monitor").as[Scored].collect()
+    q.stop()
+
+    val flagged = scored.filter(_.is_anomaly)
+    assert(flagged.map(s => (s.key, s.seq)).toSet === Set(("spiked", 30L)),
+      s"expected exactly the planted spike, got ${flagged.toSeq}")
+    // causality: the spike's own value must NOT be in the history it
+    // was scored against
+    val spike = flagged.head
+    assert(spike.n_seen === 30L)
+    assert(spike.z > 10.0)
+    // warm-up discipline: nothing scores before MinHistory
+    assert(scored.filter(_.n_seen < 10).forall(_.z === 0.0))
+  }
+
   test("stream equals batch per event_type on the real feed, across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
