@@ -147,7 +147,60 @@ object GeoOps {
       .withColumn("z", graft.sources.ZOrder.zValue(col("ix"), col("iy")))
       .orderBy("z", "c_custkey")
 
+  private[operators] val CellRadiusKm = 2.0
+  // cell widths on the synthetic integer grid, sized so any pair
+  // within CellRadiusKm differs by < 1 cell per axis (completeness):
+  // 1 ix ≈ 0.022238 km of latitude → 90 ix = 2.0014 km ≥ D;
+  // 1 iy ≈ 0.044464 km of longitude at these latitudes → 45 iy =
+  // 2.0009 km ≥ D. GeoCellJoinSpec proves equality with the naive
+  // all-pairs join.
+  private[operators] val CellIx = 90
+  private[operators] val CellIy = 45
+
+  /** The spatial JOIN the broadcast-probe [[geoKnn]] shape cannot
+    * take: every supplier (the probe set itself corpus-sized) finds
+    * all customers within [[CellRadiusKm]] — delivered as a
+    * CELL-BLOCKED equi-join, the geo member of the suite's blocked-
+    * join family (LSH bands, shingle postings, interval buckets).
+    * Both sides land on a grid over the synthetic INTEGER coordinate
+    * lattice (integer DIV — engine-portable, no float binning); the
+    * probe side explodes to its 3×3 neighbor cells, the point side
+    * carries ONE cell, so each qualifying pair meets in exactly one
+    * bucket (no dedup pass) and the join is a plain keyed hash join —
+    * no cross join, no broadcast requirement, shuffle keyed on the
+    * cell. The decision filter is the suite's rounded-distance
+    * discipline. 100 TB: both sides scale horizontally; bucket
+    * population is bounded by geographic density, the same skew story
+    * as every blocked join here (a megacity cell is a hot key —
+    * q_skew_profile's pre-flight applies unchanged).
+    */
+  def geoCellJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      Geo.synthLat(col("c_custkey")).as("c_lat"),
+      Geo.synthLon(col("c_custkey")).as("c_lon"),
+      expr(s"pmod(c_custkey * 40503, 1000) DIV $CellIx").as("cx"),
+      expr(s"pmod(c_custkey * 69427, 1000) DIV $CellIy").as("cy"))
+    val s = Tables.supplier(spark, dir).select(
+      col("s_suppkey"),
+      Geo.synthLat(col("s_suppkey") + 7L).as("s_lat"),
+      Geo.synthLon(col("s_suppkey") + 7L).as("s_lon"),
+      expr(s"pmod((s_suppkey + 7) * 40503, 1000) DIV $CellIx").as("scx"),
+      expr(s"pmod((s_suppkey + 7) * 69427, 1000) DIV $CellIy").as("scy"))
+      .select(col("s_suppkey"), col("s_lat"), col("s_lon"),
+        explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+          struct((col("scx") + dx).as("cx"), (col("scy") + dy).as("cy"))): _*)).as("n"))
+      .select(col("s_suppkey"), col("s_lat"), col("s_lon"),
+        col("n.cx").as("cx"), col("n.cy").as("cy"))
+    s.join(c, Seq("cx", "cy"))
+      .withColumn("dist_km",
+        round(Geo.haversineKm(col("s_lat"), col("s_lon"), col("c_lat"), col("c_lon")), 3))
+      .filter(col("dist_km") <= CellRadiusKm)
+      .select(col("s_suppkey"), col("c_custkey"), col("dist_km"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_cell_join" -> (geoCellJoin _),
     "q_geo_radius" -> (geoRadius _),
     "q_geo_knn" -> (geoKnn _),
     "q_format_distance" -> (formatDistance _),
@@ -173,6 +226,23 @@ object GeoOps {
        |)))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the oracle is the NAIVE all-pairs join — the hash match proves
+    // the cell blocking loses no pair and invents none
+    "q_geo_cell_join" ->
+      s"""WITH s AS (
+         |  SELECT s_suppkey, ${sqlLat("(s_suppkey + 7)")} s_lat,
+         |         ${sqlLon("(s_suppkey + 7)")} s_lon
+         |  FROM supplier
+         |), c AS (
+         |  SELECT c_custkey, ${sqlLat("c_custkey")} c_lat,
+         |         ${sqlLon("c_custkey")} c_lon
+         |  FROM customer
+         |)
+         |SELECT s_suppkey, c_custkey,
+         |       round(${sqlHav("s_lat", "s_lon", "c_lat", "c_lon")}, 3) dist_km
+         |FROM s CROSS JOIN c
+         |WHERE round(${sqlHav("s_lat", "s_lon", "c_lat", "c_lon")}, 3) <= $CellRadiusKm
+         |ORDER BY s_suppkey, c_custkey""".stripMargin,
     "q_zorder_cells" ->
       s"""WITH g AS (
          |  SELECT c_custkey,
