@@ -22,12 +22,12 @@ tools/run.sh graft.Verify "$SF" "$OUT/clean" q1_agg >/dev/null
 
 # ---- positive control: the untouched dump passes the gate on both
 # compare paths
-if ! python3 tools/check.py "$OUT/clean" "$SF" --only q1_agg | grep -q '^\[ OK \] q1_agg'; then
+if ! python3 tools/check.py "$OUT/clean" "$SF" --only q1_agg | grep '^\[ OK \] q1_agg' >/dev/null; then
   echo "NEGATIVE-CONTROL: FAIL — positive control did not pass the checker"
   exit 1
 fi
 if ! python3 tools/check.py "$OUT/clean" "$SF" --only q1_agg --sql-compare q1_agg \
-    | grep -q '^\[ OK \] q1_agg'; then
+    | grep '^\[ OK \] q1_agg' >/dev/null; then
   echo "NEGATIVE-CONTROL: FAIL — positive control did not pass sql-compare"
   exit 1
 fi
@@ -48,12 +48,12 @@ pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
 PY
   # the corrupted dump must FAIL the gate — through BOTH compare
   # paths (pandas frames and the large-output DuckDB sql-compare)
-  if python3 tools/check.py "$OUT/$name" "$SF" --only q1_agg | grep -q '^\[ OK \] q1_agg'; then
+  if python3 tools/check.py "$OUT/$name" "$SF" --only q1_agg | grep '^\[ OK \] q1_agg' >/dev/null; then
     echo "NEGATIVE-CONTROL: FAIL — checker passed a dump with a $name"
     exit 1
   fi
   if python3 tools/check.py "$OUT/$name" "$SF" --only q1_agg --sql-compare q1_agg \
-      | grep -q '^\[ OK \] q1_agg'; then
+      | grep '^\[ OK \] q1_agg' >/dev/null; then
     echo "NEGATIVE-CONTROL: FAIL — sql-compare passed a dump with a $name"
     exit 1
   fi
@@ -67,12 +67,12 @@ corrupt "renamed-column"   'df = df.rename(columns={"sum_qty": "sum_qty2"})'
 # ---- tools/dump_compare.py (the refactor transfer-proof) must also
 # be able to say NO: identical dumps pass, a perturbed copy fails
 if ! python3 tools/dump_compare.py "$OUT/clean" "$OUT/clean" q1_agg \
-    | grep -q '^\[ OK \] q1_agg'; then
+    | grep '^\[ OK \] q1_agg' >/dev/null; then
   echo "NEGATIVE-CONTROL: FAIL — dump_compare rejected identical dumps"
   exit 1
 fi
 if python3 tools/dump_compare.py "$OUT/clean" "$OUT/perturbed-value" q1_agg \
-    | grep -q '^\[ OK \] q1_agg'; then
+    | grep '^\[ OK \] q1_agg' >/dev/null; then
   echo "NEGATIVE-CONTROL: FAIL — dump_compare passed a perturbed dump"
   exit 1
 fi
