@@ -12,14 +12,15 @@ import org.apache.spark.sql.functions._
   * `spark.sql.files.maxPartitionBytes` so a task holds O(100) blobs,
   * and never collect blobs to the driver.
   *
-  * The decode step is STUBBED for genuinely-codec formats ONLY
-  * (JPEG/H.264/... — this environment has no codec libraries):
-  * [[decodeStub]] derives deterministic fake features from the bytes,
-  * and the Spark-side plumbing — schema, batching via mapPartitions,
-  * feature struct — is real; swap [[decodeStub]] for a JNI/codec call
-  * in production. Formats that are pure byte arithmetic are NOT
-  * stubbed: [[Wav]] builds and chunk-walks real RIFF/WAVE PCM with
-  * `java.nio` alone (q_wav_features), end to end.
+  * The decode step is STUBBED only for formats the JVM cannot decode
+  * natively (H.264-class video — this environment has no codec
+  * libraries): [[decodeStub]] derives deterministic fake features from
+  * the bytes, and the Spark-side plumbing — schema, batching via
+  * mapPartitions, feature struct — is real; swap [[decodeStub]] for a
+  * JNI/codec call in production. Everything else is REAL end to end:
+  * [[Wav]] builds and chunk-walks RIFF/WAVE PCM, [[Bmp]] walks raw
+  * 24-bit containers, and [[Png]]/[[Jpeg]] run the JDK's built-in
+  * `javax.imageio` codecs (zlib-deflate PNG, lossy DCT JPEG).
   */
 object Blob {
 
