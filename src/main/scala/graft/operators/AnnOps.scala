@@ -37,19 +37,27 @@ object AnnOps {
     * 100× scale. Ordering note: `-cos` keeps doubles bit-consistent
     * with the window's `desc` (Double.compare semantics on ±0.0 agree
     * after negation) — EXCEPT NaN, where negation is identity and
-    * asc/desc disagree. NaN arises only from a zero-norm vector
-    * (cos = 0/0; L2NormExpr carries no epsilon), so `ord` is pinned
-    * through nanvl to −∞ first: a degenerate vector ranks LAST,
-    * deterministically, instead of floating to rank 1 under the old
-    * window's desc-NaN-first. NOTE: the DuckDB oracles rank by a plain
-    * `ORDER BY cos DESC`, which would put a NaN FIRST — the pin is
-    * therefore paired with a corpus invariant (no zero-norm vectors,
-    * spec-pinned in PipelineInvariantsSpec) rather than mirrored into
-    * ~20 oracle windows; if a corpus with degenerate vectors ever
-    * lands, mirror `CASE WHEN isnan(cos) THEN -1e308 ELSE cos END`
-    * into the oracle ORDER BYs.
+    * asc/desc disagree. Under Spark 4's default ANSI mode a ZERO-NORM
+    * vector cannot reach here at all — cos = 0/0 trips the
+    * DIVIDE_BY_ZERO guard and the query fails loudly, the engine
+    * itself enforcing the no-degenerate-corpus invariant
+    * (PipelineInvariantsSpec pins the invariant at both gate SFs AND
+    * forces a zero-norm vector to prove the loud failure). A NaN
+    * cosine can still arise from a NaN-VALUED embedding element (NaN
+    * propagates through dot and norm; NaN is not a zero divisor), so
+    * `ord` is pinned through nanvl to −∞: a NaN-poisoned vector ranks
+    * LAST, deterministically, instead of floating to rank 1 under the
+    * old window's desc-NaN-first. NOTE: the DuckDB oracles rank by a
+    * plain `ORDER BY cos DESC`, which would put a NaN FIRST — safe
+    * under the pinned invariant rather than mirrored into ~20 oracle
+    * windows, and NOT latent: PipelineInvariantsSpec forces a
+    * NaN-element vector through this ranking and proves it agrees
+    * with the NaN-pinned mini-oracle (`ORDER BY CASE WHEN isnan(cos)
+    * THEN -1e308 ELSE cos END DESC`) — the exact CASE to mirror into
+    * the oracle ORDER BYs should a degenerate corpus ever need to
+    * pass the hash gate.
     */
-  private def probeTopKDesc(df: DataFrame, ord: Column, k: Int,
+  private[graft] def probeTopKDesc(df: DataFrame, ord: Column, k: Int,
       payload: Seq[String]): DataFrame = {
     require(payload.headOption.contains("vec_id"), "tie-break must lead the payload")
     val ordSafe = nanvl(ord, lit(Double.NegativeInfinity))
@@ -283,6 +291,49 @@ object AnnOps {
       .select(col("probe_id"), col("p_emb"), col("p_nrm"), explode(col("_tk.cell")).as("cell"))
     val scored = assigned.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
+    probeTopKDesc(scored, col("cos"), K, Seq("vec_id", "cos"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** §2.H q_ann_ivf_filtered — FILTERED vector search, the
+    * FAISS-IDSelector shape every production vector store needs (the
+    * most common query after plain top-k: "nearest neighbors WHERE
+    * metadata predicate"): IVF search under a per-probe label
+    * predicate (candidates must carry the probe's own `label`). The
+    * predicate is applied to the cell-bounded CANDIDATE stream —
+    * after the (cheap, slim) cell equi-join, before any cosine is
+    * computed — never as a post-filter on the top-k (which would
+    * return < k rows whenever the unfiltered top-k is predicate-poor)
+    * and never by re-ranking the whole corpus. Same plan shape as
+    * [[annIvf]]: broadcast assignment, keyed cell join, bounded
+    * per-probe top-k; the label filter only THINS the scored stream.
+    *
+    * 100 TB: selectivity multiplies, it never adds — the filtered scan
+    * touches predicate-fraction × nprobe/cells of the corpus. Recall
+    * caveat (noted in SCALE.md): cells are ranked by UNFILTERED
+    * centroid distance, so a highly selective predicate can exhaust a
+    * probe's nprobe cells; the production dial is raising nprobe with
+    * predicate selectivity. The oracle mirrors the same cells + the
+    * same predicate, so the hash gate checks the pipeline exactly.
+    */
+  def annIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+    val slim = e.select(col("vec_id"), col("embedding"), col("nrm"))
+    val cents = ivfAnchors(slim)
+    val assigned = assignCells(slim, cents).join(e, "vec_id")
+    val probeCells = nearestProbeCells(
+      e.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("nrm").as("p_nrm"), col("label").as("p_label")),
+      cents, Seq("p_emb", "p_nrm", "p_label"))
+    val scored = assigned.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= col("probe_id") && col("label") === col("p_label"))
       .withColumn("cos", round(VectorExpressions.cosineNative(
         col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
     probeTopKDesc(scored, col("cos"), K, Seq("vec_id", "cos"))
@@ -794,6 +845,7 @@ object AnnOps {
     "q_ann_recall" -> (annRecall _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_filtered" -> (annIvfFiltered _),
     "q_ann_ivf_hier" -> (annIvfHier _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_sq8" -> (annSq8 _),
@@ -1136,6 +1188,31 @@ object AnnOps {
         |       round(max(abs(x - round(x / qs, 0) * qs)), 6) max_err
         |FROM ex JOIN s USING (vec_id)
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // the IVF mirror + the same per-probe label predicate on the
+    // candidate stream (before scoring), exactly as the Spark plan
+    "q_ann_ivf_filtered" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT e.vec_id, e.label, cell, ${sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), pc AS (
+         |  SELECT p.vec_id probe_id, p.label p_label, cell, ${sqlCos("c_emb", "p.embedding")} ccos
+         |  FROM e p CROSS JOIN cents WHERE p.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= $IvfProbeCells
+         |), cand AS (
+         |  SELECT pc.probe_id, asg.vec_id
+         |  FROM asg JOIN pc USING (cell)
+         |  WHERE asg.vec_id <> pc.probe_id AND asg.label = pc.p_label
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |)
+         |SELECT probe_id, vec_id, cos,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+         |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),

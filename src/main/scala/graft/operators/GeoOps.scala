@@ -174,14 +174,21 @@ object GeoOps {
     * as every blocked join here (a megacity cell is a hot key —
     * q_skew_profile's pre-flight applies unchanged).
     */
-  def geoCellJoin(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir).select(
+  def geoCellJoin(spark: SparkSession, dir: String): DataFrame =
+    geoCellJoinBudgeted(spark, dir, cellPairBudget = None)
+
+  /** The customer (point) side of the cell join, cell keys attached. */
+  private def cellCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
       col("c_custkey"),
       Geo.synthLat(col("c_custkey")).as("c_lat"),
       Geo.synthLon(col("c_custkey")).as("c_lon"),
       expr(s"pmod(c_custkey * 40503, 1000) DIV $CellIx").as("cx"),
       expr(s"pmod(c_custkey * 69427, 1000) DIV $CellIy").as("cy"))
-    val s = Tables.supplier(spark, dir).select(
+
+  /** The supplier (probe) side, exploded to its 3×3 neighbor cells. */
+  private def cellSuppliers(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir).select(
       col("s_suppkey"),
       Geo.synthLat(col("s_suppkey") + 7L).as("s_lat"),
       Geo.synthLon(col("s_suppkey") + 7L).as("s_lon"),
@@ -192,15 +199,73 @@ object GeoOps {
           struct((col("scx") + dx).as("cx"), (col("scy") + dy).as("cy"))): _*)).as("n"))
       .select(col("s_suppkey"), col("s_lat"), col("s_lon"),
         col("n.cx").as("cx"), col("n.cy").as("cy"))
-    s.join(c, Seq("cx", "cy"))
+
+  /** [[geoCellJoin]] with the DEGRADE dial the interval join already
+    * has ([[RangeJoin.intervalOverlap]]'s `bucketPairBudget`, same
+    * contract): per-cell candidate volume is nL·nR — a megacity cell
+    * at 100 TB can hold more pair work than the rest of the planet
+    * combined, and AQE skew-split parallelizes it but cannot cap it.
+    * With a budget set, any cell whose candidate bound nL·nR exceeds
+    * it is excluded from BOTH sides of the join: pairs meeting in an
+    * over-budget cell are not emitted (a deterministic, documented
+    * recall cut — the cell identity of a pair is a pure function of
+    * the coordinates, so which pairs are cut is reproducible by any
+    * engine), pairs in within-budget cells are untouched. The hot set
+    * comes from two linear pre-pair count aggregations and is tiny by
+    * construction (each hot cell represents ≥ budget avoided
+    * candidates), so it broadcasts. `None` (default, the registered
+    * query) = exact join. GeoCellJoinSpec pins both contracts:
+    * below-budget ≡ naive all-pairs, above-budget ≡ the naive join
+    * minus exactly the hot-cell-owned pairs.
+    */
+  def geoCellJoinBudgeted(spark: SparkSession, dir: String,
+      cellPairBudget: Option[Long]): DataFrame = {
+    val c = cellCustomers(spark, dir)
+    val s = cellSuppliers(spark, dir)
+    val (cKept, sKept) = cellPairBudget match {
+      case None => (c, s)
+      case Some(budget) =>
+        require(budget > 0, s"cell pair budget must be positive, got $budget")
+        val nl = c.groupBy("cx", "cy").agg(count(lit(1)).as("_nl"))
+        val nr = s.groupBy("cx", "cy").agg(count(lit(1)).as("_nr"))
+        val hot = nl.join(nr, Seq("cx", "cy"))
+          .filter(col("_nl") * col("_nr") > budget)
+          .select(col("cx"), col("cy"))
+        (c.join(broadcast(hot), Seq("cx", "cy"), "left_anti"),
+          s.join(broadcast(hot), Seq("cx", "cy"), "left_anti"))
+    }
+    sKept.join(cKept, Seq("cx", "cy"))
       .withColumn("dist_km",
         round(Geo.haversineKm(col("s_lat"), col("s_lon"), col("c_lat"), col("c_lon")), 3))
       .filter(col("dist_km") <= CellRadiusKm)
       .select(col("s_suppkey"), col("c_custkey"), col("dist_km"))
   }
 
+  /** §2.B q_geo_cell_preflight — the go/no-go telemetry that informs
+    * [[geoCellJoinBudgeted]]'s budget, the geo member of the pre-pair
+    * cost-bound family (q_overlap_preflight for intervals,
+    * q_lsh_bucket_stats for minhash bands, q_winnow_preflight for
+    * fingerprint postings): per grid cell, the point-side population,
+    * the probe-side population (AFTER the 3×3 neighbor explode — the
+    * count that actually lands in the join), and the EXACT nL·nR
+    * candidate bound the cell contributes BEFORE any distance is
+    * computed. Two linear count aggregations + one inner join on the
+    * cell key — never touches pairs, output bounded by occupied
+    * cells, so the budget decision is data-driven before the join is
+    * paid for. GeoCellJoinSpec pins bound ≡ actual candidate count
+    * per cell.
+    */
+  def geoCellPreflight(spark: SparkSession, dir: String): DataFrame =
+    cellCustomers(spark, dir).groupBy("cx", "cy")
+      .agg(count(lit(1)).as("n_points"))
+      .join(cellSuppliers(spark, dir).groupBy("cx", "cy")
+        .agg(count(lit(1)).as("n_probes")), Seq("cx", "cy"))
+      .select(col("cx"), col("cy"), col("n_points"), col("n_probes"),
+        (col("n_points") * col("n_probes")).as("pair_bound"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_cell_join" -> (geoCellJoin _),
+    "q_geo_cell_preflight" -> (geoCellPreflight _),
     "q_geo_radius" -> (geoRadius _),
     "q_geo_knn" -> (geoKnn _),
     "q_format_distance" -> (formatDistance _),
@@ -243,6 +308,25 @@ object GeoOps {
          |FROM s CROSS JOIN c
          |WHERE round(${sqlHav("s_lat", "s_lon", "c_lat", "c_lon")}, 3) <= $CellRadiusKm
          |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    // mirrors the cell-key derivation exactly: point side carries its
+    // one cell, probe side counts AFTER the 3×3 neighbor explode, so
+    // pair_bound is the exact pre-distance candidate volume per cell
+    "q_geo_cell_preflight" ->
+      s"""WITH cp AS (
+         |  SELECT ((c_custkey * 40503) % 1000) // $CellIx cx,
+         |         ((c_custkey * 69427) % 1000) // $CellIy cy,
+         |         count(*) n_points
+         |  FROM customer GROUP BY 1, 2
+         |), sp AS (
+         |  SELECT (((s_suppkey + 7) * 40503) % 1000) // $CellIx + t1.dx cx,
+         |         (((s_suppkey + 7) * 69427) % 1000) // $CellIy + t2.dy cy,
+         |         count(*) n_probes
+         |  FROM supplier, range(-1, 2) t1(dx), range(-1, 2) t2(dy)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT cx, cy, n_points, n_probes, n_points * n_probes pair_bound
+         |FROM cp JOIN sp USING (cx, cy)
+         |ORDER BY cx, cy""".stripMargin,
     "q_zorder_cells" ->
       s"""WITH g AS (
          |  SELECT c_custkey,

@@ -45,6 +45,53 @@ class GeoCellJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("preflight pair_bound equals the actual pre-distance candidate count per cell") {
+    val dir = "/root/testdata/sf0.01"
+    // actual candidates: the same blocked join WITHOUT the distance
+    // filter, grouped by the meeting cell (the customer's one cell)
+    val cIx = GeoOps.CellIx
+    val cIy = GeoOps.CellIy
+    val c = Tables.customer(spark, dir).select(col("c_custkey"),
+      expr(s"pmod(c_custkey * 40503, 1000) DIV $cIx").as("cx"),
+      expr(s"pmod(c_custkey * 69427, 1000) DIV $cIy").as("cy"))
+    val s = Tables.supplier(spark, dir).select(
+      expr(s"pmod((s_suppkey + 7) * 40503, 1000) DIV $cIx").as("scx"),
+      expr(s"pmod((s_suppkey + 7) * 69427, 1000) DIV $cIy").as("scy"))
+      .select(explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+        struct((col("scx") + dx).as("cx"), (col("scy") + dy).as("cy"))): _*)).as("n"))
+      .select(col("n.cx").as("cx"), col("n.cy").as("cy"))
+    val actual = s.join(c, Seq("cx", "cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n_cand"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val bound = GeoOps.geoCellPreflight(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(bound.nonEmpty)
+    assert(bound === actual, "preflight bound must be EXACT, not an estimate")
+  }
+
+  test("budget dial: below-budget is exact; above-budget cuts exactly the hot-cell pairs") {
+    val dir = "/root/testdata/sf0.01"
+    val truth = asSet(naive(dir))
+    // a budget above every cell's bound must change nothing
+    val maxBound = GeoOps.geoCellPreflight(spark, dir)
+      .agg(max(col("pair_bound"))).collect()(0).getLong(0)
+    assert(asSet(GeoOps.geoCellJoinBudgeted(spark, dir, Some(maxBound))) === truth)
+    // a budget below some cells' bound removes exactly the pairs whose
+    // meeting cell (= the customer's one cell) is over budget
+    val budget = maxBound / 2
+    val hot = GeoOps.geoCellPreflight(spark, dir)
+      .filter(col("pair_bound") > budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hot.nonEmpty, "budget too high — the cut path is not exercised")
+    val cellOf = Tables.customer(spark, dir).select(col("c_custkey"),
+        expr(s"pmod(c_custkey * 40503, 1000) DIV ${GeoOps.CellIx}").as("cx"),
+        expr(s"pmod(c_custkey * 69427, 1000) DIV ${GeoOps.CellIy}").as("cy"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expected = truth.filterNot { case (_, ck, _) => hot(cellOf(ck)) }
+    assert(expected.size < truth.size, "the cut must actually remove pairs")
+    assert(asSet(GeoOps.geoCellJoinBudgeted(spark, dir, Some(budget))) === expected)
+  }
+
   test("the plan is a keyed join: no cartesian product, no nested-loop join") {
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)

@@ -41,6 +41,62 @@ class PipelineInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("a FORCED degenerate vector: zero-norm fails LOUDLY, NaN-element ranks LAST per the mini-oracle") {
+    // The corpus invariant above keeps degenerate vectors out of the
+    // shipped oracles; this test proves the degenerate path itself is
+    // not latent, in its two actual shapes:
+    //   1. a ZERO-NORM vector makes the cosine division 0/0, which
+    //      under Spark 4's default ANSI mode FAILS LOUDLY
+    //      (DIVIDE_BY_ZERO) — the engine itself enforces the corpus
+    //      invariant; no silent oracle divergence is reachable;
+    //   2. a NaN-ELEMENT vector (the one way a NaN cosine can still
+    //      arise: NaN propagates through dot and norm, and NaN is not
+    //      a zero divisor) flows through the shared ANN ranking and
+    //      must rank LAST, agreeing with the mini-oracle that ranks by
+    //      the exact CASE the AnnOps comment prescribes for SQL
+    //      mirrors (isnan(cos) → -1e308, ties by vec_id).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def rank(corpus: Seq[(Long, Array[Float])]): Seq[Long] = {
+      val e = corpus.toDF("vec_id", "embedding")
+        .withColumn("nrm", graft.plans.VectorExpressions.normNative(col("embedding")))
+      // the probe IS corpus vector 10 (unit norm) — taken from the
+      // frame itself so element types match the production path
+      val p = e.filter(col("vec_id") === 10L)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+      val scored = e.crossJoin(broadcast(p))
+        .withColumn("cos", graft.plans.VectorExpressions.cosineNative(
+          col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")))
+      AnnOps.probeTopKDesc(scored, col("cos"), corpus.size, Seq("vec_id"))
+        .orderBy("rnk").select("vec_id").as[Long].collect().toSeq
+    }
+    val base = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // the probe itself (unit norm)
+      (12L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (13L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (14L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    // 1. zero-norm: ANSI divide-by-zero, loud — never a silent NaN
+    val ex = intercept[Exception](
+      rank(base :+ (11L, Array(0.0f, 0.0f, 0.0f, 0.0f))))
+    assert(ex.getMessage.contains("DIVIDE_BY_ZERO"),
+      s"expected the ANSI divide-by-zero guard, got: ${ex.getMessage}")
+    // 2. NaN element: NaN cosine, pinned to rank LAST by nanvl(−∞)
+    val corpus = base :+ (11L, Array(Float.NaN, 0.0f, 0.0f, 0.0f))
+    val got = rank(corpus)
+    val probe = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    def cosine(v: Array[Float]): Double = {
+      val dot = v.zip(probe).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      dot / math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    }
+    // mini-oracle: ORDER BY CASE WHEN isnan(cos) THEN -1e308 ELSE cos END DESC, vec_id
+    val want = corpus.map { case (id, v) =>
+      val c = cosine(v)
+      (id, if (c.isNaN) -1e308 else c)
+    }.sortBy { case (id, c) => (-c, id) }.map(_._1)
+    assert(got === want)
+    assert(got.last === 11L, "the NaN-cosine vector must rank LAST")
+  }
+
   test("int8 quantization error is bounded by half a scale step per dimension") {
     val rows = AnnOps.quantStats(spark, sf).collect()
     assert(rows.nonEmpty)
