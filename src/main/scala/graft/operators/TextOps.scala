@@ -689,7 +689,56 @@ object TextOps {
       .select(col("it.t").as("t"), col("it.rank").as("rank"), col("it.wdeg").as("wdeg"))
   }
 
+  private[operators] val BpeMerges = 12
+
+  /** The session's trained BPE rules for `dir`'s documents corpus —
+    * [[BpeTrainer.trainMemoized]] so q_bpe_merges and q_bpe_encode
+    * share one training run per session.
+    */
+  private def bpeRules(spark: SparkSession, dir: String): Seq[BpeTrainer.Merge] =
+    BpeTrainer.trainMemoized(spark, s"$dir|documents", BpeTrainer.wordCounts(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))), BpeMerges)
+
+  /** §2.I q_bpe_merges — the TRAINED tokenizer itself, oracle-checked:
+    * the [[BpeTrainer]] greedy loop's full merge table (rank, a, b,
+    * support). The DuckDB oracle UNROLLS the same [[BpeMerges]]
+    * training rounds in SQL — same word-type altitude, same weighted
+    * adjacent-pair counts, same ≥2-support floor, same (count desc,
+    * pair asc) argmax tie-break, same single-pass left-to-right merge
+    * application (a `list_reduce` fold proven element-for-element
+    * equivalent to [[BpeTrainer.mergePairCompute]] in BpeSpec) — so
+    * the hash gate proves the trained ARTIFACT reproduces on an
+    * independent engine, the trained-layout discipline
+    * q_ann_ivf_kmeans set for k-means applied to tokenizer training.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeRules(spark, dir)
+      .map(m => (m.rank.toLong, m.a, m.b, m.count))
+      .toDF("rank", "a", "b", "count")
+      .orderBy("rank")
+  }
+
+  /** §2.I q_bpe_encode — the trained tokenizer APPLIED end to end:
+    * encode the whole corpus (at word-TYPE altitude, weighted by word
+    * frequency) with the learned rules and emit per-token totals —
+    * the vocabulary histogram a token-budget planner reads. One
+    * codegen'd [[BpeTrainer.MergePairExpr]] chain over the word-type
+    * frame (|types| ≪ |tokens| rows), one explode, one keyed sum.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val wc = BpeTrainer.wordCounts(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val merges = bpeRules(spark, dir)
+    wc.select(BpeTrainer.applyMerges(split(col("word"), ""), merges).as("toks"), col("n"))
+      .select(explode(col("toks")).as("token"), col("n"))
+      .groupBy("token").agg(sum(col("n")).as("n_occ"))
+      .orderBy("token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> (bpeMerges _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_bm25" -> (bm25 _),
     "q_pmi_pairs" -> (pmiPairs _),
     "q_quality_percentile" -> (qualityPercentile _),
@@ -710,7 +759,68 @@ object TextOps {
     "q_char_entropy" -> (charEntropy _),
     "q_textrank" -> (textrank _))
 
+  /** One unrolled BPE training round in SQL — [[BpeTrainer.train]]'s
+    * loop body on an independent engine: weighted adjacent-pair counts
+    * from the word-type frame `t(i-1)`, ≥2-support floor, the (count
+    * desc, pair-string asc) argmax as a one-row CTE, then the
+    * single-pass left-to-right merge application as a `list_reduce`
+    * fold (merged token goes to the accumulator and is never rescanned
+    * as a LEFT element within the pass — exactly
+    * [[BpeTrainer.mergePairCompute]]; a+b = a is impossible with
+    * non-empty b, so the fold cannot re-merge). The merge rule joins
+    * in as plain columns via LEFT JOIN ON TRUE: an empty m(i) (no
+    * pair with support ≥ 2) yields NULL a/b and the CASE falls through
+    * to identity — the trainer's early stop. CTEs are MATERIALIZED:
+    * t(i) is referenced twice (p(i+1) and t(i+1)); inlining would
+    * re-derive the whole prefix per reference (exponential in rounds).
+    */
+  private def sqlBpeRound(i: Int): String = {
+    val prev = s"t${i - 1}"
+    s"""p$i AS MATERIALIZED (
+       |  SELECT p, sum(n) c FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks)), j -> toks[j] || ' ' || toks[j+1])) p, n
+       |    FROM $prev) GROUP BY p HAVING sum(n) >= 2
+       |), m$i AS MATERIALIZED (
+       |  SELECT str_split(p, ' ')[1] a, str_split(p, ' ')[2] b, c
+       |  FROM p$i ORDER BY c DESC, p LIMIT 1
+       |), t$i AS MATERIALIZED (
+       |  SELECT list_reduce(
+       |    list_transform(toks, t -> [t]),
+       |    (acc, x) -> CASE WHEN acc[len(acc)] = ma AND x[1] = mb
+       |                     THEN list_slice(acc, 1, len(acc)-1) || [ma || mb]
+       |                     ELSE acc || x END) toks, n
+       |  FROM $prev LEFT JOIN (SELECT a ma, b mb FROM m$i) mm$i ON TRUE
+       |)""".stripMargin
+  }
+
+  /** The shared training prefix: the word-type frame (the ONLY
+    * corpus-sized pass, mirroring [[BpeTrainer.wordCounts]]) exploded
+    * to single-character symbol lists, then [[BpeMerges]] unrolled
+    * rounds.
+    */
+  private def sqlBpePrefix: String =
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) n FROM (
+       |    SELECT unnest(str_split(text, ' ')) word FROM documents WHERE length(text) > 0)
+       |  WHERE word <> '' GROUP BY word
+       |), t0 AS MATERIALIZED (
+       |  SELECT list_transform(range(1, length(word)+1), i -> word[i]) toks, n FROM wc
+       |),
+       |${(1 to BpeMerges).map(sqlBpeRound).mkString(",\n")}""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" ->
+      s"""$sqlBpePrefix
+         |SELECT * FROM (
+         |${(1 to BpeMerges).map(i =>
+              s"  SELECT CAST(${i - 1} AS BIGINT) rank, a, b, CAST(c AS BIGINT) count FROM m$i")
+              .mkString(" UNION ALL\n")}
+         |) ORDER BY rank""".stripMargin,
+    "q_bpe_encode" ->
+      s"""$sqlBpePrefix
+         |SELECT token, CAST(sum(n) AS BIGINT) n_occ
+         |FROM (SELECT unnest(toks) token, n FROM t$BpeMerges)
+         |GROUP BY token ORDER BY token""".stripMargin,
     "q_ttr" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) t

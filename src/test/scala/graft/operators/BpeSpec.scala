@@ -101,6 +101,65 @@ class BpeSpec extends AnyFunSuite {
     assert(BpeTrainer.encodeWord("aaa", Seq(Merge(0, "a", "a", 2))) === Seq("aa", "a"))
   }
 
+  test("the oracle's list_reduce fold is element-for-element the trainer's merge pass") {
+    // the q_bpe_* DuckDB oracles apply each merge as
+    //   list_reduce(toks, (acc, x) -> if last(acc)==a && x==b
+    //                                 then init(acc) :+ (a+b) else acc :+ x)
+    // — this replica proves the fold equals mergePairCompute's
+    // left-to-right no-rescan pass on adversarial shapes (runs of the
+    // same symbol, merged-token-as-left-element, pattern at both ends)
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def foldReplica(toks: Seq[String], a: String, b: String): Seq[String] =
+      toks.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    def computePass(toks: Seq[String], a: String, b: String): Seq[String] = {
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[AnyRef])
+      val m = BpeTrainer.mergePairCompute(arr,
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      (0 until m.numElements()).map(m.getUTF8String(_).toString)
+    }
+    val rng = new scala.util.Random(42)
+    val alphabet = Seq("a", "b", "ab", "ba", "aa")
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a"),
+      (Seq("a", "b", "a", "b"), "a", "b"),
+      (Seq("ab", "b", "b"), "ab", "b"),
+      (Seq("b", "a"), "a", "b")) ++
+      (1 to 200).map { _ =>
+        val toks = Seq.fill(1 + rng.nextInt(12))(alphabet(rng.nextInt(alphabet.size)))
+        val a = alphabet(rng.nextInt(alphabet.size))
+        val b = alphabet(rng.nextInt(alphabet.size))
+        (toks, a, b)
+      }
+    cases.foreach { case (toks, a, b) =>
+      assert(foldReplica(toks, a, b) === computePass(toks, a, b),
+        s"fold diverged on toks=$toks merge=($a,$b)")
+    }
+  }
+
+  test("registered BPE queries: merges match the reference; encode totals are consistent") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.Sf
+    val wc = BpeTrainer.wordCounts(
+      graft.sources.Tables.documents(spark, sf).select("doc_id", "text"))
+    val ref = referenceTrain(
+      wc.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq, 12)
+    val merges = TextOps.bpeMerges(spark, sf).collect()
+      .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === ref)
+    // encode totals: Σ n_occ·len(token) == Σ word chars (tokens
+    // partition every word), and Σ over single-char tokens decreases
+    val enc = TextOps.bpeEncode(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val charTotal = wc.select(sum(length(col("word")) * col("n")))
+      .collect()(0).getLong(0)
+    assert(enc.map { case (t, n) => t.length.toLong * n }.sum === charTotal)
+    assert(enc.exists(_._1.length > 1), "training must actually produce multi-char tokens")
+  }
+
   test("encoding round-trips: token concatenation reproduces the word") {
     val (got, _) = trainOn(Seq("tokenization tokenizer tokens token"), 8)
     Seq("tokenization", "tokenizer", "untokenized").foreach { w =>
