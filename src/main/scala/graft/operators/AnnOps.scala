@@ -340,6 +340,44 @@ object AnnOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** §2.H q_ann_filtered_recall — the recall audit for the FILTERED
+    * path, so the "cells are ranked by unfiltered centroid distance"
+    * caveat is itself an oracle-checked measurement, not a SCALE.md
+    * footnote: recall@K of [[annIvfFiltered]] against the exact
+    * brute-force top-K under the SAME per-probe label predicate
+    * (the [[annRecall]] discipline — composes the two registered
+    * pipelines unchanged, exact search only over the bounded probe
+    * sample). This is the number the nprobe-vs-selectivity dial is
+    * tuned against.
+    */
+  def annFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    val probes = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"), col("label").as("p_label"))
+    // exact filtered truth: one streaming pass against broadcast
+    // probes, predicate applied before scoring, bounded top-k
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id") && col("label") === col("p_label"))
+      .withColumn("cos", round(VectorExpressions.cosineNative(
+        col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
+    val exact = probeTopKDesc(scored, col("cos"), K, Seq("vec_id", "cos"))
+      .select(col("probe_id"), col("vec_id"))
+    val approx = annIvfFiltered(spark, dir).select(col("probe_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall", round(col("n_hits") / col("n_exact").cast("double"), 6))
+      .select(col("probe_id"), col("n_exact"), col("n_hits"), col("recall"))
+      .orderBy("probe_id")
+  }
+
   private[operators] val IvfKmeansIters = 2
 
   /** The Lloyd-refined IVF end to end — [[annIvfWith]] fed
@@ -846,6 +884,7 @@ object AnnOps {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_filtered" -> (annIvfFiltered _),
+    "q_ann_filtered_recall" -> (annFilteredRecall _),
     "q_ann_ivf_hier" -> (annIvfHier _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_sq8" -> (annSq8 _),
@@ -1188,6 +1227,49 @@ object AnnOps {
         |       round(max(abs(x - round(x / qs, 0) * qs)), 6) max_err
         |FROM ex JOIN s USING (vec_id)
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // exact-filtered truth vs the IVF-filtered mirror, same label
+    // predicate on both arms — the filtered twin of q_ann_recall
+    "q_ann_filtered_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |p AS (SELECT vec_id probe_id, embedding probe_emb, label p_label
+         |      FROM e WHERE vec_id < $NProbes),
+         |xs AS (
+         |  SELECT p.probe_id, e.vec_id, ${sqlCos("p.probe_emb", "e.embedding")} cos
+         |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id AND e.label = p.p_label
+         |), exact AS (
+         |  SELECT probe_id, vec_id FROM xs
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) <= $K
+         |),
+         |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT e.vec_id, e.label, cell, ${sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), pc AS (
+         |  SELECT p.vec_id probe_id, p.label p_label, cell, ${sqlCos("c_emb", "p.embedding")} ccos
+         |  FROM e p CROSS JOIN cents WHERE p.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= $IvfProbeCells
+         |), cand AS (
+         |  SELECT pc.probe_id, asg.vec_id
+         |  FROM asg JOIN pc USING (cell)
+         |  WHERE asg.vec_id <> pc.probe_id AND asg.label = pc.p_label
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |), approx AS (
+         |  SELECT probe_id, vec_id FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) <= $K
+         |), h AS (
+         |  SELECT exact.probe_id, count(*) n
+         |  FROM exact JOIN approx USING (probe_id, vec_id) GROUP BY 1
+         |)
+         |SELECT pr.probe_id, CAST(pr.n_exact AS BIGINT) n_exact,
+         |       CAST(coalesce(n, 0) AS BIGINT) n_hits,
+         |       round(coalesce(n, 0) / pr.n_exact::DOUBLE, 6) recall
+         |FROM (SELECT probe_id, count(*) n_exact FROM exact GROUP BY 1) pr
+         |     LEFT JOIN h USING (probe_id)
+         |ORDER BY probe_id""".stripMargin,
     // the IVF mirror + the same per-probe label predicate on the
     // candidate stream (before scoring), exactly as the Spark plan
     "q_ann_ivf_filtered" ->

@@ -736,9 +736,35 @@ object TextOps {
       .orderBy("token")
   }
 
+  /** §2.I q_bpe_doc_tokens — the token-BUDGET query a training-data
+    * planner actually runs with a trained tokenizer: per document, the
+    * exact token count under the learned rules (plus the word count,
+    * so tokens-per-word fertility reads off the same row). Encoding
+    * happens ONCE per word TYPE (the Heaps'-law altitude: the chain of
+    * codegen'd merges runs over |types| rows, never the token stream);
+    * documents then join their words to the type-level token counts —
+    * a plain keyed join on the word, the shape that survives a vocab
+    * too large to broadcast at 100 TB — and aggregate per doc.
+    */
+  def bpeDocTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+    val merges = bpeRules(spark, dir)
+    val typeToks = BpeTrainer.wordCounts(docs)
+      .select(col("word"),
+        size(BpeTrainer.applyMerges(split(col("word"), ""), merges)).cast("long").as("n_toks"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(typeToks, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("n_toks")).as("n_tokens"), count(lit(1)).as("n_words"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_bpe_doc_tokens" -> (bpeDocTokens _),
     "q_bm25" -> (bm25 _),
     "q_pmi_pairs" -> (pmiPairs _),
     "q_quality_percentile" -> (qualityPercentile _),
@@ -784,7 +810,7 @@ object TextOps {
        |  SELECT str_split(p, ' ')[1] a, str_split(p, ' ')[2] b, c
        |  FROM p$i ORDER BY c DESC, p LIMIT 1
        |), t$i AS MATERIALIZED (
-       |  SELECT list_reduce(
+       |  SELECT word, list_reduce(
        |    list_transform(toks, t -> [t]),
        |    (acc, x) -> CASE WHEN acc[len(acc)] = ma AND x[1] = mb
        |                     THEN list_slice(acc, 1, len(acc)-1) || [ma || mb]
@@ -804,7 +830,7 @@ object TextOps {
        |    SELECT unnest(str_split(text, ' ')) word FROM documents WHERE length(text) > 0)
        |  WHERE word <> '' GROUP BY word
        |), t0 AS MATERIALIZED (
-       |  SELECT list_transform(range(1, length(word)+1), i -> word[i]) toks, n FROM wc
+       |  SELECT word, list_transform(range(1, length(word)+1), i -> word[i]) toks, n FROM wc
        |),
        |${(1 to BpeMerges).map(sqlBpeRound).mkString(",\n")}""".stripMargin
 
@@ -821,6 +847,17 @@ object TextOps {
          |SELECT token, CAST(sum(n) AS BIGINT) n_occ
          |FROM (SELECT unnest(toks) token, n FROM t$BpeMerges)
          |GROUP BY token ORDER BY token""".stripMargin,
+    "q_bpe_doc_tokens" ->
+      s"""$sqlBpePrefix,
+         |tk AS (SELECT word, len(toks) n_toks FROM t$BpeMerges),
+         |d AS (
+         |  SELECT doc_id, unnest(str_split(text, ' ')) word
+         |  FROM documents WHERE length(text) > 0
+         |)
+         |SELECT doc_id, CAST(sum(n_toks) AS BIGINT) n_tokens,
+         |       CAST(count(*) AS BIGINT) n_words
+         |FROM d JOIN tk USING (word) WHERE word <> ''
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ttr" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) t

@@ -33,6 +33,30 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(math.abs(meanBalance - 1.0) < 1e-4, s"mean balance $meanBalance")
   }
 
+  test("filtered IVF honors the predicate and its recall audit reads a sane number") {
+    import org.apache.spark.sql.functions._
+    val labelOf = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    // every returned neighbor carries the probe's own label — the
+    // predicate is a hard filter, not a soft preference
+    AnnOps.annIvfFiltered(spark, sf).collect().foreach { r =>
+      val (probe, vec) = (r.getLong(0), r.getLong(1))
+      assert(labelOf(vec) === labelOf(probe), s"probe $probe got label ${labelOf(vec)}")
+      assert(vec !== probe)
+    }
+    // the audit: every probe reports, recall ∈ (0, 1], denominators
+    // are the probe's actual filtered-truth size
+    val audit = AnnOps.annFilteredRecall(spark, sf).collect()
+    assert(audit.length === 10)
+    audit.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    assert(audit.map(_.getDouble(3)).sum / audit.length > 0.3,
+      "mean filtered recall collapsed — cell routing is broken, not just lossy")
+  }
+
   test("IVF recall overlaps the exact top-k (approximate, nprobe/cells of the corpus)") {
     val exact = AnnOps.annTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

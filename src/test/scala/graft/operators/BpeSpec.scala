@@ -160,6 +160,27 @@ class BpeSpec extends AnyFunSuite {
     assert(enc.exists(_._1.length > 1), "training must actually produce multi-char tokens")
   }
 
+  test("doc-token budgets are consistent with the corpus encode totals") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.Sf
+    val perDoc = TextOps.bpeDocTokens(spark, sf)
+      .agg(sum(col("n_tokens")), sum(col("n_words"))).collect()(0)
+    val encodeTotal = TextOps.bpeEncode(spark, sf)
+      .agg(sum(col("n_occ"))).collect()(0).getLong(0)
+    // every word occurrence tokenizes identically at type altitude, so
+    // Σ per-doc tokens == Σ per-token corpus totals
+    assert(perDoc.getLong(0) === encodeTotal)
+    val wsWords = graft.sources.Tables.documents(spark, sf)
+      .filter(length(col("text")) > 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(perDoc.getLong(1) === wsWords)
+    // fertility sanity: merges compress, so tokens < chars and ≥ words
+    val rows = TextOps.bpeDocTokens(spark, sf).collect()
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2),
+      s"doc ${r.getLong(0)}: fewer tokens than words"))
+  }
+
   test("encoding round-trips: token concatenation reproduces the word") {
     val (got, _) = trainOn(Seq("tokenization tokenizer tokens token"), 8)
     Seq("tokenization", "tokenizer", "untokenized").foreach { w =>
