@@ -30,6 +30,35 @@ object CorpusOps {
       .filter(bucket(col("text"), 10) < 3)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  private val GroupSampleK = 3
+
+  /** §2.K q_group_sample — fixed-k inspection sample PER GROUP (the
+    * "show me 3 docs from every source" audit every curation review
+    * starts with), deterministic and reshuffle-stable: rank key =
+    * md5 of the doc id under a query-scoped salt, the k smallest keys
+    * per source win, ties broken by doc_id. Delivered as the bounded
+    * top-k aggregate ([[graft.plans.TopKAgg]]), NOT a row_number
+    * window: every partition keeps a ≤ k heap per group, so the
+    * shuffle carries |partitions| × |groups| × k slim rows while the
+    * window form would funnel the whole corpus into |groups|
+    * partitions for a full sort — the one shape that concentrates at
+    * 100× scale. The rate-based sibling ([[stratifiedSample]]) scales
+    * output WITH the corpus; this one keeps the human-readable
+    * contract: k rows per group at ANY corpus size.
+    */
+  def groupSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopKAgg
+    val key = md5(concat(lit("gs:"), col("doc_id").cast("string")).cast("binary"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"), key.as("rk"))
+      .groupBy("source")
+      .agg(TopKAgg.topK(struct(col("rk"), col("doc_id"), col("n_chars")), GroupSampleK).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "it")))
+      .select(col("source"), col("it.doc_id").as("doc_id"),
+        col("it.n_chars").as("n_chars"), (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("source", "rnk")
+  }
+
   /** Deterministic train/val/test split assignment (80/10/10) by
     * content hash; emits the assignment, not a sampled subset.
     */
@@ -474,6 +503,7 @@ object CorpusOps {
     "q_tfidf_terms" -> (tfidfTerms _),
     "q_pack_shards" -> (packShards _),
     "q_stratified_sample" -> (stratifiedSample _),
+    "q_group_sample" -> (groupSample _),
     "q_train_test_split" -> (trainTestSplit _),
     "q_length_histogram" -> (lengthHistogram _),
     "q_dedup_normalized" -> (dedupNormalized _),
@@ -585,6 +615,14 @@ object CorpusOps {
          |SELECT doc_id, lang, est_tokens, cum_tokens,
          |       (cum_tokens - est_tokens) // $ShardBudget AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q_group_sample" ->
+      s"""SELECT source, doc_id, n_chars, rnk FROM (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id) rnk
+         |  FROM documents)
+         |WHERE rnk <= $GroupSampleK
+         |ORDER BY source, rnk""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE $sqlBucket < 3 ORDER BY doc_id""".stripMargin,

@@ -761,7 +761,109 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  private[operators] val LrSteps = 20
+  private[operators] val LrRate = 5.0
+  private[operators] val LrThreshold = 0.7
+
+  /** The logistic-regression feature frame: rounded-6 features (so
+    * both engines train on bit-identical inputs) + the rule label.
+    */
+  private def lrFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      round(least(lit(1.0), length(col("text")) / lit(400.0)), 6).as("x1"),
+      round(stopRatioCol, 6).as("x2"),
+      round(punctRatioCol, 6).as("x3"),
+      when(qualityCol >= LrThreshold, 1.0).otherwise(0.0).as("y"))
+
+  /** Spec window into the exact feature frame the trainer reads. */
+  private[operators] def lrFeaturesForSpec(spark: SparkSession, dir: String): DataFrame =
+    lrFeatures(spark, dir)
+
+  /** Spark's Round semantics on the driver (HALF_UP at 6 decimals) —
+    * the weight updates must round exactly as the SQL mirrors do.
+    */
+  private def r6(v: Double): Double =
+    BigDecimal.valueOf(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The sigmoid probability under the current weights, rounded to 6
+    * decimals BEFORE it feeds any gradient or decision — the
+    * portability pin that keeps a last-ulp `exp` difference between
+    * JVM Math.exp and an external engine's libm from ever entering
+    * the training arithmetic.
+    */
+  private def lrP(w: Array[Double]): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-(lit(w(0)) + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")))), 6)
+
+  /** §2.I q_quality_lr — distill the rule-based quality filter into a
+    * trained scorer (the fastText-classifier workload of a curation
+    * pipeline, its whole training loop through the hash gate — the
+    * third trained artifact after q_ann_ivf_kmeans's k-means layout
+    * and q_bpe_merges' tokenizer): [[LrSteps]] full-batch gradient
+    * steps of logistic regression on (bias, capped-length, stopword
+    * ratio, punctuation ratio) against the label `quality ≥
+    * [[LrThreshold]]`. Each step is ONE distributed aggregation (four
+    * map-side-combined sums) + a 4-number driver update — the bounded
+    * driver state of the Kmeans/BPE family; the corpus never moves.
+    * Training is engine-portable by the suite's rounding choreography
+    * (features, per-row sigmoid, per-step gradient, and weights all
+    * pinned to 6 decimals); the DuckDB oracle unrolls the same steps
+    * and must reproduce the weight vector — and the training accuracy
+    * it implies — exactly. QualityLrSpec pins the distributed loop
+    * against a driver-side replica and that the distilled scorer
+    * actually beats the majority class.
+    */
+  def qualityLr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = lrFeatures(spark, dir).localCheckpoint(true) // 4 doubles/doc; 5 reuses
+    val n = f.count().toDouble
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to LrSteps) {
+      val d = lrP(w) - col("y")
+      val g = f.select(sum(d), sum(d * col("x1")), sum(d * col("x2")), sum(d * col("x3")))
+        .collect()(0)
+      w = Array.tabulate(4)(j => r6(w(j) - LrRate * r6(g.getDouble(j) / n)))
+    }
+    val acc = f.select(
+      round(avg(when((lrP(w) >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)), 6))
+      .collect()(0).getDouble(0)
+    Seq((n.toLong, w(0), w(1), w(2), w(3), acc))
+      .toDF("n_docs", "w_bias", "w_len", "w_stop", "w_punct", "train_acc")
+  }
+
+  /** One unrolled GD step in SQL — [[qualityLr]]'s loop body: the
+    * rounded sigmoid under the previous weights, four gradient sums
+    * rounded at 6 after the 1/n scale, weights updated and re-rounded.
+    */
+  private def sqlLrStep(i: Int): String = {
+    val prev = s"ws${i - 1}"
+    s"""g$i AS MATERIALIZED (
+       |  SELECT round(sum(p - y) / any_value(n), 6) g0,
+       |         round(sum((p - y) * x1) / any_value(n), 6) g1,
+       |         round(sum((p - y) * x2) / any_value(n), 6) g2,
+       |         round(sum((p - y) * x3) / any_value(n), 6) g3
+       |  FROM (SELECT round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) p,
+       |               y, x1, x2, x3, n
+       |        FROM f CROSS JOIN $prev CROSS JOIN nn)
+       |), ws$i AS MATERIALIZED (
+       |  SELECT round(w0 - $LrRate * g0, 6) w0, round(w1 - $LrRate * g1, 6) w1,
+       |         round(w2 - $LrRate * g2, 6) w2, round(w3 - $LrRate * g3, 6) w3
+       |  FROM $prev CROSS JOIN g$i
+       |)""".stripMargin
+  }
+
+  /** The stop/punct ratio SQL fragments shared by [[SqlQuality]] and
+    * the LR feature mirror.
+    */
+  private val SqlStopRatio: String =
+    "(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('the', 'a'))) " +
+      "/ greatest(len(string_split_regex(trim(text), '\\s+')), 1)::DOUBLE)"
+  private val SqlPunctRatio: String =
+    "(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) " +
+      "/ greatest(length(text), 1)::DOUBLE)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_lr" -> (qualityLr _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_bpe_doc_tokens" -> (bpeDocTokens _),
@@ -835,6 +937,27 @@ object TextOps {
        |${(1 to BpeMerges).map(sqlBpeRound).mkString(",\n")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_quality_lr" ->
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT round(least(1.0, length(text) / 400.0), 6) x1,
+         |         round($SqlStopRatio, 6) x2,
+         |         round($SqlPunctRatio, 6) x3,
+         |         (CASE WHEN $SqlQuality >= $LrThreshold THEN 1.0 ELSE 0.0 END)::DOUBLE y
+         |  FROM documents
+         |), nn AS (SELECT count(*)::DOUBLE n FROM f),
+         |ws0 AS (SELECT 0.0 w0, 0.0 w1, 0.0 w2, 0.0 w3),
+         |${(1 to LrSteps).map(sqlLrStep).mkString(",\n")},
+         |acc AS (
+         |  SELECT round(avg(CASE WHEN
+         |      (round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) >= 0.5)
+         |        = (y = 1.0)
+         |      THEN 1.0 ELSE 0.0 END), 6)::DOUBLE a
+         |  FROM f CROSS JOIN ws$LrSteps
+         |)
+         |SELECT (SELECT count(*) FROM f)::BIGINT n_docs,
+         |       w0 w_bias, w1 w_len, w2 w_stop, w3 w_punct,
+         |       (SELECT a FROM acc) train_acc
+         |FROM ws$LrSteps""".stripMargin,
     "q_bpe_merges" ->
       s"""$sqlBpePrefix
          |SELECT * FROM (

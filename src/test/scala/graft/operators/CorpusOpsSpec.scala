@@ -21,6 +21,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(flagged.intersect(benchIds).isEmpty)
   }
 
+  test("group sample returns exactly k real docs per source, deterministically") {
+    import org.apache.spark.sql.functions._
+    val rows = CorpusOps.groupSample(spark, sf).collect()
+    val sources = graft.sources.Tables.documents(spark, sf)
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.keySet === sources, "every source must be sampled")
+    bySource.foreach { case (s, g) =>
+      assert(g.length === 3, s"source $s: ${g.length} rows")
+      assert(g.map(_.getLong(3)).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+    // sampled ids are real members of their source
+    val membership = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach(r => assert(membership(r.getLong(1)) === r.getString(0)))
+    // reshuffle-stable: a repartitioned second run picks the same docs
+    val again = CorpusOps.groupSample(spark, sf).collect()
+    assert(again.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet ===
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet)
+  }
+
   test("mixture weights invert the actual shares toward a uniform target") {
     val rows = CorpusOps.mixtureWeights(spark, sf).collect()
     val nLangs = rows.length
