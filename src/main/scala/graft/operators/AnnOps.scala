@@ -340,6 +340,35 @@ object AnnOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** §2.H q_ann_ivf_filtered_preflight — the go/no-go telemetry for
+    * FILTERED search (the preflight-family member the filtered path
+    * was missing): per (cell, label), the candidate population and
+    * its within-cell share. This is the selectivity × cell-correlation
+    * audit that decides the nprobe dial BEFORE queries are served: a
+    * label spread evenly across cells (share ≈ global selectivity
+    * everywhere) keeps filtered recall at the unfiltered level, while
+    * a label CONCENTRATED in few cells means unfiltered cell routing
+    * will miss it and nprobe must rise (or the index must partition by
+    * the label). One assignment pass + one keyed aggregation; output
+    * bounded by cells × labels, never corpus-sized.
+    */
+  def annIvfFilteredPreflight(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    val slim = e.select(col("vec_id"), col("embedding"), col("nrm"))
+    val counts = assignCells(slim, ivfAnchors(slim))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val cellTot = counts.groupBy("cell").agg(sum(col("n")).as("n_cell"))
+    counts.join(cellTot, "cell")
+      .select(col("cell"), col("label"), col("n"), col("n_cell"),
+        round(col("n") / col("n_cell").cast("double"), 6).as("share"))
+      .orderBy("cell", "label")
+  }
+
   /** §2.H q_ann_filtered_recall — the recall audit for the FILTERED
     * path, so the "cells are ranked by unfiltered centroid distance"
     * caveat is itself an oracle-checked measurement, not a SCALE.md
@@ -885,6 +914,7 @@ object AnnOps {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_filtered" -> (annIvfFiltered _),
     "q_ann_filtered_recall" -> (annFilteredRecall _),
+    "q_ann_ivf_filtered_preflight" -> (annIvfFilteredPreflight _),
     "q_ann_ivf_hier" -> (annIvfHier _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_sq8" -> (annSq8 _),
@@ -1227,6 +1257,23 @@ object AnnOps {
         |       round(max(abs(x - round(x / qs, 0) * qs)), 6) max_err
         |FROM ex JOIN s USING (vec_id)
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_ann_ivf_filtered_preflight" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT e.vec_id, e.label, cell, ${sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), counts AS (
+         |  SELECT cell, label, count(*) n FROM asg GROUP BY cell, label
+         |), wt AS (
+         |  SELECT cell, label, n,
+         |         CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT) n_cell
+         |  FROM counts
+         |)
+         |SELECT cell, label, n, n_cell,
+         |       round(n / CAST(n_cell AS DOUBLE), 6) AS "share"
+         |FROM wt ORDER BY cell, label""".stripMargin,
     // exact-filtered truth vs the IVF-filtered mirror, same label
     // predicate on both arms — the filtered twin of q_ann_recall
     "q_ann_filtered_recall" ->

@@ -815,20 +815,54 @@ object TextOps {
     */
   def qualityLr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val f = lrFeatures(spark, dir).localCheckpoint(true) // 4 doubles/doc; 5 reuses
-    val n = f.count().toDouble
-    var w = Array(0.0, 0.0, 0.0, 0.0)
-    for (_ <- 1 to LrSteps) {
-      val d = lrP(w) - col("y")
-      val g = f.select(sum(d), sum(d * col("x1")), sum(d * col("x2")), sum(d * col("x3")))
-        .collect()(0)
-      w = Array.tabulate(4)(j => r6(w(j) - LrRate * r6(g.getDouble(j) / n)))
-    }
-    val acc = f.select(
-      round(avg(when((lrP(w) >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)), 6))
-      .collect()(0).getDouble(0)
-    Seq((n.toLong, w(0), w(1), w(2), w(3), acc))
+    val w = lrWeights(spark, dir)
+    val f = lrFeatures(spark, dir)
+    val m = f.select(count(lit(1)).as("n"),
+      round(avg(when((lrP(w) >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)), 6).as("acc"))
+      .collect()(0)
+    Seq((m.getLong(0), w(0), w(1), w(2), w(3), m.getDouble(1)))
       .toDF("n_docs", "w_bias", "w_len", "w_stop", "w_punct", "train_acc")
+  }
+
+  /** The session's ONE trained weight vector per dir — q_quality_lr
+    * and q_quality_lr_score share a single training run per session
+    * (the trainMemoized contract; driver state = 4 doubles).
+    */
+  private val lrMemo = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private def lrWeights(spark: SparkSession, dir: String): Array[Double] =
+    lrMemo.computeIfAbsent(s"${spark.hashCode()}|$dir", { _ =>
+      val f = lrFeatures(spark, dir).localCheckpoint(true)
+      val n = f.count().toDouble
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      for (_ <- 1 to LrSteps) {
+        val d = lrP(w) - col("y")
+        val g = f.select(sum(d), sum(d * col("x1")), sum(d * col("x2")), sum(d * col("x3")))
+          .collect()(0)
+        w = Array.tabulate(4)(j => r6(w(j) - LrRate * r6(g.getDouble(j) / n)))
+      }
+      w
+    })
+
+  /** §2.I q_quality_lr_score — the SERVE side of the trained quality
+    * classifier ([[qualityLr]]'s trained-artifact twin, the same
+    * train→apply symmetry as q_bpe_merges→q_bpe_encode): score every
+    * document with the learned weights, emit the rounded probability,
+    * the keep/drop decision, and the rule label it distills — the
+    * per-document disagreement surface a curation reviewer audits.
+    * One codegen'd projection over the corpus; training cost is paid
+    * once per session (memoized weights).
+    */
+  def qualityLrScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = lrWeights(spark, dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(least(lit(1.0), length(col("text")) / lit(400.0)), 6).as("x1"),
+        round(stopRatioCol, 6).as("x2"),
+        round(punctRatioCol, 6).as("x3"),
+        when(qualityCol >= LrThreshold, 1.0).otherwise(0.0).as("y"))
+      .select(col("doc_id"), lrP(w).as("p_quality"),
+        (lrP(w) >= 0.5).as("pred_keep"), (col("y") === 1.0).as("rule_keep"))
+      .orderBy("doc_id")
   }
 
   /** One unrolled GD step in SQL — [[qualityLr]]'s loop body: the
@@ -864,6 +898,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_lr" -> (qualityLr _),
+    "q_quality_lr_score" -> (qualityLrScore _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_bpe_doc_tokens" -> (bpeDocTokens _),
@@ -939,7 +974,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q_quality_lr" ->
       s"""WITH f AS MATERIALIZED (
-         |  SELECT round(least(1.0, length(text) / 400.0), 6) x1,
+         |  SELECT doc_id, round(least(1.0, length(text) / 400.0), 6) x1,
          |         round($SqlStopRatio, 6) x2,
          |         round($SqlPunctRatio, 6) x3,
          |         (CASE WHEN $SqlQuality >= $LrThreshold THEN 1.0 ELSE 0.0 END)::DOUBLE y
@@ -958,6 +993,21 @@ object TextOps {
          |       w0 w_bias, w1 w_len, w2 w_stop, w3 w_punct,
          |       (SELECT a FROM acc) train_acc
          |FROM ws$LrSteps""".stripMargin,
+    "q_quality_lr_score" ->
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT doc_id, round(least(1.0, length(text) / 400.0), 6) x1,
+         |         round($SqlStopRatio, 6) x2,
+         |         round($SqlPunctRatio, 6) x3,
+         |         (CASE WHEN $SqlQuality >= $LrThreshold THEN 1.0 ELSE 0.0 END)::DOUBLE y
+         |  FROM documents
+         |), nn AS (SELECT count(*)::DOUBLE n FROM f),
+         |ws0 AS (SELECT 0.0 w0, 0.0 w1, 0.0 w2, 0.0 w3),
+         |${(1 to LrSteps).map(sqlLrStep).mkString(",\n")}
+         |SELECT doc_id,
+         |  round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) p_quality,
+         |  (round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) >= 0.5) pred_keep,
+         |  (y = 1.0) rule_keep
+         |FROM f CROSS JOIN ws$LrSteps ORDER BY doc_id""".stripMargin,
     "q_bpe_merges" ->
       s"""$sqlBpePrefix
          |SELECT * FROM (

@@ -23,7 +23,11 @@ class ConfParitySpec extends AnyFunSuite {
   private val Probes = Seq(
     "q_winnow_dedup", "q_dedup_minhash", "q_session_overlap",
     "q_ann_ivf_pq", "q_textrank", "q_scd2_incremental",
-    "q_bootstrap_ci", "q_group_topn")
+    "q_bootstrap_ci", "q_group_topn",
+    // round-14 hard cases: iterative GD training (per-step gradient
+    // sums are fp — the 6-decimal rounding choreography must absorb
+    // partial-aggregation order changes) and a real-codec decode
+    "q_quality_lr", "q_png_features")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted

@@ -57,6 +57,18 @@ class AnnIvfSpec extends AnyFunSuite {
       "mean filtered recall collapsed — cell routing is broken, not just lossy")
   }
 
+  test("filtered-search preflight: shares sum to 1 per cell, populations sum to the corpus") {
+    val rows = AnnOps.annIvfFilteredPreflight(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === n, "every vector is counted exactly once")
+    rows.groupBy(_.getLong(0)).foreach { case (cell, g) =>
+      assert(math.abs(g.map(_.getDouble(4)).sum - 1.0) < 1e-4, s"cell $cell shares")
+      val nCell = g.head.getLong(3)
+      assert(g.map(_.getLong(2)).sum === nCell, s"cell $cell population")
+    }
+  }
+
   test("IVF recall overlaps the exact top-k (approximate, nprobe/cells of the corpus)") {
     val exact = AnnOps.annTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

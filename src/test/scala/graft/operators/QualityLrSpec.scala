@@ -51,6 +51,20 @@ class QualityLrSpec extends AnyFunSuite {
     assert(got.getDouble(5) === r6(acc))
   }
 
+  test("the serve-side scores are consistent with the training readout") {
+    import org.apache.spark.sql.functions._
+    val scores = TextOps.qualityLrScore(spark, sf).collect()
+    val summary = TextOps.qualityLr(spark, sf).collect()(0)
+    assert(scores.length.toLong === summary.getLong(0))
+    // the decision column IS p >= 0.5, and the per-doc agreement rate
+    // reproduces the reported training accuracy exactly
+    scores.foreach(r => assert(r.getBoolean(2) === (r.getDouble(1) >= 0.5)))
+    val agree = scores.count(r => r.getBoolean(2) === r.getBoolean(3))
+    assert(r6(agree.toDouble / scores.length) === summary.getDouble(5))
+    // scores are probabilities
+    scores.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
   test("the distilled scorer beats the majority class — it learned the rule") {
     import org.apache.spark.sql.functions._
     val rows = Tables(sf).collect()
