@@ -36,13 +36,23 @@ object TextOps {
     round(lit(0.5) * least(lit(1.0), length(col("text")) / lit(400.0)) +
       lit(0.25) * stopRatioCol + lit(0.25) * (lit(1.0) - punctRatioCol), 6)
 
+  /** DuckDB mirrors of [[stopRatioCol]] / [[punctRatioCol]] (expect
+    * `text` in scope) — the ONE copy of each formula on the SQL side,
+    * composed into [[SqlQuality]] and the q_quality_lr feature
+    * mirrors so the label and the features can never silently
+    * diverge.
+    */
+  private[operators] val SqlStopRatio: String =
+    "(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('the', 'a'))) " +
+      "/ greatest(len(string_split_regex(trim(text), '\\s+')), 1)::DOUBLE)"
+  private[operators] val SqlPunctRatio: String =
+    "(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) " +
+      "/ greatest(length(text), 1)::DOUBLE)"
+
   /** DuckDB mirror of [[qualityCol]] (expects `text` in scope). */
   private[operators] val SqlQuality: String =
-    "round(0.5 * least(1.0, length(text) / 400.0) " +
-      "+ 0.25 * (len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('the', 'a'))) " +
-      "/ greatest(len(string_split_regex(trim(text), '\\s+')), 1)::DOUBLE) " +
-      "+ 0.25 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) " +
-      "/ greatest(length(text), 1)::DOUBLE), 6)"
+    s"round(0.5 * least(1.0, length(text) / 400.0) " +
+      s"+ 0.25 * $SqlStopRatio + 0.25 * (1.0 - $SqlPunctRatio), 6)"
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * word length → one blended score. Mirrors the reference's
@@ -770,6 +780,7 @@ object TextOps {
     */
   private def lrFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
+      col("doc_id"),
       round(least(lit(1.0), length(col("text")) / lit(400.0)), 6).as("x1"),
       round(stopRatioCol, 6).as("x2"),
       round(punctRatioCol, 6).as("x3"),
@@ -777,7 +788,7 @@ object TextOps {
 
   /** Spec window into the exact feature frame the trainer reads. */
   private[operators] def lrFeaturesForSpec(spark: SparkSession, dir: String): DataFrame =
-    lrFeatures(spark, dir)
+    lrFeatures(spark, dir).select("x1", "x2", "x3", "y")
 
   /** Spark's Round semantics on the driver (HALF_UP at 6 decimals) —
     * the weight updates must round exactly as the SQL mirrors do.
@@ -815,8 +826,7 @@ object TextOps {
     */
   def qualityLr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = lrWeights(spark, dir)
-    val f = lrFeatures(spark, dir)
+    val (w, f) = lrTrained(spark, dir)
     val m = f.select(count(lit(1)).as("n"),
       round(avg(when((lrP(w) >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)), 6).as("acc"))
       .collect()(0)
@@ -824,12 +834,16 @@ object TextOps {
       .toDF("n_docs", "w_bias", "w_len", "w_stop", "w_punct", "train_acc")
   }
 
-  /** The session's ONE trained weight vector per dir — q_quality_lr
-    * and q_quality_lr_score share a single training run per session
-    * (the trainMemoized contract; driver state = 4 doubles).
+  /** The session's ONE training run per dir — q_quality_lr and
+    * q_quality_lr_score share it (the trainMemoized contract; driver
+    * state = 4 doubles). The CHECKPOINTED feature frame is memoized
+    * alongside the weights so downstream readouts (the accuracy
+    * aggregation, the serve-side scoring) reuse it instead of paying
+    * a second full-corpus feature scan.
     */
-  private val lrMemo = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
-  private def lrWeights(spark: SparkSession, dir: String): Array[Double] =
+  private val lrMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], DataFrame)]()
+  private def lrTrained(spark: SparkSession, dir: String): (Array[Double], DataFrame) =
     lrMemo.computeIfAbsent(s"${spark.hashCode()}|$dir", { _ =>
       val f = lrFeatures(spark, dir).localCheckpoint(true)
       val n = f.count().toDouble
@@ -840,8 +854,18 @@ object TextOps {
           .collect()(0)
         w = Array.tabulate(4)(j => r6(w(j) - LrRate * r6(g.getDouble(j) / n)))
       }
-      w
+      (w, f)
     })
+
+  /** Drop every session-scoped trained-artifact cache (LR weights +
+    * frames here, BPE merges in [[BpeTrainer]]) — ConfParitySpec
+    * calls this so each hostile-config variant RETRAINS from scratch
+    * instead of replaying the baseline's cached artifact.
+    */
+  private[graft] def resetTrainedCaches(): Unit = {
+    lrMemo.clear()
+    BpeTrainer.resetMemo()
+  }
 
   /** §2.I q_quality_lr_score — the SERVE side of the trained quality
     * classifier ([[qualityLr]]'s trained-artifact twin, the same
@@ -853,15 +877,10 @@ object TextOps {
     * once per session (memoized weights).
     */
   def qualityLrScore(spark: SparkSession, dir: String): DataFrame = {
-    val w = lrWeights(spark, dir)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        round(least(lit(1.0), length(col("text")) / lit(400.0)), 6).as("x1"),
-        round(stopRatioCol, 6).as("x2"),
-        round(punctRatioCol, 6).as("x3"),
-        when(qualityCol >= LrThreshold, 1.0).otherwise(0.0).as("y"))
-      .select(col("doc_id"), lrP(w).as("p_quality"),
-        (lrP(w) >= 0.5).as("pred_keep"), (col("y") === 1.0).as("rule_keep"))
+    val (w, f) = lrTrained(spark, dir)
+    f.select(col("doc_id"), lrP(w).as("p_quality"), col("y"))
+      .select(col("doc_id"), col("p_quality"),
+        (col("p_quality") >= 0.5).as("pred_keep"), (col("y") === 1.0).as("rule_keep"))
       .orderBy("doc_id")
   }
 
@@ -885,16 +904,6 @@ object TextOps {
        |  FROM $prev CROSS JOIN g$i
        |)""".stripMargin
   }
-
-  /** The stop/punct ratio SQL fragments shared by [[SqlQuality]] and
-    * the LR feature mirror.
-    */
-  private val SqlStopRatio: String =
-    "(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('the', 'a'))) " +
-      "/ greatest(len(string_split_regex(trim(text), '\\s+')), 1)::DOUBLE)"
-  private val SqlPunctRatio: String =
-    "(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) " +
-      "/ greatest(length(text), 1)::DOUBLE)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_lr" -> (qualityLr _),

@@ -48,13 +48,21 @@ class ConfParitySpec extends AnyFunSuite {
   }
 
   test("results are identical with AQE off, an odd shuffle width, and no broadcast joins") {
-    val baseline = Probes.map(n => n -> rows(SparkEntry.queries(n)(spark, sf))).toMap
+    // session-scoped trained-artifact memos (LR weights, BPE merges)
+    // would otherwise hand the hostile run the BASELINE's training
+    // result and make the training-loop probes vacuous — every
+    // variant must retrain from scratch under its own config
+    def fresh(n: String): Seq[String] = {
+      operators.TextOps.resetTrainedCaches()
+      rows(SparkEntry.queries(n)(spark, sf))
+    }
+    val baseline = Probes.map(n => n -> fresh(n)).toMap
     withConfs(
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> "7",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       Probes.foreach { n =>
-        val hostile = rows(SparkEntry.queries(n)(spark, sf))
+        val hostile = fresh(n)
         assert(hostile === baseline(n), s"$n diverged under hostile execution config")
         assert(hostile.nonEmpty, s"$n returned no rows — parity is vacuous")
       }
