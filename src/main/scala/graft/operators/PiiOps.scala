@@ -41,10 +41,59 @@ object PiiOps {
         regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
   }
 
+  /** §2.K q_pii_stats — the PII telemetry a pipeline reads BEFORE
+    * paying for redaction (the preflight-family discipline applied to
+    * the scrub pass): per nation, how many records carry each PII
+    * kind, total spans, and the hit rate — the numbers that decide
+    * whether a source needs the scrub at all and which kinds
+    * dominate. Same decorated frame and the same RE2∩java patterns as
+    * [[piiRedact]] (one copy of each constant), one scan + one keyed
+    * aggregation; output bounded by |nations|.
+    */
+  def piiStats(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("c_name"), lit(" reach user"), col("c_custkey"),
+      lit("@mail.example or call +65 9"),
+      lpad((col("c_custkey") * 7919 % 10000000).cast("string"), 7, "0"))
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), raw.as("raw"))
+      .select(col("c_nationkey"),
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).cast("long").as("ne"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).cast("long").as("np"))
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("ne") > 0, 1L).otherwise(0L)).as("n_with_email"),
+        sum(when(col("np") > 0, 1L).otherwise(0L)).as("n_with_phone"),
+        sum(col("ne") + col("np")).as("n_spans"),
+        round(avg(when(col("ne") + col("np") > 0, 1.0).otherwise(0.0)), 6).as("pii_rate"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pii_redact" -> (piiRedact _))
+    "q_pii_redact" -> (piiRedact _),
+    "q_pii_stats" -> (piiStats _))
 
   val oracle: Map[String, String] = Map(
+    "q_pii_stats" ->
+      s"""WITH d AS (
+         |  SELECT c_nationkey,
+         |         c_name || ' reach user' || CAST(c_custkey AS VARCHAR)
+         |           || '@mail.example or call +65 9'
+         |           || lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0') AS raw
+         |  FROM customer
+         |), h AS (
+         |  SELECT c_nationkey,
+         |         len(regexp_extract_all(raw, '$EmailRe')) ne,
+         |         len(regexp_extract_all(raw, '\\+[0-9]{2} [0-9]{7,8}')) np
+         |  FROM d
+         |)
+         |SELECT c_nationkey,
+         |  CAST(count(*) AS BIGINT) n_records,
+         |  CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) n_with_email,
+         |  CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) n_with_phone,
+         |  CAST(sum(ne + np) AS BIGINT) n_spans,
+         |  round(avg(CASE WHEN ne + np > 0 THEN 1.0 ELSE 0.0 END), 6)::DOUBLE pii_rate
+         |FROM h GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_pii_redact" ->
       s"""WITH d AS (
          |  SELECT c_custkey,
