@@ -19,12 +19,38 @@ class CurationOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Long]("n_emails") === 1L)
       assert(r.getAs[Long]("n_phones") === 1L)
+      assert(r.getAs[Long]("n_ids") === 1L)
+      assert(r.getAs[Long]("n_ips") === 1L)
       val red = r.getAs[String]("redacted")
-      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") &&
+        red.contains("<ID>") && red.contains("<IP>"))
       // nothing matching the detectors survives in the redacted text
       assert(!red.contains("@"))
       assert(!red.matches(".*\\+[0-9]{2} [0-9]{7,8}.*"))
+      assert(!red.matches(".*[STFG][0-9]{7}[A-Z].*"))
+      assert(!red.matches(".*[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}.*"))
+      // Luhn gate: the even-key card is valid and scrubbed; the
+      // odd-key 16-digit lookalike fails the checksum and SURVIVES
+      // (a blanket digit-run scrub would destroy non-PII text)
+      val key = r.getAs[Long]("c_custkey")
+      if (key % 2 == 0) {
+        assert(r.getAs[Long]("n_cards") === 1L, s"key $key")
+        assert(red.contains("<CARD>") && !red.matches(".*[0-9]{16}.*"))
+      } else {
+        assert(r.getAs[Long]("n_cards") === 0L, s"key $key")
+        assert(!red.contains("<CARD>") && red.matches(".*[0-9]{16}.*"))
+      }
     }
+  }
+
+  test("pii: Luhn fold accepts known-valid and rejects perturbed card numbers") {
+    import spark.implicits._
+    // 4539578763621486 is Luhn-valid (standard test number); any
+    // single-digit perturbation of the check digit must fail
+    val cards = Seq("4539578763621486" -> true, "4539578763621487" -> false,
+      "4539578763621485" -> false, "0000000000000000" -> true).toDF("card", "want")
+    val got = cards.select(col("want"), PiiOps.luhnOk(col("card")).as("ok")).collect()
+    got.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1), r.toString))
   }
 
   test("boilerplate: shared shingles flagged on both sides, unique docs score zero") {
