@@ -228,8 +228,13 @@ object GeoOps {
         require(budget > 0, s"cell pair budget must be positive, got $budget")
         val nl = c.groupBy("cx", "cy").agg(count(lit(1)).as("_nl"))
         val nr = s.groupBy("cx", "cy").agg(count(lit(1)).as("_nr"))
+        // overflow-safe strict-product test: for positive longs,
+        // _nl·_nr > B ⟺ _nl > B div _nr (the raw product would wrap
+        // negative at exactly the extreme per-cell populations the
+        // budget exists to defend against, silently passing the
+        // hottest cell)
         val hot = nl.join(nr, Seq("cx", "cy"))
-          .filter(col("_nl") * col("_nr") > budget)
+          .filter(col("_nl") > expr(s"CAST($budget AS BIGINT) div _nr"))
           .select(col("cx"), col("cy"))
         (c.join(broadcast(hot), Seq("cx", "cy"), "left_anti"),
           s.join(broadcast(hot), Seq("cx", "cy"), "left_anti"))
@@ -240,6 +245,26 @@ object GeoOps {
       .filter(col("dist_km") <= CellRadiusKm)
       .select(col("s_suppkey"), col("c_custkey"), col("dist_km"))
   }
+
+  /** The budget the registered degrade-path query consumes: sized so
+    * the sf0.1 verify gate proves a REAL cut (12 of 260 cells hold a
+    * 3420-pair bound > 3000 and are excluded) while sf0.01 (max bound
+    * 77) stays exact — both behaviors oracle-checked.
+    */
+  private[operators] val GeoCellBudget = 3000L
+
+  /** §2.B q_geo_cell_join_budgeted — [[geoCellJoinBudgeted]] with the
+    * dial CONSUMED IN-PLAN at [[GeoCellBudget]], registered so the
+    * degrade path itself passes the hash gate (the
+    * `q_session_overlap` discipline applied to the geo twin): the
+    * oracle is the naive all-pairs join minus exactly the pairs that
+    * meet in an over-budget cell — a pair's meeting cell is the pure
+    * cell function of its coordinates, so the cut is engine-
+    * reproducible, and the hot-cell test mirrors the same
+    * division-form strict-product comparison.
+    */
+  def geoCellJoinBudgetedQ(spark: SparkSession, dir: String): DataFrame =
+    geoCellJoinBudgeted(spark, dir, cellPairBudget = Some(GeoCellBudget))
 
   /** §2.B q_geo_cell_preflight — the go/no-go telemetry that informs
     * [[geoCellJoinBudgeted]]'s budget, the geo member of the pre-pair
@@ -265,6 +290,7 @@ object GeoOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_cell_join" -> (geoCellJoin _),
+    "q_geo_cell_join_budgeted" -> (geoCellJoinBudgetedQ _),
     "q_geo_cell_preflight" -> (geoCellPreflight _),
     "q_geo_radius" -> (geoRadius _),
     "q_geo_knn" -> (geoKnn _),
@@ -307,6 +333,39 @@ object GeoOps {
          |       round(${sqlHav("s_lat", "s_lon", "c_lat", "c_lon")}, 3) dist_km
          |FROM s CROSS JOIN c
          |WHERE round(${sqlHav("s_lat", "s_lon", "c_lat", "c_lon")}, 3) <= $CellRadiusKm
+         |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    // the budgeted degrade path: the naive join minus pairs whose
+    // MEETING cell (the customer's — each qualifying pair meets in
+    // exactly one bucket) is over budget; the hot test mirrors the
+    // Spark side's overflow-safe division form of nl*nr > budget
+    "q_geo_cell_join_budgeted" ->
+      s"""WITH s AS (
+         |  SELECT s_suppkey, ${sqlLat("(s_suppkey + 7)")} s_lat,
+         |         ${sqlLon("(s_suppkey + 7)")} s_lon
+         |  FROM supplier
+         |), c AS (
+         |  SELECT c_custkey, ${sqlLat("c_custkey")} c_lat,
+         |         ${sqlLon("c_custkey")} c_lon,
+         |         ((c_custkey * 40503) % 1000) // $CellIx cx,
+         |         ((c_custkey * 69427) % 1000) // $CellIy cy
+         |  FROM customer
+         |), cp AS (
+         |  SELECT cx, cy, count(*) nl FROM c GROUP BY 1, 2
+         |), sp AS (
+         |  SELECT (((s_suppkey + 7) * 40503) % 1000) // $CellIx + t1.dx cx,
+         |         (((s_suppkey + 7) * 69427) % 1000) // $CellIy + t2.dy cy,
+         |         count(*) nr
+         |  FROM supplier, range(-1, 2) t1(dx), range(-1, 2) t2(dy)
+         |  GROUP BY 1, 2
+         |), hot AS (
+         |  SELECT cx, cy FROM cp JOIN sp USING (cx, cy)
+         |  WHERE nl > $GeoCellBudget // nr
+         |)
+         |SELECT s_suppkey, c_custkey,
+         |       round(${sqlHav("s_lat", "s_lon", "c_lat", "c_lon")}, 3) dist_km
+         |FROM s CROSS JOIN c
+         |WHERE round(${sqlHav("s_lat", "s_lon", "c_lat", "c_lon")}, 3) <= $CellRadiusKm
+         |  AND NOT EXISTS (SELECT 1 FROM hot WHERE hot.cx = c.cx AND hot.cy = c.cy)
          |ORDER BY s_suppkey, c_custkey""".stripMargin,
     // mirrors the cell-key derivation exactly: point side carries its
     // one cell, probe side counts AFTER the 3×3 neighbor explode, so
