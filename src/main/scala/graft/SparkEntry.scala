@@ -26,7 +26,8 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.MultimodalOps.queries ++
       operators.CorpusOps.queries ++
-      operators.PiiOps.queries
+      operators.PiiOps.queries ++
+      operators.HybridOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,6 +45,7 @@ object SparkEntry {
     operators.MultimodalOps.oracle ++
     operators.CorpusOps.oracle ++
     operators.PiiOps.oracle ++
+    operators.HybridOps.oracle ++
     Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

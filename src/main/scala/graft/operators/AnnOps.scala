@@ -20,7 +20,7 @@ import graft.sources.Tables
   */
 object AnnOps {
   private val K = 5
-  private val NProbes = 10
+  private[operators] val NProbes = 10
   private[graft] val Dim = 64
   private val LshBands = 8
   private val LshBits = 8
@@ -70,7 +70,16 @@ object AnnOps {
   }
 
   /** Exact brute-force top-k cosine per probe vector. */
-  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+  def annTopK(spark: SparkSession, dir: String): DataFrame =
+    exactCosineTopK(spark, dir, K)
+
+  /** The exact arm at a caller-chosen k — [[annTopK]]'s body,
+    * parameterized so the hybrid lexical+vector fusion can take a
+    * deeper candidate list without duplicating the plan. One
+    * streaming pass of the corpus against the broadcast probe set,
+    * bounded per-probe top-k.
+    */
+  private[operators] def exactCosineTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
@@ -81,7 +90,7 @@ object AnnOps {
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(VectorExpressions.cosineNative(
         col("probe_emb"), col("probe_nrm"), col("embedding"), col("nrm")), 6))
-    probeTopKDesc(scored, col("cos"), K, Seq("vec_id", "cos"))
+    probeTopKDesc(scored, col("cos"), k, Seq("vec_id", "cos"))
       .orderBy("probe_id", "rnk")
   }
 

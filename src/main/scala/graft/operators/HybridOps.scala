@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.H — hybrid lexical+vector retrieval: reciprocal rank fusion
+  * (Cormack, Clarke & Buettcher 2009) of the BM25 arm and the exact
+  * cosine arm — the standard RAG-era retrieval composition (every
+  * production vector store ships it as "hybrid search"). RRF is
+  * rank-based and integer-friendly: `score(d) = Σ_arms 1/(k + rank)`
+  * with k = [[RrfK]], so the oracle reproduces the fusion exactly
+  * from the two arms' (integer) ranks — no score normalization across
+  * heterogeneous scales, the reason RRF beats score interpolation in
+  * practice and the reason it hash-checks cleanly here.
+  *
+  * 100 TB: each arm is already scale-shaped (BM25 = one scan + a
+  * bounded global top-k; exact cosine = one streaming pass against
+  * broadcast probes — swap in the IVF path unchanged when the corpus
+  * outgrows brute force). The fusion itself touches only the arms'
+  * top-k lists: ≤ probes × (|lex| + |vec|) rows, constant in corpus
+  * size.
+  */
+object HybridOps {
+
+  private[operators] val RrfK = 60
+  private[operators] val VecArmK = 20
+  private[operators] val HybridTopK = 10
+
+  /** The fusion core, factored for the spec's planted-doc test: both
+    * inputs carry (probe_id, doc_id, <arm>_rnk); a doc absent from an
+    * arm contributes 0 from it. Per-probe top-[[HybridTopK]] by
+    * (rrf desc, doc_id) through the ANN family's mergeable bounded
+    * top-k — the fused input is bounded by construction (arm top-k
+    * lists only), never corpus-sized.
+    */
+  private[operators] def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val fused = lex.join(vec, Seq("probe_id", "doc_id"), "full_outer")
+      .select(col("probe_id"), col("doc_id"), col("lex_rnk"), col("vec_rnk"),
+        round(
+          when(col("lex_rnk").isNotNull, lit(1.0) / (lit(RrfK) + col("lex_rnk")))
+            .otherwise(lit(0.0)) +
+          when(col("vec_rnk").isNotNull, lit(1.0) / (lit(RrfK) + col("vec_rnk")))
+            .otherwise(lit(0.0)), 6).as("rrf"))
+    AnnOps.probeTopKDesc(
+        fused.withColumnRenamed("doc_id", "vec_id"), col("rrf"), HybridTopK,
+        Seq("vec_id", "lex_rnk", "vec_rnk", "rrf"))
+      .withColumnRenamed("vec_id", "doc_id")
+      .select(col("probe_id"), col("doc_id"), col("lex_rnk"), col("vec_rnk"),
+        col("rrf"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** §2.H q_hybrid_rank — per probe, fuse the corpus BM25 top-k (the
+    * lexical arm, shared across probes — the fixed text query) with
+    * the probe's exact cosine top-[[VecArmK]] (the vector arm,
+    * doc_id ≡ vec_id on this corpus). The probe's own document is
+    * excluded from both arms, matching the ANN family's convention.
+    */
+  def hybridRank(spark: SparkSession, dir: String): DataFrame = {
+    val lex = TextOps.bm25(spark, dir).select(col("doc_id"), col("rnk").as("lex_rnk"))
+    val vec = AnnOps.exactCosineTopK(spark, dir, VecArmK)
+      .select(col("probe_id"), col("vec_id").as("doc_id"), col("rnk").as("vec_rnk"))
+    val probes = spark.range(AnnOps.NProbes).select(col("id").as("probe_id"))
+    val lexPerProbe = probes.crossJoin(broadcast(lex))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id"), col("lex_rnk"))
+    rrfFuse(lexPerProbe, vec)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_rank" -> (hybridRank _))
+
+  val oracle: Map[String, String] = Map(
+    // both arms re-derived exactly (the registered q_bm25 and
+    // q_ann_topk mirrors at the hybrid arm depths), then the same
+    // rank-only fusion — NULL rank ≡ 0 contribution
+    "q_hybrid_rank" -> {
+      import TextOps.{Bm25K1, Bm25B, Bm25Query, Bm25TopK}
+      val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+         |dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT count(*) n_docs, avg(dl) avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) tf FROM tok
+         |       WHERE term IN ($terms) GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |                   * (tf * ${Bm25K1 + 1.0}
+         |                      / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)))
+         |                   * 1e6, 0) AS BIGINT)) / 1e6, 6) score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+         |  GROUP BY tf.doc_id, dl
+         |), lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) lex_rnk
+         |  FROM sc QUALIFY lex_rnk <= $Bm25TopK
+         |), e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (SELECT vec_id probe_id, embedding probe_emb FROM e WHERE vec_id < ${AnnOps.NProbes}),
+         |xs AS (
+         |  SELECT p.probe_id, e.vec_id doc_id,
+         |         ${AnnOps.sqlCos("p.probe_emb", "e.embedding")} cos
+         |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id
+         |), vec AS (
+         |  SELECT probe_id, doc_id,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, doc_id) vec_rnk
+         |  FROM xs QUALIFY vec_rnk <= $VecArmK
+         |), lexp AS (
+         |  SELECT t.i probe_id, lex.doc_id, lex.lex_rnk
+         |  FROM range(0, ${AnnOps.NProbes}) t(i) CROSS JOIN lex
+         |  WHERE lex.doc_id <> t.i
+         |), fused AS (
+         |  SELECT coalesce(l.probe_id, v.probe_id) probe_id,
+         |         coalesce(l.doc_id, v.doc_id) doc_id,
+         |         l.lex_rnk, v.vec_rnk,
+         |         round(coalesce(1.0 / ($RrfK + l.lex_rnk), 0)
+         |             + coalesce(1.0 / ($RrfK + v.vec_rnk), 0), 6) rrf
+         |  FROM lexp l FULL OUTER JOIN vec v
+         |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id
+         |)
+         |SELECT probe_id, doc_id, lex_rnk, vec_rnk, rrf,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) rnk
+         |FROM fused QUALIFY rnk <= $HybridTopK
+         |ORDER BY probe_id, rnk""".stripMargin
+    })
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Guards for the hybrid lexical+vector RRF fusion. */
+class HybridSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("RRF fusion equals a driver-side replica of 1/(60+rank) over the two arms") {
+    val lex = TextOps.bm25(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rnk")).toMap
+    val vec = AnnOps.exactCosineTopK(spark, sf, HybridOps.VecArmK).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")) -> r.getAs[Long]("rnk"))
+      .toMap
+    def r6(v: Double) =
+      BigDecimal.valueOf(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // replica: per probe, fuse over the union of arm candidates
+    val expected = (0L until AnnOps.NProbes.toLong).flatMap { p =>
+      val cands = (lex.keySet.filter(_ != p) ++
+        vec.keySet.collect { case (`p`, d) => d }).toSeq
+      cands.map { d =>
+        val s = lex.get(d).filter(_ => d != p).map(r => 1.0 / (HybridOps.RrfK + r)).getOrElse(0.0) +
+          vec.get((p, d)).map(r => 1.0 / (HybridOps.RrfK + r)).getOrElse(0.0)
+        (p, d, r6(s))
+      }.sortBy { case (_, d, s) => (-s, d) }
+        .take(HybridOps.HybridTopK).zipWithIndex
+        .map { case ((pp, d, s), i) => (pp, d, s, i + 1L) }
+    }.toSet
+    val got = HybridOps.hybridRank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf"), r.getAs[Long]("rnk"))).toSet
+    assert(got === expected)
+  }
+
+  test("fusion beats each single arm on a planted mid-ranked-everywhere relevant doc") {
+    import spark.implicits._
+    // doc 100 is rank 3 in BOTH arms; docs 1/2 top their single arm
+    // but are absent from the other — RRF must put 100 first:
+    // 2/(60+3) = 0.031746 > 1/(60+1) = 0.016393
+    val lex = Seq((0L, 1L, 1L), (0L, 10L, 2L), (0L, 100L, 3L))
+      .toDF("probe_id", "doc_id", "lex_rnk")
+    val vec = Seq((0L, 2L, 1L), (0L, 20L, 2L), (0L, 100L, 3L))
+      .toDF("probe_id", "doc_id", "vec_rnk")
+    val fused = HybridOps.rrfFuse(lex, vec).collect().sortBy(_.getAs[Long]("rnk"))
+    assert(fused.head.getAs[Long]("doc_id") === 100L,
+      "the doc relevant to BOTH arms must outrank every single-arm winner")
+    assert(fused.head.getAs[Double]("rrf") === 0.031746)
+    // single arms rank the planted doc only 3rd
+    assert(fused.filter(_.getAs[Long]("doc_id") == 100L).head.getAs[Long]("rnk") === 1L)
+  }
+}
