@@ -495,7 +495,71 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  /** §2.K q_curate_e2e — the COMPOSED curation pipeline as one
+    * registered query, the proof the suite's stages compose in ONE
+    * DAG: exact (normalized) dedup → trained-LR quality keep →
+    * benchmark-doc + contamination drop → per-source cap → shard
+    * assignment, all on a SINGLE scan of the document table.
+    *
+    * Stage plumbing, deliberately artifact-shaped:
+    *  - the ONE corpus projection carries every per-doc input
+    *    (normalized hash, the three LR features, the bench flag,
+    *    n_chars) — stages after it are window/filter/join nodes over
+    *    that scan, never a re-read;
+    *  - the LR weights arrive as SCALAR LITERALS from the memoized
+    *    trained artifact ([[TextOps.lrWeights]] — 4 doubles, the
+    *    bounded driver state the training family already owns);
+    *  - the contaminated-id set is a BOUNDED side artifact
+    *    (materialized once via localCheckpoint, like the trainer's
+    *    feature frame) and joins back broadcast-anti — the e2e plan
+    *    itself reads the parquet exactly once (spec-asserted);
+    *  - the per-source cap uses the hierarchical two-window layout of
+    *    [[sourceCapBucketed]] (ranked on the trained p_quality, not
+    *    the rule score — the pipeline consumes its own upstream);
+    *  - the final packing window runs over the CAP-BOUNDED survivor
+    *    set (≤ |sources| × [[SourceCap]] rows by construction), so the
+    *    per-lang running sum is safe at any corpus size.
+    *
+    * The oracle recomposes the identical stages (shared unrolled-LR
+    * prefix, the dedup/contamination mirrors, the same rank cuts), so
+    * the WHOLE pipeline passes the hash gate end to end.
+    */
+  def curateE2e(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.lrWeights(spark, dir)
+    val contamIds = contamination(spark, dir)
+      .select("doc_id").localCheckpoint(true)
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("h"),
+      TextOps.lrX1.as("x1"), TextOps.lrX2.as("x2"), TextOps.lrX3.as("x3"),
+      (bucket(col("text"), 20) === 0).as("is_bench"))
+    val dedupW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val survivors = base
+      .withColumn("dup_rn", row_number().over(dedupW)).filter(col("dup_rn") === 1)
+      .withColumn("p_quality", TextOps.lrP(w))
+      .filter(col("p_quality") >= 0.5 && !col("is_bench"))
+      .join(broadcast(contamIds), Seq("doc_id"), "left_anti")
+    val local = Window.partitionBy(col("source"), expr(s"doc_id DIV $CapBucketWidth"))
+      .orderBy(col("p_quality").desc, col("doc_id"))
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("p_quality").desc, col("doc_id"))
+    val capped = survivors
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= SourceCap)
+      .withColumn("src_rnk", row_number().over(global)).filter(col("src_rnk") <= SourceCap)
+    val pack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    capped
+      .withColumn("est_tokens", ceil(col("n_chars") / 4.0).cast("long"))
+      .withColumn("cum_tokens", sum(col("est_tokens")).over(pack))
+      .withColumn("shard", expr(s"(cum_tokens - est_tokens) DIV $ShardBudget"))
+      .select(col("doc_id"), col("source"), col("lang"), col("p_quality"),
+        col("src_rnk").cast("long").as("src_rnk"),
+        col("est_tokens"), col("cum_tokens"), col("shard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate_e2e" -> (curateE2e _),
     "q_bootstrap_ci" -> (bootstrapCi _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_weighted_sample" -> (weightedSample _),
@@ -514,6 +578,63 @@ object CorpusOps {
   private val sqlBucket = "('0x' || substr(md5(text), 1, 8))::BIGINT % 10"
 
   val oracle: Map[String, String] = Map(
+    // the composed pipeline, stage for stage: the shared unrolled-LR
+    // prefix scores every doc, the q_dedup_normalized mirror picks
+    // representatives, the q_contamination mirror flags grams-overlap
+    // docs, then the same p_quality/bench filters, per-source rank cut,
+    // and per-lang packing window
+    "q_curate_e2e" ->
+      s"""WITH ${TextOps.sqlLrPrefix},
+         |lrsc AS MATERIALIZED (
+         |  SELECT doc_id, round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) p_quality
+         |  FROM f CROSS JOIN ws${TextOps.LrSteps}
+         |), nh AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) h,
+         |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 20 = 0 is_bench
+         |  FROM documents
+         |), keep1 AS (
+         |  SELECT * FROM nh
+         |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+         |), ct AS (
+         |  SELECT doc_id, string_split(text, ' ') toks,
+         |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 20 = 0 is_bench
+         |  FROM documents
+         |), cg AS MATERIALIZED (
+         |  SELECT doc_id, is_bench,
+         |         unnest(list_distinct(list_transform(
+         |           range(1, greatest(len(toks) - ${ContamK - 1}, 0) + 1),
+         |           i -> array_to_string(toks[i:i+${ContamK - 1}], ' ')))) gram
+         |  FROM ct
+         |), chot AS (
+         |  SELECT gram FROM cg GROUP BY gram HAVING count(*) > $ContamDfCap
+         |), ckept AS MATERIALIZED (
+         |  SELECT * FROM cg WHERE gram NOT IN (SELECT gram FROM chot)
+         |), contam AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM (SELECT doc_id, gram FROM ckept WHERE NOT is_bench) t
+         |  JOIN (SELECT gram FROM ckept WHERE is_bench) b USING (gram)
+         |), surv AS (
+         |  SELECT k.doc_id, k.source, k.lang, k.n_chars, s.p_quality
+         |  FROM keep1 k JOIN lrsc s USING (doc_id)
+         |  WHERE s.p_quality >= 0.5 AND NOT k.is_bench
+         |    AND k.doc_id NOT IN (SELECT doc_id FROM contam)
+         |), capped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |                               ORDER BY p_quality DESC, doc_id) src_rnk
+         |  FROM surv QUALIFY src_rnk <= $SourceCap
+         |), packed AS (
+         |  SELECT doc_id, source, lang, p_quality, src_rnk,
+         |         CAST(ceil(n_chars / 4.0) AS BIGINT) est_tokens,
+         |         CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT))
+         |           OVER (PARTITION BY lang ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_tokens
+         |  FROM capped
+         |)
+         |SELECT doc_id, source, lang, p_quality, CAST(src_rnk AS BIGINT) src_rnk,
+         |       est_tokens, cum_tokens,
+         |       (cum_tokens - est_tokens) // $ShardBudget AS shard
+         |FROM packed ORDER BY doc_id""".stripMargin,
     "q_bootstrap_ci" -> {
       val wSql = PoisThresholds.map(t =>
         s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")

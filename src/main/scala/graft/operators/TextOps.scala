@@ -775,15 +775,22 @@ object TextOps {
   private[operators] val LrRate = 5.0
   private[operators] val LrThreshold = 0.7
 
+  /** The three LR feature expressions over `text` — ONE copy, shared
+    * by [[lrFeatures]] and the composed curation pipeline's single
+    * document scan ([[CorpusOps.curateE2e]]).
+    */
+  private[operators] def lrX1: Column =
+    round(least(lit(1.0), length(col("text")) / lit(400.0)), 6)
+  private[operators] def lrX2: Column = round(stopRatioCol, 6)
+  private[operators] def lrX3: Column = round(punctRatioCol, 6)
+
   /** The logistic-regression feature frame: rounded-6 features (so
     * both engines train on bit-identical inputs) + the rule label.
     */
   private def lrFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      round(least(lit(1.0), length(col("text")) / lit(400.0)), 6).as("x1"),
-      round(stopRatioCol, 6).as("x2"),
-      round(punctRatioCol, 6).as("x3"),
+      lrX1.as("x1"), lrX2.as("x2"), lrX3.as("x3"),
       when(qualityCol >= LrThreshold, 1.0).otherwise(0.0).as("y"))
 
   /** Spec window into the exact feature frame the trainer reads. */
@@ -802,7 +809,7 @@ object TextOps {
     * JVM Math.exp and an external engine's libm from ever entering
     * the training arithmetic.
     */
-  private def lrP(w: Array[Double]): Column =
+  private[operators] def lrP(w: Array[Double]): Column =
     round(lit(1.0) / (lit(1.0) + exp(-(lit(w(0)) + lit(w(1)) * col("x1") +
       lit(w(2)) * col("x2") + lit(w(3)) * col("x3")))), 6)
 
@@ -823,39 +830,68 @@ object TextOps {
     * it implies — exactly. QualityLrSpec pins the distributed loop
     * against a driver-side replica and that the distilled scorer
     * actually beats the majority class.
+    *
+    * RESIDUAL BOUNDARY RISK, documented deliberately: unlike the
+    * integer-exact trained artifacts (q_dsir_weights, q_bootstrap_ci,
+    * the BPE counts), this loop rounds FLOATING-POINT quantities (libm
+    * exp in the sigmoid, an unordered distributed gradient sum) at
+    * each of the 20 compounding steps. A pre-rounding value landing
+    * within an ulp of a .5 boundary at the 7th decimal on some future
+    * corpus or engine build could flip a weight and diverge the whole
+    * tail. Mitigations in place: the gradient sum's inputs are
+    * themselves round-6 (bounded terms, sums far from the boundary in
+    * practice), and ConfParitySpec RETRAINS under hostile configs and
+    * must land on identical weights — so a boundary flip surfaces as
+    * a loud spec failure, not silent drift. Full immunity would need
+    * an integer-quantized sigmoid (a lookup table in micro-units),
+    * traded away here to keep the trainer the standard float GD the
+    * workload actually uses.
     */
   def qualityLr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (w, f) = lrTrained(spark, dir)
-    val m = f.select(count(lit(1)).as("n"),
+    val w = lrTrained(spark, dir)
+    val m = lrFeatures(spark, dir).select(count(lit(1)).as("n"),
       round(avg(when((lrP(w) >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)), 6).as("acc"))
       .collect()(0)
     Seq((m.getLong(0), w(0), w(1), w(2), w(3), m.getDouble(1)))
       .toDF("n_docs", "w_bias", "w_len", "w_stop", "w_punct", "train_acc")
   }
 
-  /** The session's ONE training run per dir — q_quality_lr and
-    * q_quality_lr_score share it (the trainMemoized contract; driver
-    * state = 4 doubles). The CHECKPOINTED feature frame is memoized
-    * alongside the weights so downstream readouts (the accuracy
-    * aggregation, the serve-side scoring) reuse it instead of paying
-    * a second full-corpus feature scan.
+  /** The session's ONE training run per dir — q_quality_lr,
+    * q_quality_lr_score and the composed curation pipeline share it
+    * (the trainMemoized contract). Only the 4-element WEIGHT vector
+    * is memoized: the feature frame is persisted for the 20-step loop
+    * and released in `finally` the moment training ends (readouts
+    * recompute the cheap codegen'd projection instead), so no
+    * block-manager memory is retained per (session, dir) for the
+    * session lifetime.
     */
   private val lrMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], DataFrame)]()
-  private def lrTrained(spark: SparkSession, dir: String): (Array[Double], DataFrame) =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private def lrTrained(spark: SparkSession, dir: String): Array[Double] =
     lrMemo.computeIfAbsent(s"${spark.hashCode()}|$dir", { _ =>
-      val f = lrFeatures(spark, dir).localCheckpoint(true)
-      val n = f.count().toDouble
-      var w = Array(0.0, 0.0, 0.0, 0.0)
-      for (_ <- 1 to LrSteps) {
-        val d = lrP(w) - col("y")
-        val g = f.select(sum(d), sum(d * col("x1")), sum(d * col("x2")), sum(d * col("x3")))
-          .collect()(0)
-        w = Array.tabulate(4)(j => r6(w(j) - LrRate * r6(g.getDouble(j) / n)))
+      val f = lrFeatures(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = f.count().toDouble
+        var w = Array(0.0, 0.0, 0.0, 0.0)
+        for (_ <- 1 to LrSteps) {
+          val d = lrP(w) - col("y")
+          val g = f.select(sum(d), sum(d * col("x1")), sum(d * col("x2")), sum(d * col("x3")))
+            .collect()(0)
+          w = Array.tabulate(4)(j => r6(w(j) - LrRate * r6(g.getDouble(j) / n)))
+        }
+        w
+      } finally {
+        f.unpersist(blocking = false)
       }
-      (w, f)
     })
+
+  /** The trained weight vector alone — the bounded artifact the
+    * composed curation pipeline consumes as scalar literals.
+    */
+  private[operators] def lrWeights(spark: SparkSession, dir: String): Array[Double] =
+    lrTrained(spark, dir)
 
   /** Drop every session-scoped trained-artifact cache (LR weights +
     * frames here, BPE merges in [[BpeTrainer]]) — ConfParitySpec
@@ -877,8 +913,8 @@ object TextOps {
     * once per session (memoized weights).
     */
   def qualityLrScore(spark: SparkSession, dir: String): DataFrame = {
-    val (w, f) = lrTrained(spark, dir)
-    f.select(col("doc_id"), lrP(w).as("p_quality"), col("y"))
+    val w = lrTrained(spark, dir)
+    lrFeatures(spark, dir).select(col("doc_id"), lrP(w).as("p_quality"), col("y"))
       .select(col("doc_id"), col("p_quality"),
         (col("p_quality") >= 0.5).as("pred_keep"), (col("y") === 1.0).as("rule_keep"))
       .orderBy("doc_id")
@@ -980,17 +1016,26 @@ object TextOps {
        |),
        |${(1 to BpeMerges).map(sqlBpeRound).mkString(",\n")}""".stripMargin
 
+  /** The shared unrolled-training oracle prefix (feature frame +
+    * [[LrSteps]] chained GD steps ending at `ws$LrSteps`) — ONE copy
+    * serving both LR oracles and the composed curation pipeline's
+    * mirror ([[CorpusOps]]). Embedded content never begins a line
+    * with `|`, so an outer `.stripMargin` leaves it intact.
+    */
+  private[operators] def sqlLrPrefix: String =
+    s"""f AS MATERIALIZED (
+       |  SELECT doc_id, round(least(1.0, length(text) / 400.0), 6) x1,
+       |         round($SqlStopRatio, 6) x2,
+       |         round($SqlPunctRatio, 6) x3,
+       |         (CASE WHEN $SqlQuality >= $LrThreshold THEN 1.0 ELSE 0.0 END)::DOUBLE y
+       |  FROM documents
+       |), nn AS (SELECT count(*)::DOUBLE n FROM f),
+       |ws0 AS (SELECT 0.0 w0, 0.0 w1, 0.0 w2, 0.0 w3),
+       |${(1 to LrSteps).map(sqlLrStep).mkString(",\n")}""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_quality_lr" ->
-      s"""WITH f AS MATERIALIZED (
-         |  SELECT doc_id, round(least(1.0, length(text) / 400.0), 6) x1,
-         |         round($SqlStopRatio, 6) x2,
-         |         round($SqlPunctRatio, 6) x3,
-         |         (CASE WHEN $SqlQuality >= $LrThreshold THEN 1.0 ELSE 0.0 END)::DOUBLE y
-         |  FROM documents
-         |), nn AS (SELECT count(*)::DOUBLE n FROM f),
-         |ws0 AS (SELECT 0.0 w0, 0.0 w1, 0.0 w2, 0.0 w3),
-         |${(1 to LrSteps).map(sqlLrStep).mkString(",\n")},
+      s"""WITH $sqlLrPrefix,
          |acc AS (
          |  SELECT round(avg(CASE WHEN
          |      (round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) >= 0.5)
@@ -1003,15 +1048,7 @@ object TextOps {
          |       (SELECT a FROM acc) train_acc
          |FROM ws$LrSteps""".stripMargin,
     "q_quality_lr_score" ->
-      s"""WITH f AS MATERIALIZED (
-         |  SELECT doc_id, round(least(1.0, length(text) / 400.0), 6) x1,
-         |         round($SqlStopRatio, 6) x2,
-         |         round($SqlPunctRatio, 6) x3,
-         |         (CASE WHEN $SqlQuality >= $LrThreshold THEN 1.0 ELSE 0.0 END)::DOUBLE y
-         |  FROM documents
-         |), nn AS (SELECT count(*)::DOUBLE n FROM f),
-         |ws0 AS (SELECT 0.0 w0, 0.0 w1, 0.0 w2, 0.0 w3),
-         |${(1 to LrSteps).map(sqlLrStep).mkString(",\n")}
+      s"""WITH $sqlLrPrefix
          |SELECT doc_id,
          |  round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) p_quality,
          |  (round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) >= 0.5) pred_keep,
