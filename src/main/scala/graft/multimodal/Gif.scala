@@ -1,0 +1,150 @@
+package graft.multimodal
+
+import java.awt.image.{BufferedImage, IndexColorModel}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.{IIOImage, ImageIO}
+
+/** REAL multi-frame (animated) GIF decode — the de-stubbed VIDEO half
+  * of the media path. [[Png]]/[[Jpeg]] de-stubbed the still-image
+  * codecs; GIF is the one CONTAINER format with a frame sequence the
+  * JDK decodes natively (`javax.imageio`'s GIF plugin reads and
+  * writes image SEQUENCES, headless-safe, no external library), so
+  * the frame-sampling query can walk a genuine container — frame
+  * count from the stream, per-frame decoded pixels — instead of
+  * [[Blob]]'s fixed-size byte segmentation. The remaining stub
+  * boundary is now exactly H.264-class video.
+  *
+  * Synthesis is deterministic from the text corpus, the frame-wise
+  * analogue of [[Bmp]]'s pixel rule: frame f is a [[FrameW]]×[[FrameH]]
+  * GRAYSCALE image whose pixel p (row-major) is text byte
+  * f·[[FramePx]]+p (0 beyond the end). Grayscale-indexed is the
+  * honest choice for GIF: the format is 8-bit palette-indexed with
+  * LOSSLESS LZW, so an explicit 256-gray palette round-trips pixel
+  * values bit-exactly — no quantization caveat (contrast JPEG's
+  * documented 4:2:0 loss).
+  *
+  * 100 TB shape: encode and decode run inside the mapPartitions batch
+  * boundary (codec + reader state amortized per task, the [[Blob]]
+  * contract), blob bytes never ride a shuffle, output is one slim row
+  * per SAMPLED frame (every [[SampleStride]]-th — the standard
+  * keyframe-ish thinning, decode cost cut by the stride while frame
+  * ordinals stay true to the container).
+  */
+object Gif {
+
+  val FrameW = 16
+  val FrameH = 4
+  val FramePx: Int = FrameW * FrameH
+  val SampleStride = 3
+
+  private val GrayPalette: IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Encode `text` as a real animated GIF via the JDK writer's
+    * sequence API: ceil(len/[[FramePx]]) frames, explicit 256-gray
+    * palette (lossless round-trip of the byte values).
+    */
+  def synth(text: String): Array[Byte] = {
+    require(text.forall(_ < 0x80),
+      "gif synth input must be ASCII; non-ASCII would diverge from the oracle")
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    require(bytes.nonEmpty, "gif synth input must be non-empty")
+    val nFrames = (bytes.length + FramePx - 1) / FramePx
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    // the JDK GIF writer interlaces by default; write sequential
+    // scanlines so the stored row order is the raster row order
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new BufferedImage(FrameW, FrameH, BufferedImage.TYPE_BYTE_INDEXED, GrayPalette)
+      val raster = img.getRaster
+      var p = 0
+      while (p < FramePx) {
+        val k = f * FramePx + p
+        raster.setSample(p % FrameW, p / FrameW, 0,
+          if (k < bytes.length) bytes(k) & 0xff else 0)
+        p += 1
+      }
+      writer.writeToSequence(new IIOImage(img, null, null), param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** One decoded sampled frame's features: pixel-value sum and max
+    * (the max is an order statistic — it catches a single corrupted
+    * pixel a sum could mask), plus the container's TRUE frame count.
+    */
+  case class GifFrame(frameIdx: Int, nFrames: Int, pxSum: Long, pxMax: Int)
+
+  /** REAL container walk: the reader reports the stream's frame count
+    * (`getNumImages(true)` scans the container), and every
+    * `stride`-th frame is DECODED (LZW inflate + palette lookup);
+    * features come from decoded pixels only, never from the input
+    * text, so a codec or frame-order bug diverges the oracle hash.
+    * A truncated/corrupted stream fails loudly (IOException from the
+    * reader), matching the suite's no-silent-decode-failure stance.
+    */
+  def parseSampled(gif: Array[Byte], stride: Int = SampleStride): Seq[GifFrame] = {
+    require(gif.length >= 6 && gif(0) == 'G'.toByte && gif(1) == 'I'.toByte &&
+      gif(2) == 'F'.toByte, "not a GIF container")
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(gif))
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      (0 until n by stride).map { i =>
+        val img = reader.read(i)
+        var sum = 0L
+        var mx = 0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = img.getRGB(x, y) & 0xff
+            sum += v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        GifFrame(i, n, sum, mx)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** One output row per SAMPLED frame. */
+  case class GifRow(doc_id: Long, frame_idx: Long, n_frames: Long,
+      px_sum: Long, px_max: Long)
+
+  /** End-to-end pipeline over a (doc_id, text) frame: synthesize →
+    * REAL animated-GIF encode → REAL container walk + sampled decode →
+    * per-frame features, one mapPartitions pass (the
+    * [[Blob]] batch boundary).
+    */
+  def features(spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[GifRow] = {
+    import spark.implicits._
+    docs.selectExpr("cast(doc_id as long) doc_id", "text").as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          parseSampled(synth(text)).map(fr =>
+            GifRow(id, fr.frameIdx.toLong, fr.nFrames.toLong, fr.pxSum, fr.pxMax.toLong))
+        }
+      }
+  }
+}

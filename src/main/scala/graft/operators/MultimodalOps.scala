@@ -209,7 +209,36 @@ object MultimodalOps {
       .select(col("doc_id"), col("width"), col("height"), col("n_px"),
         col("decode_ok"))
 
+  /** §2.J q_gif_frames — REAL multi-frame container decode via the
+    * JDK's GIF sequence reader (graft.multimodal.Gif): the video-path
+    * frame sampler upgraded from [[frameSample]]'s fixed-size byte
+    * segmentation to a genuine container walk — the stream's own
+    * frame count, every 3rd frame LZW-decoded through the explicit
+    * 256-gray palette (lossless, no quantization caveat), features
+    * from decoded pixels only. The remaining media stub is exactly
+    * H.264-class video.
+    */
+  private val GifOracleMaxFrames = 16
+
+  def gifFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Gif.features(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+          // same loud-ceiling discipline as guardFrameBound: the GIF
+          // oracle enumerates at most GifOracleMaxFrames frames/blob
+          .filter(assert_true(
+            length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
+            lit(s"blob exceeds ${GifOracleMaxFrames * graft.multimodal.Gif.FramePx} " +
+              s"bytes: the DuckDB gif mirror enumerates at most $GifOracleMaxFrames " +
+              "frames/blob (range(0, 16)); widen the oracle range and this guard together"))
+            .isNull))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("px_sum"), col("px_max"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gif_frames" -> (gifFrames _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_bmp_features" -> (bmpFeatures _),
     "q_png_features" -> (pngFeatures _),
@@ -220,6 +249,33 @@ object MultimodalOps {
     "q_wav_features" -> (wavFeatures _))
 
   val oracle: Map[String, String] = Map(
+    // ground-truth per-frame features from the SAME text the Spark
+    // side encodes into an animated GIF: frame f's pixel p (row-major
+    // on the 16×4 canvas) is text byte 64f+p (0 beyond the end);
+    // every 3rd frame sampled; n_frames = ceil(len/64)
+    "q_gif_frames" -> {
+      val fp = graft.multimodal.Gif.FramePx
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) len,
+         |         (length(text) + ${fp - 1}) // $fp AS nf
+         |  FROM documents WHERE length(text) > 0
+         |), fr AS (
+         |  SELECT doc_id, len, nf, text, t.i f
+         |  FROM d, range(0, $GifOracleMaxFrames) t(i)
+         |  WHERE t.i < nf AND t.i % ${graft.multimodal.Gif.SampleStride} = 0
+         |), px AS (
+         |  SELECT doc_id, nf, f,
+         |         list_transform(range(0, $fp),
+         |           p -> CASE WHEN f * $fp + p < len
+         |                     THEN ord(substring(text, f * $fp + p + 1, 1))
+         |                     ELSE 0 END) vals
+         |  FROM fr
+         |)
+         |SELECT doc_id, CAST(f AS BIGINT) frame_idx, CAST(nf AS BIGINT) n_frames,
+         |       CAST(list_sum(vals) AS BIGINT) px_sum,
+         |       CAST(list_max(vals) AS BIGINT) px_max
+         |FROM px ORDER BY doc_id, frame_idx""".stripMargin
+    },
     "q_bmp_features" ->
       // ground-truth image features from the SAME text the Spark side
       // synthesizes its BMP from: pixel p has R/G/B = text bytes
