@@ -33,6 +33,13 @@ import javax.imageio.{IIOImage, ImageIO}
   */
 object Gif {
 
+  // ImageIO's default image streams are DISK-backed (a temp FILE per
+  // blob — FileCacheImageInput/OutputStream); for per-blob in-memory
+  // codec work that file churn dominates the actual encode/decode.
+  // Memory-cached streams instead; the object initializer runs once
+  // per executor JVM when the mapPartitions closure first touches it.
+  ImageIO.setUseCache(false)
+
   val FrameW = 16
   val FrameH = 4
   val FramePx: Int = FrameW * FrameH
@@ -45,9 +52,19 @@ object Gif {
 
   /** Encode `text` as a real animated GIF via the JDK writer's
     * sequence API: ceil(len/[[FramePx]]) frames, explicit 256-gray
-    * palette (lossless round-trip of the byte values).
+    * palette (lossless round-trip of the byte values). One-shot
+    * convenience over [[synthWith]] — the pipeline amortizes the
+    * writer per task instead.
     */
-  def synth(text: String): Array[Byte] = {
+  def synth(text: String): Array[Byte] =
+    synthWith(ImageIO.getImageWritersByFormatName("gif").next(), text)
+
+  /** [[synth]] against a CALLER-OWNED (per-task) writer instance —
+    * ImageIO service lookup and plugin construction are the dominant
+    * per-blob overhead at corpus scale; `writer.reset()` makes the
+    * instance reusable across blobs inside one mapPartitions task.
+    */
+  private def synthWith(writer: javax.imageio.ImageWriter, text: String): Array[Byte] = {
     require(text.forall(_ < 0x80),
       "gif synth input must be ASCII; non-ASCII would diverge from the oracle")
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -55,7 +72,6 @@ object Gif {
     val nFrames = (bytes.length + FramePx - 1) / FramePx
     val out = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(out)
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
     writer.setOutput(ios)
     // the JDK GIF writer interlaces by default; write sequential
     // scanlines so the stored row order is the raster row order
@@ -78,7 +94,7 @@ object Gif {
     }
     writer.endWriteSequence()
     ios.close()
-    writer.dispose()
+    writer.reset()
     out.toByteArray
   }
 
@@ -96,11 +112,18 @@ object Gif {
     * A truncated/corrupted stream fails loudly (IOException from the
     * reader), matching the suite's no-silent-decode-failure stance.
     */
-  def parseSampled(gif: Array[Byte], stride: Int = SampleStride): Seq[GifFrame] = {
+  def parseSampled(gif: Array[Byte], stride: Int = SampleStride): Seq[GifFrame] =
+    parseSampledWith(ImageIO.getImageReadersByFormatName("gif").next(), gif, stride)
+
+  /** [[parseSampled]] against a caller-owned per-task reader —
+    * `reader.reset()` (not dispose) after each blob keeps the plugin
+    * instance reusable across a mapPartitions task.
+    */
+  private def parseSampledWith(reader: javax.imageio.ImageReader,
+      gif: Array[Byte], stride: Int): Seq[GifFrame] = {
     require(gif.length >= 6 && gif(0) == 'G'.toByte && gif(1) == 'I'.toByte &&
       gif(2) == 'F'.toByte, "not a GIF container")
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(gif))
-    val reader = ImageIO.getImageReadersByFormatName("gif").next()
     try {
       reader.setInput(iis, false, true)
       val n = reader.getNumImages(true)
@@ -122,7 +145,7 @@ object Gif {
         GifFrame(i, n, sum, mx)
       }
     } finally {
-      reader.dispose()
+      reader.reset()
       iis.close()
     }
   }
@@ -141,8 +164,14 @@ object Gif {
     import spark.implicits._
     docs.selectExpr("cast(doc_id as long) doc_id", "text").as[(Long, String)]
       .mapPartitions { rows =>
+        // ONE writer + ONE reader per task, reset between blobs — the
+        // ImageIO service lookup/plugin construction is the dominant
+        // per-blob overhead, exactly what the mapPartitions batch
+        // boundary exists to amortize
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
         rows.flatMap { case (id, text) =>
-          parseSampled(synth(text)).map(fr =>
+          parseSampledWith(reader, synthWith(writer, text), SampleStride).map(fr =>
             GifRow(id, fr.frameIdx.toLong, fr.nFrames.toLong, fr.pxSum, fr.pxMax.toLong))
         }
       }

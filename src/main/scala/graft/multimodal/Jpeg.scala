@@ -39,6 +39,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Jpeg {
 
+  // memory-cached ImageIO streams (the default is a temp FILE per
+  // blob — see the note in Gif.scala); once per executor JVM
+  ImageIO.setUseCache(false)
+
   val Quality = 0.9f
 
   /** `decode_ok` bound on mean |decoded − source| per image — wide

@@ -33,6 +33,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Png {
 
+  // memory-cached ImageIO streams (the default is a temp FILE per
+  // blob — see the note in Gif.scala); once per executor JVM
+  ImageIO.setUseCache(false)
+
   /** Encode the [[Bmp]]-rule pixels of `text` as a real PNG via
     * ImageIO — deflate-compressed, CRC-checked, viewable.
     */
