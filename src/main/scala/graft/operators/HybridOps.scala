@@ -75,7 +75,7 @@ object HybridOps {
     // q_ann_topk mirrors at the hybrid arm depths), then the same
     // rank-only fusion — NULL rank ≡ 0 contribution
     "q_hybrid_rank" -> {
-      import TextOps.{Bm25K1, Bm25B, Bm25Query, Bm25TopK}
+      import graft.operators.TextOps.{Bm25K1, Bm25B, Bm25Query, Bm25TopK}
       val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
          |dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY doc_id),
