@@ -27,7 +27,13 @@ class ConfParitySpec extends AnyFunSuite {
     // round-14 hard cases: iterative GD training (per-step gradient
     // sums are fp — the 6-decimal rounding choreography must absorb
     // partial-aggregation order changes) and a real-codec decode
-    "q_quality_lr", "q_png_features")
+    "q_quality_lr", "q_png_features",
+    // round-15 hard cases: the adaptive-nprobe dial (count-derived
+    // in-plan parameter must not depend on partition layout), the
+    // five-stage composed pipeline (windows + anti-joins + the
+    // trained-weight literals under a hostile retrain), the rank-only
+    // fusion, and the per-task-amortized multi-frame codec
+    "q_ann_ivf_filtered", "q_curate_e2e", "q_hybrid_rank", "q_gif_frames")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
