@@ -242,9 +242,13 @@ object AnnOps {
     * and the resulting candidate work stays ≈ √(1/sel) × the
     * unfiltered budget instead of growing with the corpus.
     */
-  private def filteredNprobeDial(e: DataFrame): DataFrame = {
-    val tot = e.groupBy().agg(count(lit(1)).as("n_total"))
-    e.groupBy(col("label").as("p_label")).agg(count(lit(1)).as("n_label"))
+  private[operators] def filteredNprobeDial(e: DataFrame): DataFrame = {
+    // grand total as a scalar aggregate OVER the per-label counts —
+    // the counts' exchange is reused (classBalance discipline), no
+    // second corpus scan just to count rows
+    val counts = e.groupBy(col("label").as("p_label")).agg(count(lit(1)).as("n_label"))
+    val tot = counts.agg(sum(col("n_label")).as("n_total"))
+    counts
       .crossJoin(broadcast(tot))
       .select(col("p_label"), col("n_label"), col("n_total"),
         explode(sequence(lit(IvfProbeCells), lit(IvfCells))).as("i"))

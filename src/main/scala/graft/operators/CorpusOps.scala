@@ -524,10 +524,31 @@ object CorpusOps {
     * prefix, the dedup/contamination mirrors, the same rank cuts), so
     * the WHOLE pipeline passes the hash gate end to end.
     */
+  /** ONE materialized contaminated-id artifact per (session, dir) —
+    * repeated q_curate_e2e calls (two verify SFs, bench passes,
+    * parity probes) reuse it instead of pinning a FRESH checkpoint
+    * each call (the accumulating-retention pattern advice #4 removed
+    * from the LR memo). Cleared — with its blocks unpersisted — by
+    * [[resetArtifactCaches]], which the parity spec's retrain reset
+    * reaches via [[TextOps.resetTrainedCaches]].
+    */
+  private val contamMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def contamIdsMemoized(spark: SparkSession, dir: String): DataFrame =
+    contamMemo.computeIfAbsent(s"${spark.hashCode()}|$dir", { _ =>
+      contamination(spark, dir).select("doc_id").localCheckpoint(true)
+    })
+
+  /** Drop the memoized derived-artifact frames and release their
+    * block-manager storage. */
+  private[graft] def resetArtifactCaches(): Unit = {
+    contamMemo.values().forEach(df => df.unpersist(blocking = false))
+    contamMemo.clear()
+  }
+
   def curateE2e(spark: SparkSession, dir: String): DataFrame = {
     val w = TextOps.lrWeights(spark, dir)
-    val contamIds = contamination(spark, dir)
-      .select("doc_id").localCheckpoint(true)
+    val contamIds = contamIdsMemoized(spark, dir)
     val base = Tables.documents(spark, dir).select(
       col("doc_id"), col("source"), col("lang"), col("n_chars"),
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("h"),

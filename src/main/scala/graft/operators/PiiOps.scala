@@ -79,29 +79,36 @@ object PiiOps {
       lit(" card "), base15, check.cast("string"))
   }
 
-  /** Per-kind span counts on the raw text — shared by detect and
-    * telemetry. Cards count only Luhn-VALID 16-digit matches.
+  /** The Luhn-VERIFIED card matches of `raw` — materialized ONCE as
+    * an intermediate column by both consumers: Spark's subexpression
+    * elimination skips lambda-bearing higher-order functions
+    * (ArrayFilter/ArrayAggregate), so referencing this expression
+    * twice would run the extraction + 16-step fold twice per row.
     */
-  private def spanCounts(raw: Column): Seq[(String, Column)] = Seq(
+  private def validCards(raw: Column): Column =
+    filter(regexp_extract_all(raw, lit(CardRe), lit(0)), luhnOk _)
+
+  /** Per-kind span counts — `cards` is the pre-materialized
+    * Luhn-valid array column. */
+  private def spanCounts(raw: Column, cards: Column): Seq[(String, Column)] = Seq(
     "emails" -> size(regexp_extract_all(raw, lit(EmailRe), lit(0))).cast("long"),
     "phones" -> size(regexp_extract_all(raw, lit(PhoneRe), lit(0))).cast("long"),
     "ids" -> size(regexp_extract_all(raw, lit(NricRe), lit(0))).cast("long"),
     "ips" -> size(regexp_extract_all(raw, lit(IpRe), lit(0))).cast("long"),
-    "cards" -> size(filter(regexp_extract_all(raw, lit(CardRe), lit(0)), luhnOk _)).cast("long"))
+    "cards" -> size(cards).cast("long"))
 
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val counts = spanCounts(col("raw"))
+    val counts = spanCounts(col("raw"), col("_cards"))
     // regex kinds rewrite in one chained projection; valid cards are
     // then replaced EXACTLY (string replace of each verified match —
     // a blanket [0-9]{16} regexp_replace would also scrub the
     // checksum-failing lookalikes the counts exclude)
     val base = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       col("raw"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), NricRe, "<ID>"), IpRe, "<IP>")
-    val redacted = aggregate(
-      filter(regexp_extract_all(col("raw"), lit(CardRe), lit(0)), luhnOk _),
-      base, (acc, c) => replace(acc, c, lit("<CARD>")))
+    val redacted = aggregate(col("_cards"), base, (acc, c) => replace(acc, c, lit("<CARD>")))
     Tables.customer(spark, dir)
       .select(col("c_custkey"), decoratedRaw.as("raw"))
+      .withColumn("_cards", validCards(col("raw")))
       .select(col("c_custkey") +: col("raw") +:
         counts.map { case (kind, c) => c.as(s"n_$kind") } :+ redacted.as("redacted"): _*)
   }
@@ -116,10 +123,11 @@ object PiiOps {
     * scan + one keyed aggregation; output bounded by |nations|.
     */
   def piiStats(spark: SparkSession, dir: String): DataFrame = {
-    val counts = spanCounts(col("raw"))
+    val counts = spanCounts(col("raw"), col("_cards"))
     val total = counts.map(_._2).reduce(_ + _)
     Tables.customer(spark, dir)
       .select(col("c_nationkey"), decoratedRaw.as("raw"))
+      .withColumn("_cards", validCards(col("raw")))
       .select(col("c_nationkey") +:
         counts.map { case (kind, c) => c.as(s"n_$kind") } :+ total.as("nt"): _*)
       .groupBy("c_nationkey")

@@ -901,6 +901,7 @@ object TextOps {
   private[graft] def resetTrainedCaches(): Unit = {
     lrMemo.clear()
     BpeTrainer.resetMemo()
+    CorpusOps.resetArtifactCaches()
   }
 
   /** §2.I q_quality_lr_score — the SERVE side of the trained quality

@@ -68,23 +68,20 @@ class AnnIvfSpec extends AnyFunSuite {
       .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
     def expectedNp(nLabel: Long): Int =
       (4 to 16).find(i => i.toLong * i * nLabel >= 16L * nTotal).getOrElse(16)
-    // read the dial OFF the registered query: per probe label, the
-    // number of distinct cells its candidates could have come from is
-    // bounded by np; stronger, recompute the rule and check the probe
-    // cell-rank cut directly against a driver-side replica
-    val probeLabels = e.filter(col("vec_id") < 10)
-      .select("vec_id", "label").collect()
-      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
-    // replica of rankedProbeCells + dial cut, via the public query's
-    // candidate set: every (probe, cell) candidate cell must rank
-    // within expectedNp(label) by centroid cosine
-    val dialRows = probeLabels.values.toSeq.distinct.map(l => l -> expectedNp(labCounts(l)))
-    dialRows.foreach { case (_, np) => assert(np >= 4 && np <= 16) }
+    // the PRODUCTION dial, not a test-side replica: filteredNprobeDial
+    // must reproduce the integer rule exactly for every label
+    val dial = AnnOps.filteredNprobeDial(
+        e.select(col("vec_id"), col("embedding"), col("label")))
+      .collect().map(r => r.getAs[Number](0).longValue() -> r.getInt(1)).toMap
+    assert(dial.keySet === labCounts.keySet)
+    dial.foreach { case (l, np) =>
+      assert(np === expectedNp(labCounts(l)), s"label $l: dial $np")
+      assert(np >= 4 && np <= 16)
+    }
     // with ~10% selectivity per label the 1/sqrt(sel) rule lands at
     // 12-14 cells — adaptive (not the fixed 4) and not the degenerate
     // all-cells scan
-    assert(dialRows.map(_._2).forall(np => np > 4 && np < 16),
-      s"dial degenerated: $dialRows")
+    assert(dial.values.forall(np => np > 4 && np < 16), s"dial degenerated: $dial")
   }
 
   test("filtered-search preflight: shares sum to 1 per cell, populations sum to the corpus") {

@@ -94,16 +94,19 @@ class GeoCellJoinSpec extends AnyFunSuite {
 
   test("registered budgeted query: non-binding at sf0.01 (equals exact), binding at sf0.1 by bound") {
     val dir = "/root/testdata/sf0.01"
-    // GeoCellBudget (3000) exceeds every sf0.01 cell bound, so the
-    // registered degrade path must equal the registered exact join
+    // THE registered budget, not a copied literal — retuning
+    // GeoCellBudget keeps this spec describing the shipped dial
+    val budget = GeoOps.GeoCellBudget
+    // the budget exceeds every sf0.01 cell bound, so the registered
+    // degrade path must equal the registered exact join
     val maxBound = GeoOps.geoCellPreflight(spark, dir)
       .agg(max(col("pair_bound"))).collect()(0).getLong(0)
-    assert(maxBound < 3000L, s"budget no longer non-binding at sf0.01 (max bound $maxBound)")
+    assert(maxBound < budget, s"budget no longer non-binding at sf0.01 (max bound $maxBound)")
     assert(asSet(GeoOps.geoCellJoinBudgetedQ(spark, dir)) === asSet(GeoOps.geoCellJoin(spark, dir)))
     // at sf0.1 the PRE-JOIN bound already proves the cut is real —
     // cheap (two count aggs), no pair work at spec time
     val hot01 = GeoOps.geoCellPreflight(spark, "/root/testdata/sf0.1")
-      .filter(col("pair_bound") > 3000L).count()
+      .filter(col("pair_bound") > budget).count()
     assert(hot01 >= 1L, "budget must cut at least one sf0.1 cell")
   }
 
