@@ -291,8 +291,14 @@ object AnnOps {
         .select(col("vec_id"), col("cell"))
     })
 
+  /** [[annIvf]]'s pipeline at a caller-chosen k — the vector arm of
+    * the IVF-backed hybrid fusion reuses the plan unchanged.
+    */
+  private[operators] def ivfTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    annIvfAssigned(spark, dir, assignCells, k)
+
   private def annIvfAssigned(spark: SparkSession, dir: String,
-      assignFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      assignFn: (DataFrame, DataFrame) => DataFrame, k: Int = K): DataFrame = {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
@@ -307,7 +313,7 @@ object AnnOps {
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(VectorExpressions.cosineNative(
         col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
-    probeTopKDesc(scored, col("cos"), K, Seq("vec_id", "cos"))
+    probeTopKDesc(scored, col("cos"), k, Seq("vec_id", "cos"))
       .orderBy("probe_id", "rnk")
   }
 

@@ -579,8 +579,69 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** §2.K q_curate_funnel — the ATTRITION telemetry of the composed
+    * pipeline (the preflight-family discipline applied to
+    * [[curateE2e]]): one row per stage with the surviving document
+    * count and the kept fraction — the funnel a curation operator
+    * reads to see WHERE the corpus is going before shipping the
+    * composed output. Stage semantics and order mirror curateE2e
+    * EXACTLY (dedup → quality → bench drop → decontaminate → cap);
+    * the first five counts come from ONE aggregation over a flagged
+    * single-scan frame (conditional sums over cumulative stage
+    * flags), the cap count from the same two-window survivor frame
+    * the e2e query ships. Output is 6 rows regardless of corpus size.
+    */
+  def curateFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.lrWeights(spark, dir)
+    val contamIds = contamIdsMemoized(spark, dir)
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("h"),
+      TextOps.lrX1.as("x1"), TextOps.lrX2.as("x2"), TextOps.lrX3.as("x3"),
+      (bucket(col("text"), 20) === 0).as("is_bench"))
+    val dedupW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val flagged = base
+      .withColumn("d", row_number().over(dedupW) === 1)
+      .withColumn("q", TextOps.lrP(w) >= 0.5)
+      .join(broadcast(contamIds.withColumn("_contam", lit(true))), Seq("doc_id"), "left")
+      .withColumn("c", coalesce(col("_contam"), lit(false)))
+    val survivors = flagged
+      .filter(col("d") && col("q") && !col("is_bench") && !col("c"))
+    val local = Window.partitionBy(col("source"), expr(s"doc_id DIV $CapBucketWidth"))
+      .orderBy(col("p_quality").desc, col("doc_id"))
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("p_quality").desc, col("doc_id"))
+    val nCapped = survivors
+      .withColumn("p_quality", TextOps.lrP(w))
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= SourceCap)
+      .withColumn("src_rnk", row_number().over(global)).filter(col("src_rnk") <= SourceCap)
+      .groupBy().agg(count(lit(1)).as("n5"))
+    def n(cond: org.apache.spark.sql.Column) = sum(when(cond, 1L).otherwise(0L))
+    flagged.groupBy().agg(
+        count(lit(1)).as("n0"),
+        n(col("d")).as("n1"),
+        n(col("d") && col("q")).as("n2"),
+        n(col("d") && col("q") && !col("is_bench")).as("n3"),
+        n(col("d") && col("q") && !col("is_bench") && !col("c")).as("n4"))
+      .crossJoin(nCapped)
+      .selectExpr(
+        """stack(6,
+          |  CAST(0 AS BIGINT), 'total', n0,
+          |  CAST(1 AS BIGINT), 'after_dedup', n1,
+          |  CAST(2 AS BIGINT), 'after_quality', n2,
+          |  CAST(3 AS BIGINT), 'after_bench_drop', n3,
+          |  CAST(4 AS BIGINT), 'after_decontam', n4,
+          |  CAST(5 AS BIGINT), 'after_cap', n5
+          |) AS (stage_idx, stage, n_docs)""".stripMargin,
+        "n0")
+      .select(col("stage_idx"), col("stage"), col("n_docs"),
+        round(col("n_docs") / col("n0").cast("double"), 6).as("kept_frac"))
+      .orderBy("stage_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate_e2e" -> (curateE2e _),
+    "q_curate_funnel" -> (curateFunnel _),
     "q_bootstrap_ci" -> (bootstrapCi _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_weighted_sample" -> (weightedSample _),
@@ -598,49 +659,56 @@ object CorpusOps {
 
   private val sqlBucket = "('0x' || substr(md5(text), 1, 8))::BIGINT % 10"
 
+  /** The composed pipeline's shared oracle CTE chain (through the
+    * `surv` survivor set) — ONE copy serving q_curate_e2e and its
+    * funnel telemetry: the unrolled-LR prefix scores every doc, the
+    * q_dedup_normalized mirror picks representatives, the
+    * q_contamination mirror flags grams-overlap docs, then the same
+    * p_quality/bench/decontam filters.
+    */
+  private def curateStagesSql: String =
+    s"""${TextOps.sqlLrPrefix},
+       |lrsc AS MATERIALIZED (
+       |  SELECT doc_id, round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) p_quality
+       |  FROM f CROSS JOIN ws${TextOps.LrSteps}
+       |), nh AS (
+       |  SELECT doc_id, source, lang, n_chars,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) h,
+       |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 20 = 0 is_bench
+       |  FROM documents
+       |), keep1 AS MATERIALIZED (
+       |  SELECT * FROM nh
+       |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+       |), ct AS (
+       |  SELECT doc_id, string_split(text, ' ') toks,
+       |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 20 = 0 is_bench
+       |  FROM documents
+       |), cg AS MATERIALIZED (
+       |  SELECT doc_id, is_bench,
+       |         unnest(list_distinct(list_transform(
+       |           range(1, greatest(len(toks) - ${ContamK - 1}, 0) + 1),
+       |           i -> array_to_string(toks[i:i+${ContamK - 1}], ' ')))) gram
+       |  FROM ct
+       |), chot AS (
+       |  SELECT gram FROM cg GROUP BY gram HAVING count(*) > $ContamDfCap
+       |), ckept AS MATERIALIZED (
+       |  SELECT * FROM cg WHERE gram NOT IN (SELECT gram FROM chot)
+       |), contam AS MATERIALIZED (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, gram FROM ckept WHERE NOT is_bench) t
+       |  JOIN (SELECT gram FROM ckept WHERE is_bench) b USING (gram)
+       |), surv AS MATERIALIZED (
+       |  SELECT k.doc_id, k.source, k.lang, k.n_chars, s.p_quality
+       |  FROM keep1 k JOIN lrsc s USING (doc_id)
+       |  WHERE s.p_quality >= 0.5 AND NOT k.is_bench
+       |    AND k.doc_id NOT IN (SELECT doc_id FROM contam)
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // the composed pipeline, stage for stage: the shared unrolled-LR
-    // prefix scores every doc, the q_dedup_normalized mirror picks
-    // representatives, the q_contamination mirror flags grams-overlap
-    // docs, then the same p_quality/bench filters, per-source rank cut,
-    // and per-lang packing window
+    // the composed pipeline, stage for stage, then the per-source
+    // rank cut and per-lang packing window
     "q_curate_e2e" ->
-      s"""WITH ${TextOps.sqlLrPrefix},
-         |lrsc AS MATERIALIZED (
-         |  SELECT doc_id, round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) p_quality
-         |  FROM f CROSS JOIN ws${TextOps.LrSteps}
-         |), nh AS (
-         |  SELECT doc_id, source, lang, n_chars,
-         |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) h,
-         |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 20 = 0 is_bench
-         |  FROM documents
-         |), keep1 AS (
-         |  SELECT * FROM nh
-         |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
-         |), ct AS (
-         |  SELECT doc_id, string_split(text, ' ') toks,
-         |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 20 = 0 is_bench
-         |  FROM documents
-         |), cg AS MATERIALIZED (
-         |  SELECT doc_id, is_bench,
-         |         unnest(list_distinct(list_transform(
-         |           range(1, greatest(len(toks) - ${ContamK - 1}, 0) + 1),
-         |           i -> array_to_string(toks[i:i+${ContamK - 1}], ' ')))) gram
-         |  FROM ct
-         |), chot AS (
-         |  SELECT gram FROM cg GROUP BY gram HAVING count(*) > $ContamDfCap
-         |), ckept AS MATERIALIZED (
-         |  SELECT * FROM cg WHERE gram NOT IN (SELECT gram FROM chot)
-         |), contam AS (
-         |  SELECT DISTINCT t.doc_id
-         |  FROM (SELECT doc_id, gram FROM ckept WHERE NOT is_bench) t
-         |  JOIN (SELECT gram FROM ckept WHERE is_bench) b USING (gram)
-         |), surv AS (
-         |  SELECT k.doc_id, k.source, k.lang, k.n_chars, s.p_quality
-         |  FROM keep1 k JOIN lrsc s USING (doc_id)
-         |  WHERE s.p_quality >= 0.5 AND NOT k.is_bench
-         |    AND k.doc_id NOT IN (SELECT doc_id FROM contam)
-         |), capped AS (
+      s"""WITH $curateStagesSql, capped AS (
          |  SELECT *, row_number() OVER (PARTITION BY source
          |                               ORDER BY p_quality DESC, doc_id) src_rnk
          |  FROM surv QUALIFY src_rnk <= $SourceCap
@@ -656,6 +724,30 @@ object CorpusOps {
          |       est_tokens, cum_tokens,
          |       (cum_tokens - est_tokens) // $ShardBudget AS shard
          |FROM packed ORDER BY doc_id""".stripMargin,
+    // the same stage chain, counted: cumulative survivors per stage +
+    // kept fraction vs the raw corpus
+    "q_curate_funnel" ->
+      s"""WITH $curateStagesSql, n5 AS (
+         |  SELECT count(*) n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source
+         |                                 ORDER BY p_quality DESC, doc_id) src_rnk
+         |    FROM surv QUALIFY src_rnk <= $SourceCap)
+         |), funnel AS (
+         |  SELECT CAST(0 AS BIGINT) stage_idx, 'total' stage,
+         |         (SELECT count(*) FROM nh) n_docs
+         |  UNION ALL SELECT 1, 'after_dedup', (SELECT count(*) FROM keep1)
+         |  UNION ALL SELECT 2, 'after_quality',
+         |    (SELECT count(*) FROM keep1 k JOIN lrsc s USING (doc_id)
+         |     WHERE s.p_quality >= 0.5)
+         |  UNION ALL SELECT 3, 'after_bench_drop',
+         |    (SELECT count(*) FROM keep1 k JOIN lrsc s USING (doc_id)
+         |     WHERE s.p_quality >= 0.5 AND NOT k.is_bench)
+         |  UNION ALL SELECT 4, 'after_decontam', (SELECT count(*) FROM surv)
+         |  UNION ALL SELECT 5, 'after_cap', (SELECT n FROM n5)
+         |)
+         |SELECT stage_idx, stage, CAST(n_docs AS BIGINT) n_docs,
+         |       round(n_docs / (SELECT count(*) FROM nh)::DOUBLE, 6) kept_frac
+         |FROM funnel ORDER BY stage_idx""".stripMargin,
     "q_bootstrap_ci" -> {
       val wSql = PoisThresholds.map(t =>
         s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")

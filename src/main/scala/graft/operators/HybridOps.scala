@@ -67,35 +67,78 @@ object HybridOps {
     rrfFuse(lexPerProbe, vec)
   }
 
+  /** §2.H q_hybrid_rank_ivf — the hybrid fusion's 100 TB vector arm,
+    * PROVEN not just claimed: identical fusion ([[rrfFuse]], same RRF
+    * constant, same tie-breaks, same lexical arm) with the exact
+    * cosine arm swapped for [[AnnOps.ivfTopK]]'s cell-bounded IVF
+    * search at the same arm depth. Only the arm changes; the oracle
+    * mirrors the registered q_ann_ivf pipeline at that depth, so the
+    * scale-path composition is itself hash-gated.
+    */
+  def hybridRankIvf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = TextOps.bm25(spark, dir).select(col("doc_id"), col("rnk").as("lex_rnk"))
+    val vec = AnnOps.ivfTopK(spark, dir, VecArmK)
+      .select(col("probe_id"), col("vec_id").as("doc_id"), col("rnk").as("vec_rnk"))
+    val probes = spark.range(AnnOps.NProbes).select(col("id").as("probe_id"))
+    val lexPerProbe = probes.crossJoin(broadcast(lex))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id"), col("lex_rnk"))
+    rrfFuse(lexPerProbe, vec)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_hybrid_rank" -> (hybridRank _))
+    "q_hybrid_rank" -> (hybridRank _),
+    "q_hybrid_rank_ivf" -> (hybridRankIvf _))
+
+  /** The shared oracle skeleton: BM25 lexical arm (verbatim the
+    * registered q_bm25 mirror at [[TextOps.Bm25TopK]]) + a supplied
+    * `vec(probe_id, doc_id, vec_rnk)` CTE + the rank-only fusion.
+    * NULL rank ≡ 0 contribution.
+    */
+  private def fusionSql(vecCte: String): String = {
+    import graft.operators.TextOps.{Bm25K1, Bm25B, Bm25Query, Bm25TopK}
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+       |dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) n_docs, avg(dl) avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) tf FROM tok
+       |       WHERE term IN ($terms) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         round(sum(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |                   * (tf * ${Bm25K1 + 1.0}
+       |                      / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)))
+       |                   * 1e6, 0) AS BIGINT)) / 1e6, 6) score
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+       |  GROUP BY tf.doc_id, dl
+       |), lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) lex_rnk
+       |  FROM sc QUALIFY lex_rnk <= $Bm25TopK
+       |), e AS (SELECT vec_id, embedding FROM embeddings),
+       |$vecCte, lexp AS (
+       |  SELECT t.i probe_id, lex.doc_id, lex.lex_rnk
+       |  FROM range(0, ${AnnOps.NProbes}) t(i) CROSS JOIN lex
+       |  WHERE lex.doc_id <> t.i
+       |), fused AS (
+       |  SELECT coalesce(l.probe_id, v.probe_id) probe_id,
+       |         coalesce(l.doc_id, v.doc_id) doc_id,
+       |         l.lex_rnk, v.vec_rnk,
+       |         round(coalesce(1.0 / ($RrfK + l.lex_rnk), 0)
+       |             + coalesce(1.0 / ($RrfK + v.vec_rnk), 0), 6) rrf
+       |  FROM lexp l FULL OUTER JOIN vec v
+       |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id
+       |)
+       |SELECT probe_id, doc_id, lex_rnk, vec_rnk, rrf,
+       |       row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) rnk
+       |FROM fused QUALIFY rnk <= $HybridTopK
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
-    // both arms re-derived exactly (the registered q_bm25 and
-    // q_ann_topk mirrors at the hybrid arm depths), then the same
-    // rank-only fusion — NULL rank ≡ 0 contribution
-    "q_hybrid_rank" -> {
-      import graft.operators.TextOps.{Bm25K1, Bm25B, Bm25Query, Bm25TopK}
-      val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
-         |dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY doc_id),
-         |st AS (SELECT count(*) n_docs, avg(dl) avgdl FROM dl),
-         |tf AS (SELECT doc_id, term, count(*) tf FROM tok
-         |       WHERE term IN ($terms) GROUP BY doc_id, term),
-         |df AS (SELECT term, count(*) df FROM tf GROUP BY term),
-         |sc AS (
-         |  SELECT tf.doc_id,
-         |         round(sum(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |                   * (tf * ${Bm25K1 + 1.0}
-         |                      / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)))
-         |                   * 1e6, 0) AS BIGINT)) / 1e6, 6) score
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
-         |  GROUP BY tf.doc_id, dl
-         |), lex AS (
-         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) lex_rnk
-         |  FROM sc QUALIFY lex_rnk <= $Bm25TopK
-         |), e AS (SELECT vec_id, embedding FROM embeddings),
-         |p AS (SELECT vec_id probe_id, embedding probe_emb FROM e WHERE vec_id < ${AnnOps.NProbes}),
+    // exact cosine arm (the registered q_ann_topk mirror at arm depth)
+    "q_hybrid_rank" -> fusionSql(
+      s"""p AS (SELECT vec_id probe_id, embedding probe_emb FROM e WHERE vec_id < ${AnnOps.NProbes}),
          |xs AS (
          |  SELECT p.probe_id, e.vec_id doc_id,
          |         ${AnnOps.sqlCos("p.probe_emb", "e.embedding")} cos
@@ -104,22 +147,31 @@ object HybridOps {
          |  SELECT probe_id, doc_id,
          |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, doc_id) vec_rnk
          |  FROM xs QUALIFY vec_rnk <= $VecArmK
-         |), lexp AS (
-         |  SELECT t.i probe_id, lex.doc_id, lex.lex_rnk
-         |  FROM range(0, ${AnnOps.NProbes}) t(i) CROSS JOIN lex
-         |  WHERE lex.doc_id <> t.i
-         |), fused AS (
-         |  SELECT coalesce(l.probe_id, v.probe_id) probe_id,
-         |         coalesce(l.doc_id, v.doc_id) doc_id,
-         |         l.lex_rnk, v.vec_rnk,
-         |         round(coalesce(1.0 / ($RrfK + l.lex_rnk), 0)
-         |             + coalesce(1.0 / ($RrfK + v.vec_rnk), 0), 6) rrf
-         |  FROM lexp l FULL OUTER JOIN vec v
-         |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id
-         |)
-         |SELECT probe_id, doc_id, lex_rnk, vec_rnk, rrf,
-         |       row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) rnk
-         |FROM fused QUALIFY rnk <= $HybridTopK
-         |ORDER BY probe_id, rnk""".stripMargin
-    })
+         |)""".stripMargin),
+    // IVF arm (the registered q_ann_ivf mirror at arm depth) — same
+    // fusion, only the arm changes
+    "q_hybrid_rank_ivf" -> fusionSql(
+      s"""cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < ${AnnOps.IvfCells}),
+         |asg AS (
+         |  SELECT e.vec_id, cell, ${AnnOps.sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), pc AS (
+         |  SELECT p.vec_id probe_id, cell, ${AnnOps.sqlCos("c_emb", "p.embedding")} ccos
+         |  FROM e p CROSS JOIN cents WHERE p.vec_id < ${AnnOps.NProbes}
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= ${AnnOps.IvfProbeCells}
+         |), cand AS (
+         |  SELECT pc.probe_id, asg.vec_id
+         |  FROM asg JOIN pc USING (cell)
+         |  WHERE asg.vec_id <> pc.probe_id
+         |), ivfsc AS (
+         |  SELECT cand.probe_id, cand.vec_id doc_id,
+         |         ${AnnOps.sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |), vec AS (
+         |  SELECT probe_id, doc_id,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, doc_id) vec_rnk
+         |  FROM ivfsc QUALIFY vec_rnk <= $VecArmK
+         |)""".stripMargin))
 }

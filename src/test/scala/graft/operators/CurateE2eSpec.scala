@@ -52,6 +52,20 @@ class CurateE2eSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel telemetry: monotone attrition, stage-exact vs the composed output") {
+    val f = CorpusOps.curateFunnel(spark, sf).collect().sortBy(_.getAs[Long]("stage_idx"))
+    assert(f.map(_.getAs[String]("stage")).toSeq === Seq(
+      "total", "after_dedup", "after_quality", "after_bench_drop",
+      "after_decontam", "after_cap"))
+    val ns = f.map(_.getAs[Long]("n_docs"))
+    ns.zip(ns.tail).foreach { case (a, b) => assert(a >= b, ns.mkString(",")) }
+    // the funnel's mouth is the corpus, its throat is EXACTLY the
+    // composed pipeline's output
+    assert(ns.head === graft.sources.Tables.documents(spark, sf).count())
+    assert(ns.last === CorpusOps.curateE2e(spark, sf).count())
+    assert(f.head.getAs[Double]("kept_frac") === 1.0)
+  }
+
   test("the composed plan scans the document table exactly once") {
     // the trained weights are literals and the contaminated-id set is
     // a pre-materialized bounded artifact, so the registered query's

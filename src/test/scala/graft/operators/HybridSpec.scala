@@ -36,6 +36,27 @@ class HybridSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("IVF-armed hybrid: same fusion, arm swap only — shares the lexical arm and fuses IVF ranks") {
+    val exact = HybridOps.hybridRank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("doc_id"))).toSet
+    val ivf = HybridOps.hybridRankIvf(spark, sf).collect()
+    assert(ivf.groupBy(_.getAs[Long]("probe_id")).size === 10)
+    // the IVF arm prunes (nprobe/cells of the corpus), so the fused
+    // set may differ — but the LEXICAL contributions are shared, so
+    // overlap with the exact-armed fusion must stay substantial
+    val ivfSet = ivf.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("doc_id"))).toSet
+    val overlap = ivfSet.intersect(exact).size.toDouble / exact.size
+    assert(overlap > 0.5, s"ivf-armed fusion diverged too far: $overlap")
+    // a doc ranked by BOTH arms must carry both rank columns
+    ivf.filter(r => !r.isNullAt(r.fieldIndex("lex_rnk")) && !r.isNullAt(r.fieldIndex("vec_rnk")))
+      .foreach { r =>
+        val expected = BigDecimal.valueOf(
+          1.0 / (60 + r.getAs[Long]("lex_rnk")) + 1.0 / (60 + r.getAs[Long]("vec_rnk")))
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("rrf") === expected)
+      }
+  }
+
   test("fusion beats each single arm on a planted mid-ranked-everywhere relevant doc") {
     import spark.implicits._
     // doc 100 is rank 3 in BOTH arms; docs 1/2 top their single arm
