@@ -30,7 +30,13 @@ class AuditBaselineSpec extends AnyFunSuite {
     "q_lsh_bucket_stats" -> Map("md5(" -> 3),              // per-row-cheap band keys
     "q_minhash_est_error" -> Map("shinglesexpr" -> 2, "shinglepostingsgen" -> 2, "md5(" -> 6), // minhash baseline + est path
     "q_minhash_recall" -> Map("shinglepostingsgen" -> 2, "md5(" -> 4), // truth + found pipelines
-    "q_scd2_incremental" -> Map("md5(" -> 2))              // base/delta op tags
+    "q_scd2_incremental" -> Map("md5(" -> 2),              // base/delta op tags
+    // funnel readout: the flagged single-scan frame feeds TWO
+    // consumers (the 5-stage count aggregation and the survivor-
+    // bounded cap-count branch), so its two content hashes evaluate
+    // once per consumer — re-running the cheap projection beats a
+    // barrier, the same documented trade as q_contamination
+    "q_curate_funnel" -> Map("md5(" -> 2))
 
   test("no registered query exceeds the adjudicated multi-site whitelist") {
     val offenders = AuditEval.sweep(spark, TestSpark.Sf).flatMap {
