@@ -546,14 +546,21 @@ object CorpusOps {
     contamMemo.clear()
   }
 
+  /** The curation stages' per-doc projection — ONE copy shared by the
+    * batch pipeline, its funnel, and the streaming ingest gate
+    * ([[graft.streaming.CurateStream]]): normalized-content hash, the
+    * three LR features, the benchmark-slice flag.
+    */
+  private[graft] def curateBase(d: DataFrame): DataFrame = d.select(
+    col("doc_id"), col("source"), col("lang"), col("n_chars"),
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("h"),
+    TextOps.lrX1.as("x1"), TextOps.lrX2.as("x2"), TextOps.lrX3.as("x3"),
+    (bucket(col("text"), 20) === 0).as("is_bench"))
+
   def curateE2e(spark: SparkSession, dir: String): DataFrame = {
     val w = TextOps.lrWeights(spark, dir)
     val contamIds = contamIdsMemoized(spark, dir)
-    val base = Tables.documents(spark, dir).select(
-      col("doc_id"), col("source"), col("lang"), col("n_chars"),
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("h"),
-      TextOps.lrX1.as("x1"), TextOps.lrX2.as("x2"), TextOps.lrX3.as("x3"),
-      (bucket(col("text"), 20) === 0).as("is_bench"))
+    val base = curateBase(Tables.documents(spark, dir))
     val dedupW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val survivors = base
       .withColumn("dup_rn", row_number().over(dedupW)).filter(col("dup_rn") === 1)
@@ -594,11 +601,7 @@ object CorpusOps {
   def curateFunnel(spark: SparkSession, dir: String): DataFrame = {
     val w = TextOps.lrWeights(spark, dir)
     val contamIds = contamIdsMemoized(spark, dir)
-    val base = Tables.documents(spark, dir).select(
-      col("doc_id"), col("source"),
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("h"),
-      TextOps.lrX1.as("x1"), TextOps.lrX2.as("x2"), TextOps.lrX3.as("x3"),
-      (bucket(col("text"), 20) === 0).as("is_bench"))
+    val base = curateBase(Tables.documents(spark, dir))
     val dedupW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val flagged = base
       .withColumn("d", row_number().over(dedupW) === 1)

@@ -809,7 +809,7 @@ object TextOps {
     * JVM Math.exp and an external engine's libm from ever entering
     * the training arithmetic.
     */
-  private[operators] def lrP(w: Array[Double]): Column =
+  private[graft] def lrP(w: Array[Double]): Column =
     round(lit(1.0) / (lit(1.0) + exp(-(lit(w(0)) + lit(w(1)) * col("x1") +
       lit(w(2)) * col("x2") + lit(w(3)) * col("x3")))), 6)
 
@@ -890,7 +890,7 @@ object TextOps {
   /** The trained weight vector alone — the bounded artifact the
     * composed curation pipeline consumes as scalar literals.
     */
-  private[operators] def lrWeights(spark: SparkSession, dir: String): Array[Double] =
+  private[graft] def lrWeights(spark: SparkSession, dir: String): Array[Double] =
     lrTrained(spark, dir)
 
   /** Drop every session-scoped trained-artifact cache (LR weights +
