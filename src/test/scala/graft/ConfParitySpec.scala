@@ -33,7 +33,8 @@ class ConfParitySpec extends AnyFunSuite {
     // five-stage composed pipeline (windows + anti-joins + the
     // trained-weight literals under a hostile retrain), the rank-only
     // fusion, and the per-task-amortized multi-frame codec
-    "q_ann_ivf_filtered", "q_curate_e2e", "q_hybrid_rank", "q_gif_frames")
+    "q_ann_ivf_filtered", "q_curate_e2e", "q_hybrid_rank", "q_gif_frames",
+    "q_hybrid_rank_ivf", "q_curate_funnel")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
