@@ -557,23 +557,34 @@ object CorpusOps {
     TextOps.lrX1.as("x1"), TextOps.lrX2.as("x2"), TextOps.lrX3.as("x3"),
     (bucket(col("text"), 20) === 0).as("is_bench"))
 
-  def curateE2e(spark: SparkSession, dir: String): DataFrame = {
-    val w = TextOps.lrWeights(spark, dir)
-    val contamIds = contamIdsMemoized(spark, dir)
-    val base = curateBase(Tables.documents(spark, dir))
-    val dedupW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-    val survivors = base
-      .withColumn("dup_rn", row_number().over(dedupW)).filter(col("dup_rn") === 1)
-      .withColumn("p_quality", TextOps.lrP(w))
-      .filter(col("p_quality") >= 0.5 && !col("is_bench"))
-      .join(broadcast(contamIds), Seq("doc_id"), "left_anti")
+  /** The dedup window shared by the pipeline and its funnel. */
+  private def curateDedupW =
+    Window.partitionBy(col("h")).orderBy(col("doc_id"))
+
+  /** The per-source cap over a survivor frame carrying `p_quality` —
+    * the hierarchical two-window cut, ONE copy so the pipeline and
+    * its funnel cannot drift (the assignCells discipline).
+    */
+  private def curateCapped(survivors: DataFrame): DataFrame = {
     val local = Window.partitionBy(col("source"), expr(s"doc_id DIV $CapBucketWidth"))
       .orderBy(col("p_quality").desc, col("doc_id"))
     val global = Window.partitionBy(col("source"))
       .orderBy(col("p_quality").desc, col("doc_id"))
-    val capped = survivors
+    survivors
       .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= SourceCap)
       .withColumn("src_rnk", row_number().over(global)).filter(col("src_rnk") <= SourceCap)
+  }
+
+  def curateE2e(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.lrWeights(spark, dir)
+    val contamIds = contamIdsMemoized(spark, dir)
+    val base = curateBase(Tables.documents(spark, dir))
+    val survivors = base
+      .withColumn("dup_rn", row_number().over(curateDedupW)).filter(col("dup_rn") === 1)
+      .withColumn("p_quality", TextOps.lrP(w))
+      .filter(col("p_quality") >= 0.5 && !col("is_bench"))
+      .join(broadcast(contamIds), Seq("doc_id"), "left_anti")
+    val capped = curateCapped(survivors)
     val pack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     capped
@@ -602,22 +613,16 @@ object CorpusOps {
     val w = TextOps.lrWeights(spark, dir)
     val contamIds = contamIdsMemoized(spark, dir)
     val base = curateBase(Tables.documents(spark, dir))
-    val dedupW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    // p_quality evaluated ONCE; the q flag derives from the column
     val flagged = base
-      .withColumn("d", row_number().over(dedupW) === 1)
-      .withColumn("q", TextOps.lrP(w) >= 0.5)
+      .withColumn("d", row_number().over(curateDedupW) === 1)
+      .withColumn("p_quality", TextOps.lrP(w))
+      .withColumn("q", col("p_quality") >= 0.5)
       .join(broadcast(contamIds.withColumn("_contam", lit(true))), Seq("doc_id"), "left")
       .withColumn("c", coalesce(col("_contam"), lit(false)))
     val survivors = flagged
       .filter(col("d") && col("q") && !col("is_bench") && !col("c"))
-    val local = Window.partitionBy(col("source"), expr(s"doc_id DIV $CapBucketWidth"))
-      .orderBy(col("p_quality").desc, col("doc_id"))
-    val global = Window.partitionBy(col("source"))
-      .orderBy(col("p_quality").desc, col("doc_id"))
-    val nCapped = survivors
-      .withColumn("p_quality", TextOps.lrP(w))
-      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= SourceCap)
-      .withColumn("src_rnk", row_number().over(global)).filter(col("src_rnk") <= SourceCap)
+    val nCapped = curateCapped(survivors)
       .groupBy().agg(count(lit(1)).as("n5"))
     def n(cond: org.apache.spark.sql.Column) = sum(when(cond, 1L).otherwise(0L))
     flagged.groupBy().agg(

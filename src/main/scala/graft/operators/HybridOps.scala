@@ -56,9 +56,17 @@ object HybridOps {
     * doc_id ≡ vec_id on this corpus). The probe's own document is
     * excluded from both arms, matching the ANN family's convention.
     */
-  def hybridRank(spark: SparkSession, dir: String): DataFrame = {
+  def hybridRank(spark: SparkSession, dir: String): DataFrame =
+    hybridWith(spark, dir, AnnOps.exactCosineTopK(spark, dir, VecArmK))
+
+  /** The whole fusion against a caller-supplied vector arm
+    * (probe_id, vec_id, rnk) — lexical arm, probe set and
+    * self-exclusion live HERE so the exact- and IVF-armed variants
+    * cannot drift (only the arm changes, by construction).
+    */
+  private def hybridWith(spark: SparkSession, dir: String, vecArm: DataFrame): DataFrame = {
     val lex = TextOps.bm25(spark, dir).select(col("doc_id"), col("rnk").as("lex_rnk"))
-    val vec = AnnOps.exactCosineTopK(spark, dir, VecArmK)
+    val vec = vecArm
       .select(col("probe_id"), col("vec_id").as("doc_id"), col("rnk").as("vec_rnk"))
     val probes = spark.range(AnnOps.NProbes).select(col("id").as("probe_id"))
     val lexPerProbe = probes.crossJoin(broadcast(lex))
@@ -75,16 +83,8 @@ object HybridOps {
     * mirrors the registered q_ann_ivf pipeline at that depth, so the
     * scale-path composition is itself hash-gated.
     */
-  def hybridRankIvf(spark: SparkSession, dir: String): DataFrame = {
-    val lex = TextOps.bm25(spark, dir).select(col("doc_id"), col("rnk").as("lex_rnk"))
-    val vec = AnnOps.ivfTopK(spark, dir, VecArmK)
-      .select(col("probe_id"), col("vec_id").as("doc_id"), col("rnk").as("vec_rnk"))
-    val probes = spark.range(AnnOps.NProbes).select(col("id").as("probe_id"))
-    val lexPerProbe = probes.crossJoin(broadcast(lex))
-      .filter(col("doc_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("doc_id"), col("lex_rnk"))
-    rrfFuse(lexPerProbe, vec)
-  }
+  def hybridRankIvf(spark: SparkSession, dir: String): DataFrame =
+    hybridWith(spark, dir, AnnOps.ivfTopK(spark, dir, VecArmK))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rank" -> (hybridRank _),

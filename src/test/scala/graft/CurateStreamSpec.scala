@@ -54,10 +54,17 @@ class CurateStreamSpec extends AnyFunSuite {
       .select($"doc_id", $"p_quality").as[(Long, Double)].collect().toSet
     assert(expected.nonEmpty)
 
-    // stream the corpus in three batches; every planted duplicate
-    // arrives a batch AFTER its canonical doc (ingest order)
+    // stream the corpus in three batches: ten duplicates share a
+    // batch WITH their canonical docs (the in-batch determinism case
+    // — the keyed-state dedup must pick the lowest doc_id, where a
+    // bare dropDuplicates keeps an arbitrary one), the other ten
+    // arrive a batch AFTER theirs (the cross-batch state case)
     val (real, dups) = docs.partition(_.doc_id < 1000000L)
-    val batches = Seq(real.take(real.size / 2), real.drop(real.size / 2), dups)
+    val (inBatchDups, laterDups) = dups.splitAt(10)
+    val batches = Seq(
+      real.take(real.size / 2) ++ inBatchDups,
+      real.drop(real.size / 2),
+      laterDups)
     val input = MemoryStream[CDoc]
     val q = CurateStream.curated(input.toDF(), w)
       .writeStream.format("memory").queryName("curate_stream")
