@@ -90,29 +90,16 @@ object HybridOps {
     "q_hybrid_rank" -> (hybridRank _),
     "q_hybrid_rank_ivf" -> (hybridRankIvf _))
 
-  /** The shared oracle skeleton: BM25 lexical arm (verbatim the
-    * registered q_bm25 mirror at [[TextOps.Bm25TopK]]) + a supplied
+  /** The shared oracle skeleton: BM25 lexical arm (the SAME
+    * [[TextOps.sqlBm25Cte]] chain the registered q_bm25 mirror is
+    * built from — one copy, so the fusion oracles cannot drift from
+    * the lexical arm they claim to share) + a supplied
     * `vec(probe_id, doc_id, vec_rnk)` CTE + the rank-only fusion.
     * NULL rank ≡ 0 contribution.
     */
   private def fusionSql(vecCte: String): String = {
-    import graft.operators.TextOps.{Bm25K1, Bm25B, Bm25Query, Bm25TopK}
-    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
-       |dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY doc_id),
-       |st AS (SELECT count(*) n_docs, avg(dl) avgdl FROM dl),
-       |tf AS (SELECT doc_id, term, count(*) tf FROM tok
-       |       WHERE term IN ($terms) GROUP BY doc_id, term),
-       |df AS (SELECT term, count(*) df FROM tf GROUP BY term),
-       |sc AS (
-       |  SELECT tf.doc_id,
-       |         round(sum(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-       |                   * (tf * ${Bm25K1 + 1.0}
-       |                      / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)))
-       |                   * 1e6, 0) AS BIGINT)) / 1e6, 6) score
-       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
-       |  GROUP BY tf.doc_id, dl
-       |), lex AS (
+    import graft.operators.TextOps.Bm25TopK
+    s"""WITH ${TextOps.sqlBm25Cte}, lex AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) lex_rnk
        |  FROM sc QUALIFY lex_rnk <= $Bm25TopK
        |), e AS (SELECT vec_id, embedding FROM embeddings),

@@ -64,18 +64,27 @@ object PiiOps {
     */
   private def decoratedRaw: Column = {
     val k = col("c_custkey")
-    val base15 = lpad((k * 2654435761L % 1000000000000000L).cast("string"), 15, "0")
-    val check = pmod(lit(10) - pmod(luhnSum(base15, 15), lit(10)) + pmod(k, lit(2)), lit(10))
+    // every MULTIPLIED key term uses the 1e9-reduced key: the raw
+    // k * 2654435761 overflows Long for k ≳ 3.5e9 — Spark would wrap
+    // silently (negative base15) while DuckDB raises on BIGINT
+    // overflow, an engine divergence at exactly the corpus scales the
+    // suite advertises. kr * 2654435761 ≤ 2.66e18 stays in range on
+    // both engines; for k < 1e9 (every tested SF) kr ≡ k so the
+    // decorated values are unchanged, and 4 | 1e9 and 256 | 1e9 keep
+    // even the small-mod derivations identical under the reduction.
+    val kr = pmod(k, lit(1000000000L))
+    val base15 = lpad((kr * 2654435761L % 1000000000000000L).cast("string"), 15, "0")
+    val check = pmod(lit(10) - pmod(luhnSum(base15, 15), lit(10)) + pmod(kr, lit(2)), lit(10))
     concat(
       col("c_name"), lit(" reach user"), k,
       lit("@mail.example or call +65 9"),
-      lpad((k * 7919 % 10000000).cast("string"), 7, "0"),
-      lit(" id "), lit("STFG").substr((pmod(k, lit(4)) + 1).cast("int"), lit(1)),
-      lpad((k * 31 % 10000000).cast("string"), 7, "0"),
-      lit("ABCDEFGHIJKLMNOPQRSTUVWXYZ").substr((pmod(k, lit(26)) + 1).cast("int"), lit(1)),
-      lit(" ip 10."), pmod(k, lit(256)).cast("string"),
-      lit("."), pmod(k * 7, lit(256)).cast("string"),
-      lit("."), pmod(k * 13, lit(256)).cast("string"),
+      lpad((kr * 7919 % 10000000).cast("string"), 7, "0"),
+      lit(" id "), lit("STFG").substr((pmod(kr, lit(4)) + 1).cast("int"), lit(1)),
+      lpad((kr * 31 % 10000000).cast("string"), 7, "0"),
+      lit("ABCDEFGHIJKLMNOPQRSTUVWXYZ").substr((pmod(kr, lit(26)) + 1).cast("int"), lit(1)),
+      lit(" ip 10."), pmod(kr, lit(256)).cast("string"),
+      lit("."), pmod(kr * 7, lit(256)).cast("string"),
+      lit("."), pmod(kr * 13, lit(256)).cast("string"),
       lit(" card "), base15, check.cast("string"))
   }
 
@@ -155,9 +164,14 @@ object PiiOps {
   // of a nested lambda.
   private def decorSql(keyCols: String): String =
     s"""b AS (
+       |  -- kr: the 1e9-reduced key — raw k * 2654435761 overflows
+       |  -- BIGINT for k >= ~3.5e9 (DuckDB raises, Spark wraps); the
+       |  -- reduction keeps both engines in range and is value-identical
+       |  -- for every k < 1e9 (see decoratedRaw)
        |  SELECT $keyCols,
-       |         lpad(CAST(c_custkey * 2654435761 % 1000000000000000 AS VARCHAR), 15, '0') base15,
-       |         c_custkey k
+       |         lpad(CAST(c_custkey % 1000000000 * 2654435761 % 1000000000000000 AS VARCHAR), 15, '0') base15,
+       |         c_custkey k,
+       |         c_custkey % 1000000000 kr
        |  FROM customer
        |), d0 AS (
        |  SELECT *, CAST((10 - list_sum(list_transform(range(1, 16), i ->
@@ -166,19 +180,19 @@ object PiiOps {
        |                  THEN 2 * CAST(substr(base15, CAST(i AS INT), 1) AS INT) - 9
        |                  ELSE 2 * CAST(substr(base15, CAST(i AS INT), 1) AS INT) END
        |           ELSE CAST(substr(base15, CAST(i AS INT), 1) AS INT) END)) % 10
-       |           + k % 2) % 10 AS VARCHAR) chk
+       |           + kr % 2) % 10 AS VARCHAR) chk
        |  FROM b
        |), d AS (
        |  SELECT $keyCols,
        |         c_name || ' reach user' || CAST(k AS VARCHAR) ||
        |           '@mail.example or call +65 9' ||
-       |           lpad(CAST(k * 7919 % 10000000 AS VARCHAR), 7, '0') ||
-       |           ' id ' || substr('STFG', CAST(k % 4 + 1 AS INT), 1) ||
-       |           lpad(CAST(k * 31 % 10000000 AS VARCHAR), 7, '0') ||
-       |           substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(k % 26 + 1 AS INT), 1) ||
-       |           ' ip 10.' || CAST(k % 256 AS VARCHAR) ||
-       |           '.' || CAST(k * 7 % 256 AS VARCHAR) ||
-       |           '.' || CAST(k * 13 % 256 AS VARCHAR) ||
+       |           lpad(CAST(kr * 7919 % 10000000 AS VARCHAR), 7, '0') ||
+       |           ' id ' || substr('STFG', CAST(kr % 4 + 1 AS INT), 1) ||
+       |           lpad(CAST(kr * 31 % 10000000 AS VARCHAR), 7, '0') ||
+       |           substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(kr % 26 + 1 AS INT), 1) ||
+       |           ' ip 10.' || CAST(kr % 256 AS VARCHAR) ||
+       |           '.' || CAST(kr * 7 % 256 AS VARCHAR) ||
+       |           '.' || CAST(kr * 13 % 256 AS VARCHAR) ||
        |           ' card ' || base15 || chk AS raw
        |  FROM d0
        |), cardv AS (

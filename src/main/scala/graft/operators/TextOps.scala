@@ -1034,6 +1034,37 @@ object TextOps {
        |ws0 AS (SELECT 0.0 w0, 0.0 w1, 0.0 w2, 0.0 w3),
        |${(1 to LrSteps).map(sqlLrStep).mkString(",\n")}""".stripMargin
 
+  /** The BM25 oracle CTE chain (tok → dl → st → tf → df → sc, ending
+    * at `sc(doc_id, dl, score)`) — ONE copy serving the registered
+    * q_bm25 mirror AND the hybrid fusions' lexical arm
+    * ([[HybridOps]]), so a future change to the BM25 mirror cannot
+    * drift the arm the fusion oracles claim to share. Pre-stripped
+    * (no line begins with `|`), so an outer `.stripMargin` leaves it
+    * intact — the [[sqlLrPrefix]] contract.
+    */
+  private[operators] def sqlBm25Cte: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+       |dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) n_docs, avg(dl) avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) tf FROM tok
+       |       WHERE term IN ($terms) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) df FROM tf GROUP BY term),
+       |sc AS (
+       |  -- per-term contribution rounded to integer micro-units BEFORE the
+       |  -- sum (exact, order-free long addition — the dsirWeights
+       |  -- discipline), association matching the Spark side exactly:
+       |  -- idf * (tf * (k1+1) / denom)
+       |  SELECT tf.doc_id, dl,
+       |         round(sum(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |                   * (tf * ${Bm25K1 + 1.0}
+       |                      / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)))
+       |                   * 1e6, 0) AS BIGINT)) / 1e6, 6) score
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+       |  GROUP BY tf.doc_id, dl
+       |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_quality_lr" ->
       s"""WITH $sqlLrPrefix,
@@ -1163,31 +1194,11 @@ object TextOps {
          |QUALIFY row_number() OVER (ORDER BY round(r, 6) DESC, t) <= $TrTopK
          |ORDER BY rank DESC, t""".stripMargin
     },
-    "q_bm25" -> {
-      val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
-         |dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY doc_id),
-         |st AS (SELECT count(*) n_docs, avg(dl) avgdl FROM dl),
-         |tf AS (SELECT doc_id, term, count(*) tf FROM tok
-         |       WHERE term IN ($terms) GROUP BY doc_id, term),
-         |df AS (SELECT term, count(*) df FROM tf GROUP BY term),
-         |sc AS (
-         |  -- per-term contribution rounded to integer micro-units BEFORE the
-         |  -- sum (exact, order-free long addition — the dsirWeights
-         |  -- discipline), association matching the Spark side exactly:
-         |  -- idf * (tf * (k1+1) / denom)
-         |  SELECT tf.doc_id, dl,
-         |         round(sum(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |                   * (tf * ${Bm25K1 + 1.0}
-         |                      / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)))
-         |                   * 1e6, 0) AS BIGINT)) / 1e6, 6) score
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
-         |  GROUP BY tf.doc_id, dl
-         |)
+    "q_bm25" ->
+      s"""WITH $sqlBm25Cte
          |SELECT doc_id, dl, score,
          |       row_number() OVER (ORDER BY score DESC, doc_id) rnk
-         |FROM sc QUALIFY rnk <= $Bm25TopK ORDER BY rnk""".stripMargin
-    },
+         |FROM sc QUALIFY rnk <= $Bm25TopK ORDER BY rnk""".stripMargin,
     "q_pmi_pairs" ->
       s"""WITH tok AS (SELECT DISTINCT * FROM
          |  (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents)),
