@@ -551,11 +551,12 @@ object CorpusOps {
     * ([[graft.streaming.CurateStream]]): normalized-content hash, the
     * three LR features, the benchmark-slice flag.
     */
-  private[graft] def curateBase(d: DataFrame): DataFrame = d.select(
-    col("doc_id"), col("source"), col("lang"), col("n_chars"),
-    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("h"),
-    TextOps.lrX1.as("x1"), TextOps.lrX2.as("x2"), TextOps.lrX3.as("x3"),
-    (bucket(col("text"), 20) === 0).as("is_bench"))
+  private[graft] def curateBase(d: DataFrame,
+      extra: org.apache.spark.sql.Column*): DataFrame = d.select(
+    col("doc_id") +: col("source") +: col("lang") +: col("n_chars") +:
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("h") +:
+    TextOps.lrX1.as("x1") +: TextOps.lrX2.as("x2") +: TextOps.lrX3.as("x3") +:
+    (bucket(col("text"), 20) === 0).as("is_bench") +: extra: _*)
 
   /** The dedup window shared by the pipeline and its funnel. */
   private def curateDedupW =
