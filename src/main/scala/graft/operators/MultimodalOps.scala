@@ -237,7 +237,41 @@ object MultimodalOps {
         col("px_sum"), col("px_max"))
       .orderBy("doc_id", "frame_idx")
 
+  /** §2.J q_avi_frames — REAL MJPEG-in-AVI video decode
+    * (graft.multimodal.Avi): the RIFF chunk walk of the WAV path
+    * composed with the JPEG codec of the image path — a genuine AVI
+    * container (hdrl/avih + strl, a JUNK chunk every walk must skip,
+    * movi's per-frame `00dc` JPEG chunks, idx1) is built per document
+    * and walked back; every 3rd frame is genuinely JPEG-decoded.
+    * JPEG is lossy, so the registered surface is the q_jpeg_features
+    * honesty split per SAMPLED frame: exact container structure
+    * (frame ordinal, cross-checked frame count, decoded geometry)
+    * plus `decode_ok`, the real decode's fidelity verdict — a chunk
+    * walk, frame order, or codec bug flips it and diverges the hash.
+    * AviSpec pins the quantitative half (per-frame MAE positive
+    * somewhere / bounded everywhere at both gate SFs, frame order by
+    * nearest-own-segment, corrupted-frame loud failure). Remaining
+    * media stub: exactly inter-frame (H.264-class) codecs.
+    */
+  def aviFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Avi.features(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+          // same loud-ceiling discipline as the GIF mirror: the AVI
+          // oracle enumerates at most GifOracleMaxFrames frames/blob
+          .filter(assert_true(
+            length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
+            lit(s"blob exceeds ${GifOracleMaxFrames * graft.multimodal.Gif.FramePx} " +
+              s"bytes: the DuckDB avi mirror enumerates at most $GifOracleMaxFrames " +
+              "frames/blob (range(0, 16)); widen the oracle range and this guard together"))
+            .isNull))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"), col("decode_ok"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_avi_frames" -> (aviFrames _),
     "q_gif_frames" -> (gifFrames _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_bmp_features" -> (bmpFeatures _),
@@ -249,6 +283,26 @@ object MultimodalOps {
     "q_wav_features" -> (wavFeatures _))
 
   val oracle: Map[String, String] = Map(
+    // container structure from the SAME text the Spark side encodes
+    // into a real MJPEG AVI: n_frames = ceil(len/64), every 3rd frame
+    // sampled, decoded geometry 16×4; decode_ok is TRUE for every row
+    // — computed Spark-side from the REAL per-frame JPEG decode, so a
+    // broken walk/decode diverges (the q_jpeg_features split,
+    // per frame)
+    "q_avi_frames" -> {
+      val fp = graft.multimodal.Gif.FramePx
+      s"""WITH d AS (
+         |  SELECT doc_id, (length(text) + ${fp - 1}) // $fp AS nf
+         |  FROM documents WHERE length(text) > 0
+         |)
+         |SELECT doc_id, CAST(t.i AS BIGINT) frame_idx, CAST(nf AS BIGINT) n_frames,
+         |       CAST(${graft.multimodal.Gif.FrameW} AS BIGINT) width,
+         |       CAST(${graft.multimodal.Gif.FrameH} AS BIGINT) height,
+         |       TRUE AS decode_ok
+         |FROM d, range(0, $GifOracleMaxFrames) t(i)
+         |WHERE t.i < nf AND t.i % ${graft.multimodal.Gif.SampleStride} = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    },
     // ground-truth per-frame features from the SAME text the Spark
     // side encodes into an animated GIF: frame f's pixel p (row-major
     // on the 16×4 canvas) is text byte 64f+p (0 beyond the end);

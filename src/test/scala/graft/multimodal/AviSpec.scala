@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The MJPEG-in-AVI path's contract — the halves the hash oracle
+  * cannot check: a real RIFF/AVI container (magic, nested LISTs, junk
+  * chunks skipped by size, header/stream frame-count cross-check),
+  * genuine per-frame JPEG decode (lossy: MAE positive somewhere,
+  * bounded everywhere at both verify-gate SFs), frame ORDER proven by
+  * nearest-own-segment fidelity, and loud failure on corrupted frame
+  * bytes and malformed containers.
+  */
+class AviSpec extends AnyFunSuite {
+
+  private val text =
+    "the quick brown fox jumps over the lazy dog 0123456789 " * 4 // 224 B → 4 frames
+
+  test("synth emits a real AVI container (RIFF magic, MJPG stream, movi chunks)") {
+    val avi = Avi.synth(text)
+    assert(new String(avi.slice(0, 4)) === "RIFF")
+    assert(new String(avi.slice(8, 12)) === "AVI ")
+    val s = new String(avi, "ISO-8859-1")
+    assert(s.contains("hdrl") && s.contains("vids") && s.contains("MJPG"))
+    assert(s.contains("movi") && s.contains("00dc") && s.contains("idx1"))
+    // every frame chunk carries a real JPEG (FFD8 SOI after the header)
+    val movi = s.indexOf("00dc")
+    assert((avi(movi + 8) & 0xff) === 0xff && (avi(movi + 9) & 0xff) === 0xd8)
+  }
+
+  test("container walk: frame count, sampled ordinals, decoded geometry") {
+    val frames = Avi.parseSampled(Avi.synth(text), text)
+    assert(frames.map(_.nFrames).distinct === Seq(4))
+    assert(frames.map(_.frameIdx) === Seq(0, 3)) // stride 3 over 4 frames
+    frames.foreach { f =>
+      assert(f.width === Gif.FrameW && f.height === Gif.FrameH)
+      assert(f.mae < Jpeg.MaeBound, s"frame ${f.frameIdx}: mae ${f.mae}")
+    }
+  }
+
+  test("frame ORDER is real: each decoded frame is nearest its OWN source segment") {
+    // stride 1 so every frame decodes; per-frame content is distinct
+    // (different text bytes), so a swapped/duplicated frame would be
+    // nearer some OTHER segment than its own
+    val bytes = text.getBytes("US-ASCII")
+    val frames = Avi.parseSampled(Avi.synth(text), text, stride = 1)
+    assert(frames.size === 4)
+    def maeAgainst(decodedOf: Int, segment: Int): Double = {
+      // re-decode via the public path is enough: compare the frame's
+      // reported own-segment MAE to its MAE against other segments,
+      // computed from the synth rule (segment s pixel p = byte 64s+p)
+      val own = frames(decodedOf)
+      if (decodedOf == segment) own.mae
+      else {
+        // decoded pixels aren't exposed; approximate the cross-MAE
+        // from the source segments themselves: |seg_d - seg_s| per
+        // pixel minus codec error bounds below MaeBound, so a lower
+        // bound on the cross-MAE is |mean difference| - own.mae
+        val d = Array.tabulate(Gif.FramePx) { p =>
+          val kd = decodedOf * Gif.FramePx + p
+          val ks = segment * Gif.FramePx + p
+          math.abs((if (kd < bytes.length) bytes(kd) & 0xff else 0) -
+            (if (ks < bytes.length) bytes(ks) & 0xff else 0))
+        }
+        d.sum.toDouble / Gif.FramePx - own.mae
+      }
+    }
+    (0 until 4).foreach { f =>
+      (0 until 4).filter(_ != f).foreach { s =>
+        assert(maeAgainst(f, f) < maeAgainst(f, s),
+          s"decoded frame $f is not nearest its own segment (vs $s)")
+      }
+    }
+  }
+
+  test("the codec is genuinely lossy and everywhere within the bound at BOTH verify-gate SFs") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    // the q_avi_frames oracle hardcodes decode_ok = TRUE, so the hash
+    // gate holds only while EVERY sampled frame's MAE stays under the
+    // bound — pin the corpus-wide bound at every SF the verify ritual
+    // gates on (the JpegSpec discipline)
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { sf =>
+      val docs = graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")).filter(length(col("text")) > 0)
+      val maes = Avi.maeFrame(spark, docs).collect()
+      assert(maes.nonEmpty)
+      maes.foreach(r => assert(r.mae < Jpeg.MaeBound,
+        s"$sf doc ${r.doc_id} frame ${r.frame_idx}: mae ${r.mae}"))
+      assert(maes.count(_.mae > 0.0) > maes.length / 2, sf)
+    }
+  }
+
+  test("chunk-walk robustness: junk chunks skipped, unknown trailing chunks ignored") {
+    // synth already plants a JUNK chunk before movi and idx1 after it;
+    // additionally append a trailing unknown chunk — the walk must
+    // skip all three by declared size
+    val avi = Avi.synth(text)
+    val extra = java.nio.ByteBuffer.allocate(8 + 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("zzzz".getBytes).putInt(10).put(Array.fill[Byte](10)(1)).array()
+    val patched = {
+      val b = java.nio.ByteBuffer.wrap(avi.clone() ++ extra)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(4, avi.length - 8 + extra.length) // fix the RIFF size
+      b.array()
+    }
+    assert(Avi.parseSampled(patched, text) === Avi.parseSampled(avi, text))
+  }
+
+  test("malformed containers and corrupted frames fail loudly") {
+    intercept[IllegalArgumentException](Avi.parseSampled("not avi".getBytes, "x"))
+    intercept[IllegalArgumentException](Avi.synth("café"))
+    intercept[IllegalArgumentException](Avi.synth(""))
+    val avi = Avi.synth(text)
+    // header/stream cross-check: lie about dwTotalFrames in avih
+    val lied = avi.clone()
+    val s = new String(avi, "ISO-8859-1")
+    val avihOff = s.indexOf("avih") + 8 // payload start
+    lied(avihOff + 16) = 99 // dwTotalFrames is the 5th u32
+    intercept[IllegalArgumentException](Avi.parseSampled(lied, text))
+    // corrupted frame BYTES (clobber the first JPEG's entropy data):
+    // the decode must fail loudly, not alias to plausible pixels
+    val corrupt = avi.clone()
+    val frameOff = s.indexOf("00dc") + 8
+    ((frameOff + 2) until (frameOff + 40)).foreach(i => corrupt(i) = 0)
+    intercept[Exception](Avi.parseSampled(corrupt, text))
+    // truncated container: a chunk declaring more bytes than remain
+    intercept[Exception](Avi.parseSampled(avi.take(avi.length / 2), text))
+  }
+}
