@@ -86,9 +86,93 @@ object HybridOps {
   def hybridRankIvf(spark: SparkSession, dir: String): DataFrame =
     hybridWith(spark, dir, AnnOps.ivfTopK(spark, dir, VecArmK))
 
+  private[operators] val PpTerms = 4
+
+  /** §2.H q_hybrid_rank_pp — PER-PROBE hybrid retrieval: real hybrid
+    * search runs a different text query per probe, not one fixed term
+    * set for everyone. Each probe's lexical query is derived from its
+    * OWN document — the top [[PpTerms]] TF-IDF terms under exactly
+    * q_tfidf_terms' formula/rounding/tie-break — then a per-probe
+    * BM25 pass scores the corpus against those terms and the same
+    * [[rrfFuse]] fuses with the probe's exact-cosine arm. Same fusion
+    * constant, tie-breaks and arm depths as q_hybrid_rank; ONLY the
+    * lexical arm changes from shared to per-probe.
+    *
+    * 100 TB shape ([[ppLexArmFrom]]): the probe VOCABULARY (the ≤
+    * NProbes probe documents' distinct terms) is a bounded driver
+    * artifact that THINS the corpus token stream before the only
+    * (doc, term) aggregation — the shuffle carries candidate-term
+    * tokens only, never the corpus vocabulary; df/dl/avgdl and the
+    * per-probe fan-out all ride broadcasts of probe-bounded tables
+    * (≤ probes × terms rows), the q_bm25 discipline.
+    */
+  def hybridRankPp(spark: SparkSession, dir: String): DataFrame = {
+    val vec = AnnOps.exactCosineTopK(spark, dir, VecArmK)
+      .select(col("probe_id"), col("vec_id").as("doc_id"), col("rnk").as("vec_rnk"))
+    rrfFuse(ppLexArmFrom(
+      graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))), vec)
+  }
+
+  /** The per-probe lexical arm over an explicit documents frame
+    * (factored for the spec's planted-corpus test): returns
+    * (probe_id, doc_id, lex_rnk ≤ [[TextOps.Bm25TopK]]).
+    */
+  private[operators] def ppLexArmFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import TextOps.{Bm25K1, Bm25B, Bm25TopK}
+    // 1. probe vocabulary — a bounded driver artifact (the lrWeights
+    //    contract: ≤ NProbes documents' distinct terms)
+    val probeToks = docs.filter(col("doc_id") < AnnOps.NProbes)
+      .select(col("doc_id").as("probe_id"), explode(split(col("text"), " ")).as("term"))
+    val probeVocab = probeToks.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    // 2. the ONE corpus token pass, thinned to the probe vocabulary
+    //    BEFORE the (doc, term) aggregation; checkpointed because it
+    //    feeds both the df table and the scoring join
+    val tfCand = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(probeVocab: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfCand = tfCand.groupBy("term").agg(count(lit(1)).as("df"))
+    // 3. slim per-doc length stats — no token explode, no term shuffle
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")))
+    // 4. each probe's top TF-IDF terms — q_tfidf_terms' exact score
+    //    (rounded-6 tf·ln(N/df)), rank tie on the term
+    val wTerm = Window.partitionBy(col("probe_id")).orderBy(col("tscore").desc, col("term"))
+    val pterms = probeToks.groupBy("probe_id", "term").agg(count(lit(1)).as("ptf"))
+      .join(broadcast(dfCand), "term")
+      .crossJoin(stats)
+      .withColumn("tscore", round(col("ptf") * log(col("n_docs") / col("df").cast("double")), 6))
+      .withColumn("trnk", row_number().over(wTerm))
+      .filter(col("trnk") <= PpTerms)
+      .select(col("probe_id"), col("term"))
+    // 5. per-probe BM25 over the candidate stream — per-term
+    //    contributions in integer micro-units (the q_bm25 discipline),
+    //    self excluded BEFORE aggregation
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contribMicro = round(idf * (col("tf") * lit(Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      * lit(1e6), 0).cast("long")
+    val scored = tfCand
+      .join(broadcast(pterms), "term")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .join(broadcast(dfCand), "term")
+      .join(dl, "doc_id")
+      .crossJoin(stats)
+      .groupBy("probe_id", "doc_id")
+      .agg(round(sum(contribMicro) / lit(1e6), 6).as("score"))
+    AnnOps.probeTopKDesc(
+        scored.withColumnRenamed("doc_id", "vec_id"), col("score"), Bm25TopK,
+        Seq("vec_id", "score"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"), col("rnk").as("lex_rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rank" -> (hybridRank _),
-    "q_hybrid_rank_ivf" -> (hybridRankIvf _))
+    "q_hybrid_rank_ivf" -> (hybridRankIvf _),
+    "q_hybrid_rank_pp" -> (hybridRankPp _))
 
   /** The shared oracle skeleton: BM25 lexical arm (the SAME
     * [[TextOps.sqlBm25Cte]] chain the registered q_bm25 mirror is
@@ -102,12 +186,23 @@ object HybridOps {
     s"""WITH ${TextOps.sqlBm25Cte}, lex AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) lex_rnk
        |  FROM sc QUALIFY lex_rnk <= $Bm25TopK
-       |), e AS (SELECT vec_id, embedding FROM embeddings),
-       |$vecCte, lexp AS (
+       |), lexp AS (
        |  SELECT t.i probe_id, lex.doc_id, lex.lex_rnk
        |  FROM range(0, ${AnnOps.NProbes}) t(i) CROSS JOIN lex
        |  WHERE lex.doc_id <> t.i
-       |), fused AS (
+       |), ${fusionTailSql(vecCte)}""".stripMargin
+  }
+
+  /** The fusion tail all three hybrid oracles share: the embeddings
+    * CTE, a supplied `vec(probe_id, doc_id, vec_rnk)` arm, and the
+    * rank-only RRF over an upstream `lexp(probe_id, doc_id, lex_rnk)`
+    * — one copy, so the fusion arithmetic cannot drift between the
+    * shared-lex and per-probe variants. Pre-stripped (the
+    * sqlLrPrefix contract).
+    */
+  private def fusionTailSql(vecCte: String): String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |$vecCte, fused AS (
        |  SELECT coalesce(l.probe_id, v.probe_id) probe_id,
        |         coalesce(l.doc_id, v.doc_id) doc_id,
        |         l.lex_rnk, v.vec_rnk,
@@ -120,21 +215,75 @@ object HybridOps {
        |       row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) rnk
        |FROM fused QUALIFY rnk <= $HybridTopK
        |ORDER BY probe_id, rnk""".stripMargin
+
+  /** The per-probe lexical arm's oracle chain, mirroring
+    * [[ppLexArmFrom]] stage for stage: probe vocabulary → thinned
+    * corpus tf/df → per-probe top-TF-IDF terms (q_tfidf_terms'
+    * rounded score, term tie) → per-probe BM25 in integer micro-units
+    * → per-probe rank cut, ending at `lexp`.
+    */
+  private def ppFusionSql(vecCte: String): String = {
+    import graft.operators.TextOps.{Bm25K1, Bm25B, Bm25TopK}
+    s"""WITH tokp AS (
+       |  SELECT doc_id probe_id, unnest(string_split(text, ' ')) term
+       |  FROM documents WHERE doc_id < ${AnnOps.NProbes}
+       |), ptf AS MATERIALIZED (
+       |  SELECT probe_id, term, count(*) ptf FROM tokp GROUP BY probe_id, term
+       |), tfc AS MATERIALIZED (
+       |  SELECT doc_id, term, count(*) tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents)
+       |  WHERE term IN (SELECT DISTINCT term FROM ptf)
+       |  GROUP BY doc_id, term
+       |), dfc AS MATERIALIZED (
+       |  SELECT term, count(*) df FROM tfc GROUP BY term
+       |), dls AS MATERIALIZED (
+       |  SELECT doc_id, len(string_split(text, ' ')) dl FROM documents
+       |), st AS (SELECT count(*) n_docs, avg(dl) avgdl FROM dls),
+       |pterms AS (
+       |  SELECT probe_id, term FROM (
+       |    SELECT probe_id, term,
+       |           row_number() OVER (PARTITION BY probe_id
+       |             ORDER BY round(ptf * ln(n_docs / df::DOUBLE), 6) DESC, term) trnk
+       |    FROM ptf JOIN dfc USING (term), st)
+       |  WHERE trnk <= $PpTerms
+       |), psc AS (
+       |  SELECT pt.probe_id, tfc.doc_id,
+       |         round(sum(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |                   * (tf * ${Bm25K1 + 1.0}
+       |                      / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)))
+       |                   * 1e6, 0) AS BIGINT)) / 1e6, 6) score
+       |  FROM tfc JOIN pterms pt USING (term) JOIN dfc USING (term)
+       |       JOIN dls USING (doc_id), st
+       |  WHERE tfc.doc_id <> pt.probe_id
+       |  GROUP BY pt.probe_id, tfc.doc_id
+       |), lexp AS (
+       |  SELECT probe_id, doc_id,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id) lex_rnk
+       |  FROM psc QUALIFY lex_rnk <= $Bm25TopK
+       |), ${fusionTailSql(vecCte)}""".stripMargin
   }
+
+  /** The exact-cosine vector-arm CTE (the registered q_ann_topk
+    * mirror at arm depth) — shared by the shared-lex and per-probe
+    * fusions.
+    */
+  private def exactVecCte: String =
+    s"""p AS (SELECT vec_id probe_id, embedding probe_emb FROM e WHERE vec_id < ${AnnOps.NProbes}),
+       |xs AS (
+       |  SELECT p.probe_id, e.vec_id doc_id,
+       |         ${AnnOps.sqlCos("p.probe_emb", "e.embedding")} cos
+       |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id
+       |), vec AS (
+       |  SELECT probe_id, doc_id,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, doc_id) vec_rnk
+       |  FROM xs QUALIFY vec_rnk <= $VecArmK
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // exact cosine arm (the registered q_ann_topk mirror at arm depth)
-    "q_hybrid_rank" -> fusionSql(
-      s"""p AS (SELECT vec_id probe_id, embedding probe_emb FROM e WHERE vec_id < ${AnnOps.NProbes}),
-         |xs AS (
-         |  SELECT p.probe_id, e.vec_id doc_id,
-         |         ${AnnOps.sqlCos("p.probe_emb", "e.embedding")} cos
-         |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id
-         |), vec AS (
-         |  SELECT probe_id, doc_id,
-         |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, doc_id) vec_rnk
-         |  FROM xs QUALIFY vec_rnk <= $VecArmK
-         |)""".stripMargin),
+    "q_hybrid_rank" -> fusionSql(exactVecCte),
+    // per-probe lexical arm + the same exact cosine arm and fusion
+    "q_hybrid_rank_pp" -> ppFusionSql(exactVecCte),
     // IVF arm (the registered q_ann_ivf mirror at arm depth) — same
     // fusion, only the arm changes
     "q_hybrid_rank_ivf" -> fusionSql(
