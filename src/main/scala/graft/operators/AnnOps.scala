@@ -511,6 +511,25 @@ object AnnOps {
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     annIvfWith(spark, dir, trainedAnchors(spark, dir), roundCcos = true)
 
+  /** §2.H q_ann_ivf_hier_kmeans — the TRAINED hierarchical layout:
+    * [[annIvfKmeans]]'s Lloyd-refined portable-mode anchors routed
+    * through the two-level [[HierAssign]] assignment (broadcast
+    * supers → grp-keyed leaf join) instead of the flat anchor
+    * broadcast. This composes the two scale answers the registered
+    * family proved separately — q_ann_ivf_hier removed the leaf-table
+    * BROADCAST (exact mode: bit-identical to flat), q_ann_ivf_kmeans
+    * made the anchor table TRAINED — into the actual billion-vector
+    * shape: a corpus-adaptive trained anchor table that no longer
+    * needs to fit in a broadcast. Exact mode (route = groups) keeps
+    * candidate scores and ties bit-identical to the flat trained
+    * path, so the oracle IS q_ann_ivf_kmeans' unrolled-Lloyd SQL and
+    * the composition itself passes the hash gate; HierAssignSpec pins
+    * ≡ flat on the executed plans.
+    */
+  def annIvfHierKmeans(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(spark, dir, trainedAnchors(spark, dir),
+      roundCcos = true, hierarchical = true)
+
   /** The session's ONE Lloyd-trained anchor table per (dir, params) —
     * shared by q_ann_ivf_kmeans and q_semdedup_kmeans (both consume
     * the identical portable-mode layout), trained on first use
@@ -1008,6 +1027,7 @@ object AnnOps {
     "q_ann_ivf_filtered_preflight" -> (annIvfFilteredPreflight _),
     "q_ann_ivf_hier" -> (annIvfHier _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
+    "q_ann_ivf_hier_kmeans" -> (annIvfHierKmeans _),
     "q_ann_sq8" -> (annSq8 _),
     "q_ann_ivf_sq8" -> (annIvfSq8 _),
     "q_ann_ivf_pq" -> (annIvfPq _),
@@ -1091,9 +1111,11 @@ object AnnOps {
 
   // q_ann_ivf_hier's oracle IS the flat pipeline's SQL: the two-level
   // routing is bit-identical to flat assignment at these scales (the
-  // point the CORRECTNESS gate then proves end to end)
+  // point the CORRECTNESS gate then proves end to end); same contract
+  // for the TRAINED two-level layout vs the flat trained pipeline
   val oracle: Map[String, String] = oracleBase +
-    ("q_ann_ivf_hier" -> oracleBase("q_ann_ivf"))
+    ("q_ann_ivf_hier" -> oracleBase("q_ann_ivf")) +
+    ("q_ann_ivf_hier_kmeans" -> oracleBase("q_ann_ivf_kmeans"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "q_ivf_cell_stats" ->

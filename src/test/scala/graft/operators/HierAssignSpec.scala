@@ -31,6 +31,14 @@ class HierAssignSpec extends AnyFunSuite {
     assert(rows(hier) === rows(flat))
   }
 
+  test("the REGISTERED trained two-level query is bit-identical to the flat trained query") {
+    // q_ann_ivf_hier_kmeans composes the two proven scale answers
+    // (trained anchors + broadcast-free assignment); exact mode makes
+    // it ≡ q_ann_ivf_kmeans, which is what lets its oracle be the
+    // flat trained pipeline's unrolled-Lloyd SQL
+    assert(rows(AnnOps.annIvfHierKmeans(spark, sf)) === rows(AnnOps.annIvfKmeans(spark, sf)))
+  }
+
   test("the trained anchor table is memoized per (session, dir, params)") {
     // one Lloyd training job per session: the memo stores collected
     // rows (a DataFrame value would pin the weak session key through
