@@ -24,7 +24,7 @@ object AuditEval {
   private val markers = Seq(
     "shinglesexpr", "shinglepostingsgen", "minhashexpr", "chunkhashesexpr",
     "winnowfingerprintsexpr", "winnowpostingsgen", "hyperplanesigsexpr", "md5(",
-    "charentropyexpr", "chardistinctexpr")
+    "charentropyexpr", "chardistinctexpr", "multipatternscrubexpr")
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

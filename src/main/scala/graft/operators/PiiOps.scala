@@ -97,27 +97,36 @@ object PiiOps {
   private def validCards(raw: Column): Column =
     filter(regexp_extract_all(raw, lit(CardRe), lit(0)), luhnOk _)
 
-  /** Per-kind span counts — `cards` is the pre-materialized
-    * Luhn-valid array column. */
-  private def spanCounts(raw: Column, cards: Column): Seq[(String, Column)] = Seq(
-    "emails" -> size(regexp_extract_all(raw, lit(EmailRe), lit(0))).cast("long"),
-    "phones" -> size(regexp_extract_all(raw, lit(PhoneRe), lit(0))).cast("long"),
-    "ids" -> size(regexp_extract_all(raw, lit(NricRe), lit(0))).cast("long"),
-    "ips" -> size(regexp_extract_all(raw, lit(IpRe), lit(0))).cast("long"),
-    "cards" -> size(cards).cast("long"))
+  /** The ordered (pattern → tag) kind-priority list — ONE copy
+    * driving the single-pass scrub in both queries (and PiiScrubSpec's
+    * equivalence probes against the chained form the oracle keeps).
+    */
+  private[operators] val ScrubKinds: Seq[(String, String)] = Seq(
+    EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>", NricRe -> "<ID>", IpRe -> "<IP>")
+
+  /** Per-kind span counts out of the single-pass scrub struct —
+    * `scrub` is the materialized [[ScrubKinds]]-ordered struct,
+    * `cards` the pre-materialized Luhn-valid array column. */
+  private def spanCounts(scrub: Column, cards: Column): Seq[(String, Column)] =
+    Seq("emails", "phones", "ids", "ips").zipWithIndex.map { case (kind, i) =>
+      kind -> scrub.getField("counts").getItem(i)
+    } :+ ("cards" -> size(cards).cast("long"))
 
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val counts = spanCounts(col("raw"), col("_cards"))
-    // regex kinds rewrite in one chained projection; valid cards are
-    // then replaced EXACTLY (string replace of each verified match —
-    // a blanket [0-9]{16} regexp_replace would also scrub the
+    val counts = spanCounts(col("_scrub"), col("_cards"))
+    // the four regex kinds rewrite AND count in ONE string walk (the
+    // codegen'd single-pass MultiPatternScrubExpr — the 5-deep nested
+    // regexp_replace chain plus 4 extract_all counting scans walked
+    // each decorated string nine times); valid cards are then
+    // replaced EXACTLY (string replace of each verified match — a
+    // blanket [0-9]{16} regexp_replace would also scrub the
     // checksum-failing lookalikes the counts exclude)
-    val base = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      col("raw"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), NricRe, "<ID>"), IpRe, "<IP>")
-    val redacted = aggregate(col("_cards"), base, (acc, c) => replace(acc, c, lit("<CARD>")))
+    val redacted = aggregate(col("_cards"), col("_scrub").getField("redacted"),
+      (acc, c) => replace(acc, c, lit("<CARD>")))
     Tables.customer(spark, dir)
       .select(col("c_custkey"), decoratedRaw.as("raw"))
       .withColumn("_cards", validCards(col("raw")))
+      .withColumn("_scrub", graft.plans.TextExpressions.multiScrubNative(col("raw"), ScrubKinds))
       .select(col("c_custkey") +: col("raw") +:
         counts.map { case (kind, c) => c.as(s"n_$kind") } :+ redacted.as("redacted"): _*)
   }
@@ -132,11 +141,12 @@ object PiiOps {
     * scan + one keyed aggregation; output bounded by |nations|.
     */
   def piiStats(spark: SparkSession, dir: String): DataFrame = {
-    val counts = spanCounts(col("raw"), col("_cards"))
+    val counts = spanCounts(col("_scrub"), col("_cards"))
     val total = counts.map(_._2).reduce(_ + _)
     Tables.customer(spark, dir)
       .select(col("c_nationkey"), decoratedRaw.as("raw"))
       .withColumn("_cards", validCards(col("raw")))
+      .withColumn("_scrub", graft.plans.TextExpressions.multiScrubNative(col("raw"), ScrubKinds))
       .select(col("c_nationkey") +:
         counts.map { case (kind, c) => c.as(s"n_$kind") } :+ total.as("nt"): _*)
       .groupBy("c_nationkey")

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -552,4 +552,101 @@ object TextExpressions {
 
   def charDistinctNative(text: Column): Column =
     ColumnBridge.column(CharDistinctExpr(ColumnBridge.expression(text)))
+
+  // ---- single-pass multi-pattern PII scrub ----
+
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  /** Static entry point referenced from generated code: ONE
+    * left-to-right walk of `text` over the ordered alternation
+    * `(p1)|(p2)|...` — each match is replaced by the tag of the first
+    * alternative matching at the leftmost position and counted per
+    * kind. One string scan and ONE rebuilt string serve all kinds,
+    * replacing k chained `regexp_replace` walks (k scans, k rebuilds)
+    * plus k `regexp_extract_all` counting scans.
+    *
+    * Semantics vs the chained form (kind-priority: all of p1's
+    * matches rewritten before p2 ever scans): identical whenever
+    * matches of DISTINCT kinds never overlap in the input — the
+    * decorated PII corpus by construction, and the practical scrub
+    * case. On a cross-kind overlap the chain lets the higher-priority
+    * kind win globally while this pass lets the leftmost win;
+    * PiiScrubSpec pins both the equivalence class and the one
+    * divergence boundary explicitly, and the registered oracle keeps
+    * the CHAINED form, so a corpus ever reaching the boundary fails
+    * the hash gate loudly instead of drifting.
+    */
+  def multiScrubCompute(text: UTF8String, pattern: String,
+      tags: Array[String]): InternalRow = {
+    val p = patternCache.computeIfAbsent(pattern,
+      (k: String) => java.util.regex.Pattern.compile(k))
+    val s = text.toString
+    val counts = new Array[Long](tags.length)
+    val m = p.matcher(s)
+    if (!m.find())
+      return new GenericInternalRow(Array[Any](text, new GenericArrayData(counts)))
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    var go = true
+    while (go) {
+      sb.append(s, last, m.start())
+      var g = 1
+      var hit = 0
+      while (hit == 0 && g <= tags.length) {
+        if (m.start(g) >= 0) hit = g
+        g += 1
+      }
+      counts(hit - 1) += 1
+      sb.append(tags(hit - 1))
+      last = m.end()
+      go = m.find()
+    }
+    sb.append(s, last, s.length)
+    new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString),
+      new GenericArrayData(counts)))
+  }
+
+  /** Single-pass multi-pattern scrub — see [[multiScrubCompute]].
+    * `kinds` is the ordered (pattern, tag) priority list; patterns
+    * must be group-free (the alternation groups ARE the kind
+    * dispatch). Returns struct(redacted string, counts array<long>)
+    * so ONE evaluation site feeds both the redaction and the per-kind
+    * telemetry (multi-referenced and non-cheap, so CollapseProject
+    * keeps it materialized — one walk per row).
+    */
+  case class MultiPatternScrubExpr(child: Expression, kinds: Seq[(String, String)])
+      extends UnaryExpression {
+    require(kinds.nonEmpty && kinds.forall(!_._1.contains("(")),
+      "multi_scrub patterns must be group-free (alternation groups are the kind dispatch)")
+    private val pattern = kinds.map(k => "(" + k._1 + ")").mkString("|")
+    private val tags = kinds.map(_._2).toArray
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("redacted", StringType, nullable = false),
+      StructField("counts",
+        ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"multi_scrub expects string, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      multiScrubCompute(a.asInstanceOf[UTF8String], pattern, tags)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pat = ctx.addReferenceObj("scrubPattern", pattern)
+      val tg = ctx.addReferenceObj("scrubTags", tags, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.TextExpressions.multiScrubCompute($a, $pat, $tg);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def multiScrubNative(text: Column, kinds: Seq[(String, String)]): Column =
+    ColumnBridge.column(MultiPatternScrubExpr(ColumnBridge.expression(text), kinds))
 }
