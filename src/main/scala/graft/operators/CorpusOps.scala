@@ -507,7 +507,7 @@ object CorpusOps {
     *    n_chars) — stages after it are window/filter/join nodes over
     *    that scan, never a re-read;
     *  - the LR weights arrive as SCALAR LITERALS from the memoized
-    *    trained artifact ([[TextOps.lrWeights]] — 4 doubles, the
+    *    trained artifact ([[TextOps.lrWeights]] — 4 micro-unit longs, the
     *    bounded driver state the training family already owns);
     *  - the contaminated-id set is a BOUNDED side artifact
     *    (materialized once via localCheckpoint, like the trainer's
@@ -555,7 +555,7 @@ object CorpusOps {
       extra: org.apache.spark.sql.Column*): DataFrame = d.select(
     col("doc_id") +: col("source") +: col("lang") +: col("n_chars") +:
     md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("h") +:
-    TextOps.lrX1.as("x1") +: TextOps.lrX2.as("x2") +: TextOps.lrX3.as("x3") +:
+    TextOps.lrX1m.as("x1m") +: TextOps.lrX2m.as("x2m") +: TextOps.lrX3m.as("x3m") +:
     (bucket(col("text"), 20) === 0).as("is_bench") +: extra: _*)
 
   /** The dedup window shared by the pipeline and its funnel. */
@@ -582,7 +582,7 @@ object CorpusOps {
     val base = curateBase(Tables.documents(spark, dir))
     val survivors = base
       .withColumn("dup_rn", row_number().over(curateDedupW)).filter(col("dup_rn") === 1)
-      .withColumn("p_quality", TextOps.lrP(w))
+      .withColumn("p_quality", TextOps.lrPm(w) / lit(1e6))
       .filter(col("p_quality") >= 0.5 && !col("is_bench"))
       .join(broadcast(contamIds), Seq("doc_id"), "left_anti")
     val capped = curateCapped(survivors)
@@ -617,7 +617,7 @@ object CorpusOps {
     // p_quality evaluated ONCE; the q flag derives from the column
     val flagged = base
       .withColumn("d", row_number().over(curateDedupW) === 1)
-      .withColumn("p_quality", TextOps.lrP(w))
+      .withColumn("p_quality", TextOps.lrPm(w) / lit(1e6))
       .withColumn("q", col("p_quality") >= 0.5)
       .join(broadcast(contamIds.withColumn("_contam", lit(true))), Seq("doc_id"), "left")
       .withColumn("c", coalesce(col("_contam"), lit(false)))
@@ -678,8 +678,8 @@ object CorpusOps {
   private def curateStagesSql: String =
     s"""${TextOps.sqlLrPrefix},
        |lrsc AS MATERIALIZED (
-       |  SELECT doc_id, round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) p_quality
-       |  FROM f CROSS JOIN ws${TextOps.LrSteps}
+       |  SELECT doc_id, ${TextOps.sqlPmExpr} / 1000000.0 p_quality
+       |  FROM f CROSS JOIN ws${TextOps.LrSteps} CROSS JOIN sig
        |), nh AS (
        |  SELECT doc_id, source, lang, n_chars,
        |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) h,

@@ -49,6 +49,26 @@ object TextOps {
     "(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) " +
       "/ greatest(length(text), 1)::DOUBLE)"
 
+  /** DuckDB mirrors of the integer micro-unit LR features
+    * [[lrX1m]]/[[lrX2m]]/[[lrX3m]] (expect `text` in scope) — pure
+    * integer arithmetic: the x2m/x3m round-half-up divisions run on
+    * nonnegative operands, where DuckDB's `//` and the Spark-side
+    * pmod construction agree exactly.
+    */
+  private[operators] val SqlX1m: String =
+    "least(1000000, length(text) * 2500)"
+  private[operators] val SqlX2m: String = {
+    val nstop =
+      "len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ('the', 'a')))"
+    val ntok = "greatest(len(string_split_regex(trim(text), '\\s+')), 1)"
+    s"((2 * $nstop * 1000000 + $ntok) // (2 * $ntok))"
+  }
+  private[operators] val SqlX3m: String = {
+    val np = "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))"
+    val nc = "greatest(length(text), 1)"
+    s"((2 * $np * 1000000 + $nc) // (2 * $nc))"
+  }
+
   /** DuckDB mirror of [[qualityCol]] (expects `text` in scope). */
   private[operators] val SqlQuality: String =
     s"round(0.5 * least(1.0, length(text) / 400.0) " +
@@ -772,46 +792,102 @@ object TextOps {
   }
 
   private[operators] val LrSteps = 20
-  private[operators] val LrRate = 5.0
+  private[operators] val LrRate = 5L
   private[operators] val LrThreshold = 0.7
 
-  /** The three LR feature expressions over `text` — ONE copy, shared
-    * by [[lrFeatures]] and the composed curation pipeline's single
-    * document scan ([[CorpusOps.curateE2e]]).
+  /** Floor division as both engines compute it, for ANY sign of `a`
+    * (b > 0): subtracting the nonnegative pmod first makes the
+    * numerator an exact multiple of b, so truncating and flooring
+    * integer division agree — the construction that makes every
+    * division in the integer LR loop engine-proof. Magnitude
+    * contract: |a| must stay ≤ 2^53 (the intermediate division runs
+    * in double) — every call site's bound is documented inline.
     */
-  private[operators] def lrX1: Column =
-    round(least(lit(1.0), length(col("text")) / lit(400.0)), 6)
-  private[operators] def lrX2: Column = round(stopRatioCol, 6)
-  private[operators] def lrX3: Column = round(punctRatioCol, 6)
+  private def fdivCol(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
 
-  /** The logistic-regression feature frame: rounded-6 features (so
-    * both engines train on bit-identical inputs) + the rule label.
+  /** Round-half-up of the exact rational num/den (num ≥ 0 or any
+    * sign, den > 0) in pure integer arithmetic. */
+  private def rhuCol(num: Column, den: Column): Column =
+    fdivCol(num * lit(2L) + den, den * lit(2L))
+
+  /** The three LR feature expressions over `text` in integer
+    * MICRO-units (×1e6) — ONE copy, shared by [[lrFeatures]] and the
+    * composed curation pipeline's single document scan
+    * ([[CorpusOps.curateE2e]]). Integer-exact by construction:
+    * x1m = min(1e6, len·2500) (1e6/400 = 2500 exactly), x2m/x3m =
+    * round-half-up of the exact count ratios — no double division,
+    * no round(double) boundary anywhere in the feature layer.
+    */
+  private[operators] def lrX1m: Column =
+    least(lit(1000000L), length(col("text")).cast("long") * lit(2500L))
+  private[operators] def lrX2m: Column = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nstop = size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
+    val ntok = greatest(size(toks), lit(1)).cast("long")
+    // |num| ≤ 2·(ntok·1e6)+ntok ≈ 2e10 per row — far inside 2^53
+    rhuCol(nstop * lit(1000000L), ntok)
+  }
+  private[operators] def lrX3m: Column = {
+    val np = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("long")
+    val nc = greatest(length(col("text")), lit(1)).cast("long")
+    rhuCol(np * lit(1000000L), nc)
+  }
+
+  /** The logistic-regression feature frame: integer micro-unit
+    * features (bit-identical on any engine) + the rule label.
     */
   private def lrFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      lrX1.as("x1"), lrX2.as("x2"), lrX3.as("x3"),
+      lrX1m.as("x1m"), lrX2m.as("x2m"), lrX3m.as("x3m"),
       when(qualityCol >= LrThreshold, 1.0).otherwise(0.0).as("y"))
 
   /** Spec window into the exact feature frame the trainer reads. */
   private[operators] def lrFeaturesForSpec(spark: SparkSession, dir: String): DataFrame =
-    lrFeatures(spark, dir).select("x1", "x2", "x3", "y")
+    lrFeatures(spark, dir).select("x1m", "x2m", "x3m", "y")
 
-  /** Spark's Round semantics on the driver (HALF_UP at 6 decimals) —
-    * the weight updates must round exactly as the SQL mirrors do.
+  /** The integer sigmoid: a 4097-entry micro-unit lookup table over
+    * z ∈ [−16.384, 16.384] at step [[SigStep]] micro, linearly
+    * interpolated in long arithmetic. The table constants are
+    * generated ONCE here and interpolated as literals into BOTH the
+    * Spark expression and the DuckDB oracle — libm exp never runs at
+    * query time on either engine, which is what closes the
+    * fp-boundary risk the float trainer documented: every quantity in
+    * the training loop is now an exact integer. PL interpolation
+    * error vs true sigmoid ≈ 8e-7 (step²·max|σ″|/8) — below the
+    * micro-unit resolution; σ̂ is simply the DEFINED transfer
+    * function, exactly reproducible anywhere.
     */
-  private def r6(v: Double): Double =
-    BigDecimal.valueOf(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  private[graft] val SigStep = 8000
+  private[graft] val SigHalf = 2048
+  private[graft] val SigLoMicro: Long = -(SigHalf.toLong * SigStep) // −16 384 000
+  private[graft] val SigHiMicro: Long = SigHalf.toLong * SigStep - 1
+  private[graft] val SigTable: Array[Long] = Array.tabulate(2 * SigHalf + 1) { i =>
+    val z = (i - SigHalf).toLong * SigStep / 1e6
+    math.round(1e6 / (1.0 + math.exp(-z)))
+  }
 
-  /** The sigmoid probability under the current weights, rounded to 6
-    * decimals BEFORE it feeds any gradient or decision — the
-    * portability pin that keeps a last-ulp `exp` difference between
-    * JVM Math.exp and an external engine's libm from ever entering
-    * the training arithmetic.
+  /** The sigmoid probability in MICRO-units (long ∈ [0, 1e6]) under
+    * micro-unit weights, over the x1m/x2m/x3m feature columns —
+    * exact integer arithmetic end to end (z in micro via one
+    * floor-div, clamp, table lookup + linear interpolation).
+    * p ≥ 0.5 ⟺ lrPm ≥ 500000; p as a double is lrPm / 1e6 (an exact
+    * IEEE division both engines perform identically).
     */
-  private[graft] def lrP(w: Array[Double]): Column =
-    round(lit(1.0) / (lit(1.0) + exp(-(lit(w(0)) + lit(w(1)) * col("x1") +
-      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")))), 6)
+  private[graft] def lrPm(w: Array[Long]): Column = {
+    val s = lit(w(0)) * lit(1000000L) + lit(w(1)) * col("x1m") +
+      lit(w(2)) * col("x2m") + lit(w(3)) * col("x3m")
+    // |s| ≤ 4·(|w|≤1e8)·1e6 = 4e14 < 2^53 — fdivCol's double is exact
+    val z = fdivCol(s, lit(1000000L))
+    val off = greatest(lit(SigLoMicro), least(lit(SigHiMicro), z)) - lit(SigLoMicro)
+    val idx = fdivCol(off, lit(SigStep.toLong))
+    val frac = pmod(off, lit(SigStep.toLong))
+    val tab = typedLit(SigTable)
+    val lo = element_at(tab, (idx + 1).cast("int"))
+    val hi = element_at(tab, (idx + 2).cast("int"))
+    lo + fdivCol((hi - lo) * frac, lit(SigStep.toLong))
+  }
 
   /** §2.I q_quality_lr — distill the rule-based quality filter into a
     * trained scorer (the fastText-classifier workload of a curation
@@ -823,37 +899,30 @@ object TextOps {
     * [[LrThreshold]]`. Each step is ONE distributed aggregation (four
     * map-side-combined sums) + a 4-number driver update — the bounded
     * driver state of the Kmeans/BPE family; the corpus never moves.
-    * Training is engine-portable by the suite's rounding choreography
-    * (features, per-row sigmoid, per-step gradient, and weights all
-    * pinned to 6 decimals); the DuckDB oracle unrolls the same steps
-    * and must reproduce the weight vector — and the training accuracy
-    * it implies — exactly. QualityLrSpec pins the distributed loop
-    * against a driver-side replica and that the distilled scorer
+    * Training is INTEGER-EXACT, like the suite's other trained
+    * artifacts (q_dsir_weights, q_bootstrap_ci, the BPE counts):
+    * features, sigmoid (micro-unit lookup table — [[SigTable]]),
+    * per-step gradient averages (round-half-up integer division on
+    * the driver) and weights are all LONGS in micro-units. No libm
+    * call, no double rounding, no ordered-sum sensitivity anywhere in
+    * the loop — the fp-boundary risk the float trainer documented is
+    * closed by construction, not mitigated; the DuckDB oracle unrolls
+    * the same integer steps (same table literals) and must reproduce
+    * the weight vector — and the training accuracy it implies —
+    * exactly. Gradient sums ride decimal(38,0): the d·x terms are
+    * ≤ 1e12/row, so a long sum would overflow past ~9e6 rows — the
+    * decimal sum is exact at any corpus size, and DuckDB's HUGEINT
+    * sum mirrors it. QualityLrSpec pins the distributed loop against
+    * a driver-side integer replica and that the distilled scorer
     * actually beats the majority class.
-    *
-    * RESIDUAL BOUNDARY RISK, documented deliberately: unlike the
-    * integer-exact trained artifacts (q_dsir_weights, q_bootstrap_ci,
-    * the BPE counts), this loop rounds FLOATING-POINT quantities (libm
-    * exp in the sigmoid, an unordered distributed gradient sum) at
-    * each of the 20 compounding steps. A pre-rounding value landing
-    * within an ulp of a .5 boundary at the 7th decimal on some future
-    * corpus or engine build could flip a weight and diverge the whole
-    * tail. Mitigations in place: the gradient sum's inputs are
-    * themselves round-6 (bounded terms, sums far from the boundary in
-    * practice), and ConfParitySpec RETRAINS under hostile configs and
-    * must land on identical weights — so a boundary flip surfaces as
-    * a loud spec failure, not silent drift. Full immunity would need
-    * an integer-quantized sigmoid (a lookup table in micro-units),
-    * traded away here to keep the trainer the standard float GD the
-    * workload actually uses.
     */
   def qualityLr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = lrTrained(spark, dir)
     val m = lrFeatures(spark, dir).select(count(lit(1)).as("n"),
-      round(avg(when((lrP(w) >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)), 6).as("acc"))
+      round(avg(when((lrPm(w) >= 500000L) === (col("y") === 1.0), 1.0).otherwise(0.0)), 6).as("acc"))
       .collect()(0)
-    Seq((m.getLong(0), w(0), w(1), w(2), w(3), m.getDouble(1)))
+    Seq((m.getLong(0), w(0) / 1e6, w(1) / 1e6, w(2) / 1e6, w(3) / 1e6, m.getDouble(1)))
       .toDF("n_docs", "w_bias", "w_len", "w_stop", "w_punct", "train_acc")
   }
 
@@ -867,19 +936,32 @@ object TextOps {
     * session lifetime.
     */
   private val lrMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
-  private def lrTrained(spark: SparkSession, dir: String): Array[Double] =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def lrTrained(spark: SparkSession, dir: String): Array[Long] =
     lrMemo.computeIfAbsent(s"${spark.hashCode()}|$dir", { _ =>
       val f = lrFeatures(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val n = f.count().toDouble
-        var w = Array(0.0, 0.0, 0.0, 0.0)
+        val n = f.count()
+        var w = Array(0L, 0L, 0L, 0L)
+        // exact integer floor-division helpers on the driver (BigInt —
+        // the decimal gradient sums can exceed Long at corpus scale)
+        def fdivB(a: BigInt, b: BigInt): BigInt = (a - a.mod(b)) / b
+        def rhuB(num: BigInt, den: BigInt): BigInt = fdivB(num * 2 + den, den * 2)
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
         for (_ <- 1 to LrSteps) {
-          val d = lrP(w) - col("y")
-          val g = f.select(sum(d), sum(d * col("x1")), sum(d * col("x2")), sum(d * col("x3")))
+          val d = lrPm(w) - col("y").cast("long") * lit(1000000L)
+          val g = f.select(sum(d.cast(dec)), sum((d * col("x1m")).cast(dec)),
+              sum((d * col("x2m")).cast(dec)), sum((d * col("x3m")).cast(dec)))
             .collect()(0)
-          w = Array.tabulate(4)(j => r6(w(j) - LrRate * r6(g.getDouble(j) / n)))
+          val gm = Array.tabulate(4) { j =>
+            val s = BigInt(g.getDecimal(j).toBigIntegerExact)
+            // j = 0 averages micro-units; j ≥ 1 averages micro² (d·x),
+            // so the denominator carries the extra 1e6
+            val den = if (j == 0) BigInt(n) else BigInt(n) * 1000000L
+            rhuB(s, den)
+          }
+          w = Array.tabulate(4)(j => w(j) - LrRate * gm(j).toLong)
         }
         w
       } finally {
@@ -887,10 +969,11 @@ object TextOps {
       }
     })
 
-  /** The trained weight vector alone — the bounded artifact the
-    * composed curation pipeline consumes as scalar literals.
+  /** The trained weight vector alone (micro-unit longs) — the bounded
+    * artifact the composed curation pipeline consumes as scalar
+    * literals.
     */
-  private[graft] def lrWeights(spark: SparkSession, dir: String): Array[Double] =
+  private[graft] def lrWeights(spark: SparkSession, dir: String): Array[Long] =
     lrTrained(spark, dir)
 
   /** Drop every session-scoped trained-artifact cache (LR weights +
@@ -915,29 +998,55 @@ object TextOps {
     */
   def qualityLrScore(spark: SparkSession, dir: String): DataFrame = {
     val w = lrTrained(spark, dir)
-    lrFeatures(spark, dir).select(col("doc_id"), lrP(w).as("p_quality"), col("y"))
+    // p_quality = pm / 1e6: an exact IEEE division of an integer ≤ 1e6
+    // — bit-identical on any engine, no round() needed
+    lrFeatures(spark, dir)
+      .select(col("doc_id"), (lrPm(w) / lit(1e6)).as("p_quality"), col("y"))
       .select(col("doc_id"), col("p_quality"),
         (col("p_quality") >= 0.5).as("pred_keep"), (col("y") === 1.0).as("rule_keep"))
       .orderBy("doc_id")
   }
 
-  /** One unrolled GD step in SQL — [[qualityLr]]'s loop body: the
-    * rounded sigmoid under the previous weights, four gradient sums
-    * rounded at 6 after the 1/n scale, weights updated and re-rounded.
+  /** The integer sigmoid in SQL (micro-units): z from the in-scope
+    * weight columns w0..w3 and feature columns x1m..x3m via the
+    * pmod-then-divide floor division (exact multiple ⇒ trunc ≡ floor
+    * on any engine), clamped, then table lookup + linear
+    * interpolation in `tab` (the one-row `sig` CTE, 1-based list).
+    */
+  private[operators] def sqlPmExpr: String = {
+    val sum = "(w0 * 1000000 + w1 * x1m + w2 * x2m + w3 * x3m)"
+    val z = s"(($sum - ((($sum % 1000000) + 1000000) % 1000000)) // 1000000)"
+    val off = s"(greatest($SigLoMicro, least($SigHiMicro, $z)) - ($SigLoMicro))"
+    s"(tab[($off // $SigStep) + 1] + " +
+      s"(tab[($off // $SigStep) + 2] - tab[($off // $SigStep) + 1]) * ($off % $SigStep) // $SigStep)"
+  }
+
+  /** Round-half-up integer division in SQL for any-sign numerators
+    * (pmod-then-divide ⇒ exact multiple ⇒ engine-proof). */
+  private def sqlRhu(num: String, den: String): String = {
+    val a = s"(2 * ($num) + ($den))"
+    val b = s"(2 * ($den))"
+    s"(($a - ((($a % $b) + $b) % $b)) // $b)"
+  }
+
+  /** One unrolled GD step in SQL — [[qualityLr]]'s loop body in pure
+    * integer arithmetic: the micro-unit table sigmoid under the
+    * previous weights, four HUGEINT gradient sums reduced by
+    * round-half-up integer division, weights updated exactly.
     */
   private def sqlLrStep(i: Int): String = {
     val prev = s"ws${i - 1}"
     s"""g$i AS MATERIALIZED (
-       |  SELECT round(sum(p - y) / any_value(n), 6) g0,
-       |         round(sum((p - y) * x1) / any_value(n), 6) g1,
-       |         round(sum((p - y) * x2) / any_value(n), 6) g2,
-       |         round(sum((p - y) * x3) / any_value(n), 6) g3
-       |  FROM (SELECT round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) p,
-       |               y, x1, x2, x3, n
-       |        FROM f CROSS JOIN $prev CROSS JOIN nn)
+       |  SELECT CAST(${sqlRhu("sum(d)", "any_value(n)")} AS BIGINT) g0,
+       |         CAST(${sqlRhu("sum(d * x1m)", "any_value(n) * 1000000")} AS BIGINT) g1,
+       |         CAST(${sqlRhu("sum(d * x2m)", "any_value(n) * 1000000")} AS BIGINT) g2,
+       |         CAST(${sqlRhu("sum(d * x3m)", "any_value(n) * 1000000")} AS BIGINT) g3
+       |  FROM (SELECT $sqlPmExpr - CAST(y AS BIGINT) * 1000000 d,
+       |               x1m, x2m, x3m, n
+       |        FROM f CROSS JOIN $prev CROSS JOIN nn CROSS JOIN sig)
        |), ws$i AS MATERIALIZED (
-       |  SELECT round(w0 - $LrRate * g0, 6) w0, round(w1 - $LrRate * g1, 6) w1,
-       |         round(w2 - $LrRate * g2, 6) w2, round(w3 - $LrRate * g3, 6) w3
+       |  SELECT w0 - $LrRate * g0 w0, w1 - $LrRate * g1 w1,
+       |         w2 - $LrRate * g2 w2, w3 - $LrRate * g3 w3
        |  FROM $prev CROSS JOIN g$i
        |)""".stripMargin
   }
@@ -1025,13 +1134,15 @@ object TextOps {
     */
   private[operators] def sqlLrPrefix: String =
     s"""f AS MATERIALIZED (
-       |  SELECT doc_id, round(least(1.0, length(text) / 400.0), 6) x1,
-       |         round($SqlStopRatio, 6) x2,
-       |         round($SqlPunctRatio, 6) x3,
+       |  SELECT doc_id,
+       |         $SqlX1m x1m,
+       |         $SqlX2m x2m,
+       |         $SqlX3m x3m,
        |         (CASE WHEN $SqlQuality >= $LrThreshold THEN 1.0 ELSE 0.0 END)::DOUBLE y
        |  FROM documents
-       |), nn AS (SELECT count(*)::DOUBLE n FROM f),
-       |ws0 AS (SELECT 0.0 w0, 0.0 w1, 0.0 w2, 0.0 w3),
+       |), nn AS (SELECT count(*)::BIGINT n FROM f),
+       |sig AS (SELECT ${SigTable.mkString("[", ", ", "]")}::BIGINT[] tab),
+       |ws0 AS (SELECT 0::BIGINT w0, 0::BIGINT w1, 0::BIGINT w2, 0::BIGINT w3),
        |${(1 to LrSteps).map(sqlLrStep).mkString(",\n")}""".stripMargin
 
   /** The BM25 oracle CTE chain (tok → dl → st → tf → df → sc, ending
@@ -1070,22 +1181,23 @@ object TextOps {
       s"""WITH $sqlLrPrefix,
          |acc AS (
          |  SELECT round(avg(CASE WHEN
-         |      (round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) >= 0.5)
+         |      ($sqlPmExpr >= 500000)
          |        = (y = 1.0)
          |      THEN 1.0 ELSE 0.0 END), 6)::DOUBLE a
-         |  FROM f CROSS JOIN ws$LrSteps
+         |  FROM f CROSS JOIN ws$LrSteps CROSS JOIN sig
          |)
          |SELECT (SELECT count(*) FROM f)::BIGINT n_docs,
-         |       w0 w_bias, w1 w_len, w2 w_stop, w3 w_punct,
+         |       w0 / 1000000.0 w_bias, w1 / 1000000.0 w_len,
+         |       w2 / 1000000.0 w_stop, w3 / 1000000.0 w_punct,
          |       (SELECT a FROM acc) train_acc
          |FROM ws$LrSteps""".stripMargin,
     "q_quality_lr_score" ->
       s"""WITH $sqlLrPrefix
          |SELECT doc_id,
-         |  round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) p_quality,
-         |  (round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) >= 0.5) pred_keep,
+         |  $sqlPmExpr / 1000000.0 p_quality,
+         |  ($sqlPmExpr >= 500000) pred_keep,
          |  (y = 1.0) rule_keep
-         |FROM f CROSS JOIN ws$LrSteps ORDER BY doc_id""".stripMargin,
+         |FROM f CROSS JOIN ws$LrSteps CROSS JOIN sig ORDER BY doc_id""".stripMargin,
     "q_bpe_merges" ->
       s"""$sqlBpePrefix
          |SELECT * FROM (

@@ -53,13 +53,13 @@ import graft.operators.{CorpusOps, TextOps}
 object CurateStream {
 
   case class CurRow(doc_id: Long, source: String, lang: String, n_chars: Long,
-      h: String, x1: Double, x2: Double, x3: Double, is_bench: Boolean)
+      h: String, x1m: Long, x2m: Long, x3m: Long, is_bench: Boolean)
 
   /** [[CurRow]] + the ingest event time — [[curatedBounded]]'s input
     * row (the horizon needs an event-time column to time out against).
     */
   case class CurRowT(doc_id: Long, source: String, lang: String, n_chars: Long,
-      h: String, x1: Double, x2: Double, x3: Double, is_bench: Boolean,
+      h: String, x1m: Long, x2m: Long, x3m: Long, is_bench: Boolean,
       ts: java.sql.Timestamp)
 
   /** Per-(hash, micro-batch) dedup telemetry: how many docs arrived
@@ -68,7 +68,7 @@ object CurateStream {
     * attrition accounting.
     */
   case class FunnelDelta(n_arrived: Long, emitted: Boolean,
-      x1: Double, x2: Double, x3: Double, is_bench: Boolean)
+      x1m: Long, x2m: Long, x3m: Long, is_bench: Boolean)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -102,9 +102,9 @@ object CurateStream {
     * over a deduped frame — one copy shared by [[curated]] and
     * [[curatedBounded]].
     */
-  private def gate(deduped: DataFrame, weights: Array[Double]): DataFrame =
+  private def gate(deduped: DataFrame, weights: Array[Long]): DataFrame =
     deduped
-      .withColumn("p_quality", TextOps.lrP(weights))
+      .withColumn("p_quality", TextOps.lrPm(weights) / lit(1e6))
       .filter(col("p_quality") >= 0.5 && !col("is_bench"))
       .select(col("doc_id"), col("source"), col("lang"),
         col("n_chars"), col("p_quality"))
@@ -113,7 +113,7 @@ object CurateStream {
     * (doc_id, text, lang, source, n_chars): returns the kept docs
     * with their quality score — one slim row per surviving document.
     */
-  def curated(docs: DataFrame, weights: Array[Double]): DataFrame =
+  def curated(docs: DataFrame, weights: Array[Long]): DataFrame =
     curatedCounting(docs, weights)._1
 
   /** [[curated]] plus its divergence telemetry: the returned
@@ -122,7 +122,7 @@ object CurateStream {
     * 0 on any id-ordered feed).
     */
   def curatedCounting(docs: DataFrame,
-      weights: Array[Double]): (DataFrame, LongAccumulator) = {
+      weights: Array[Long]): (DataFrame, LongAccumulator) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val lateAcc = spark.sparkContext.longAccumulator("curate_stream_late_lower_id")
@@ -143,7 +143,7 @@ object CurateStream {
     * deterministic, documented degrade a bounded re-upload window
     * buys its bounded state with.
     */
-  def curatedBounded(docs: DataFrame, weights: Array[Double],
+  def curatedBounded(docs: DataFrame, weights: Array[Long],
       horizonMs: Long, lateness: String = "0 seconds"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -185,7 +185,7 @@ object CurateStream {
     * cumulative stream counts ≡ the batch funnel's first four rows on
     * a planted corpus across a checkpoint restart.
     */
-  def funnel(docs: DataFrame, weights: Array[Double]): DataFrame = {
+  def funnel(docs: DataFrame, weights: Array[Long]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val deltas: Dataset[FunnelDelta] = CorpusOps.curateBase(docs).as[CurRow]
@@ -195,16 +195,16 @@ object CurateStream {
           val rs = rows.toSeq
           Iterator.single(dedupStep[CurRow](rs, state, _.doc_id, None) match {
             case Some(w) =>
-              FunnelDelta(rs.size.toLong, emitted = true, w.x1, w.x2, w.x3, w.is_bench)
+              FunnelDelta(rs.size.toLong, emitted = true, w.x1m, w.x2m, w.x3m, w.is_bench)
             case None =>
-              FunnelDelta(rs.size.toLong, emitted = false, 0.0, 0.0, 0.0, is_bench = false)
+              FunnelDelta(rs.size.toLong, emitted = false, 0L, 0L, 0L, is_bench = false)
           })
       }
     deltas.toDF()
       // the SAME trained gate the output path applies — guarded by
       // `emitted` so the zero-filled non-emitting deltas can't leak
       // into the quality count
-      .withColumn("q", col("emitted") && TextOps.lrP(weights) >= 0.5)
+      .withColumn("q", col("emitted") && TextOps.lrPm(weights) >= 500000L)
       .groupBy()
       .agg(
         sum(col("n_arrived")).as("n0"),

@@ -51,7 +51,7 @@ class CurateStreamSpec extends AnyFunSuite {
       .partitionBy($"h").orderBy($"doc_id")
     val expected = batchBase
       .withColumn("rn", row_number().over(w2)).filter($"rn" === 1)
-      .withColumn("p_quality", operators.TextOps.lrP(w))
+      .withColumn("p_quality", operators.TextOps.lrPm(w) / lit(1e6))
       .filter($"p_quality" >= 0.5 && !$"is_bench")
       .select($"doc_id", $"p_quality").as[(Long, Double)].collect().toSet
     assert(expected.nonEmpty)
@@ -161,7 +161,7 @@ class CurateStreamSpec extends AnyFunSuite {
       .partitionBy($"h").orderBy($"doc_id")
     val flagged = operators.CorpusOps.curateBase(docs.toDF())
       .withColumn("d", row_number().over(w2) === 1)
-      .withColumn("q", $"d" && operators.TextOps.lrP(w) >= 0.5)
+      .withColumn("q", $"d" && operators.TextOps.lrPm(w) >= 500000L)
     val exp = flagged.agg(
         count(lit(1)), sum(when($"d", 1L).otherwise(0L)),
         sum(when($"q", 1L).otherwise(0L)),
