@@ -106,8 +106,24 @@ object HybridOps {
     * per-probe fan-out all ride broadcasts of probe-bounded tables
     * (≤ probes × terms rows), the q_bm25 discipline.
     */
-  def hybridRankPp(spark: SparkSession, dir: String): DataFrame = {
-    val vec = AnnOps.exactCosineTopK(spark, dir, VecArmK)
+  def hybridRankPp(spark: SparkSession, dir: String): DataFrame =
+    hybridPpWith(spark, dir, AnnOps.exactCosineTopK(spark, dir, VecArmK))
+
+  /** §2.H q_hybrid_rank_pp_ivf — BOTH scale paths composed: the
+    * per-probe lexical arm under the cell-bounded IVF vector arm at
+    * the same depth. The full production shape — per-query text
+    * retrieval + sublinear vector retrieval — with only arms swapped
+    * relative to its two proven siblings; the fusion and the lexical
+    * derivation are byte-for-byte the shared code paths.
+    */
+  def hybridRankPpIvf(spark: SparkSession, dir: String): DataFrame =
+    hybridPpWith(spark, dir, AnnOps.ivfTopK(spark, dir, VecArmK))
+
+  /** The per-probe fusion against a caller-supplied vector arm — the
+    * [[hybridWith]] anti-drift contract applied to the pp variants.
+    */
+  private def hybridPpWith(spark: SparkSession, dir: String, vecArm: DataFrame): DataFrame = {
+    val vec = vecArm
       .select(col("probe_id"), col("vec_id").as("doc_id"), col("rnk").as("vec_rnk"))
     rrfFuse(ppLexArmFrom(
       graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))), vec)
@@ -172,7 +188,8 @@ object HybridOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rank" -> (hybridRank _),
     "q_hybrid_rank_ivf" -> (hybridRankIvf _),
-    "q_hybrid_rank_pp" -> (hybridRankPp _))
+    "q_hybrid_rank_pp" -> (hybridRankPp _),
+    "q_hybrid_rank_pp_ivf" -> (hybridRankPpIvf _))
 
   /** The shared oracle skeleton: BM25 lexical arm (the SAME
     * [[TextOps.sqlBm25Cte]] chain the registered q_bm25 mirror is
@@ -284,10 +301,17 @@ object HybridOps {
     "q_hybrid_rank" -> fusionSql(exactVecCte),
     // per-probe lexical arm + the same exact cosine arm and fusion
     "q_hybrid_rank_pp" -> ppFusionSql(exactVecCte),
+    // per-probe lexical arm + the IVF vector arm — both scale paths
+    "q_hybrid_rank_pp_ivf" -> ppFusionSql(ivfVecCte),
     // IVF arm (the registered q_ann_ivf mirror at arm depth) — same
     // fusion, only the arm changes
-    "q_hybrid_rank_ivf" -> fusionSql(
-      s"""cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < ${AnnOps.IvfCells}),
+    "q_hybrid_rank_ivf" -> fusionSql(ivfVecCte))
+
+  /** The IVF vector-arm CTE (the registered q_ann_ivf mirror at arm
+    * depth) — shared by the shared-lex and per-probe fusions.
+    */
+  private def ivfVecCte: String =
+    s"""cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < ${AnnOps.IvfCells}),
          |asg AS (
          |  SELECT e.vec_id, cell, ${AnnOps.sqlCos("c_emb", "e.embedding")} ccos
          |  FROM e CROSS JOIN cents
@@ -309,5 +333,5 @@ object HybridOps {
          |  SELECT probe_id, doc_id,
          |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, doc_id) vec_rnk
          |  FROM ivfsc QUALIFY vec_rnk <= $VecArmK
-         |)""".stripMargin))
+         |)""".stripMargin
 }

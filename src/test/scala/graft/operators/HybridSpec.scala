@@ -136,6 +136,26 @@ class HybridSpec extends AnyFunSuite {
       "planted doc accidentally contains a shared query term")
   }
 
+  test("IVF-armed per-probe hybrid: lexical contributions shared with the exact-armed pp fusion") {
+    val exact = HybridOps.hybridRankPp(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("doc_id"))).toSet
+    val ivf = HybridOps.hybridRankPpIvf(spark, sf).collect()
+    val ivfSet = ivf.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("doc_id"))).toSet
+    // the IVF arm prunes, but the per-probe LEXICAL arm is shared —
+    // the fused sets must overlap substantially (the q_hybrid_rank_ivf
+    // discipline applied to the pp pair)
+    val overlap = ivfSet.intersect(exact).size.toDouble / exact.size
+    assert(overlap > 0.5, s"ivf-armed pp fusion diverged too far: $overlap")
+    // per-row RRF arithmetic holds on both-arm rows
+    ivf.filter(r => !r.isNullAt(r.fieldIndex("lex_rnk")) && !r.isNullAt(r.fieldIndex("vec_rnk")))
+      .foreach { r =>
+        val expected = BigDecimal.valueOf(
+          1.0 / (60 + r.getAs[Long]("lex_rnk")) + 1.0 / (60 + r.getAs[Long]("vec_rnk")))
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("rrf") === expected)
+      }
+  }
+
   test("fusion beats each single arm on a planted mid-ranked-everywhere relevant doc") {
     import spark.implicits._
     // doc 100 is rank 3 in BOTH arms; docs 1/2 top their single arm
