@@ -875,19 +875,9 @@ object TextOps {
     * p ≥ 0.5 ⟺ lrPm ≥ 500000; p as a double is lrPm / 1e6 (an exact
     * IEEE division both engines perform identically).
     */
-  private[graft] def lrPm(w: Array[Long]): Column = {
-    val s = lit(w(0)) * lit(1000000L) + lit(w(1)) * col("x1m") +
-      lit(w(2)) * col("x2m") + lit(w(3)) * col("x3m")
-    // |s| ≤ 4·(|w|≤1e8)·1e6 = 4e14 < 2^53 — fdivCol's double is exact
-    val z = fdivCol(s, lit(1000000L))
-    val off = greatest(lit(SigLoMicro), least(lit(SigHiMicro), z)) - lit(SigLoMicro)
-    val idx = fdivCol(off, lit(SigStep.toLong))
-    val frac = pmod(off, lit(SigStep.toLong))
-    val tab = typedLit(SigTable)
-    val lo = element_at(tab, (idx + 1).cast("int"))
-    val hi = element_at(tab, (idx + 2).cast("int"))
-    lo + fdivCol((hi - lo) * frac, lit(SigStep.toLong))
-  }
+  private[graft] def lrPm(w: Array[Long]): Column =
+    graft.plans.TextExpressions.lrSigmoidNative(
+      col("x1m"), col("x2m"), col("x3m"), w, SigTable, SigStep)
 
   /** §2.I q_quality_lr — distill the rule-based quality filter into a
     * trained scorer (the fastText-classifier workload of a curation

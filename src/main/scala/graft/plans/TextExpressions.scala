@@ -649,4 +649,70 @@ object TextExpressions {
 
   def multiScrubNative(text: Column, kinds: Seq[(String, String)]): Column =
     ColumnBridge.column(MultiPatternScrubExpr(ColumnBridge.expression(text), kinds))
+
+  // ---- integer LR sigmoid ----
+
+  /** Static entry point referenced from generated code: the micro-unit
+    * integer sigmoid (z from micro weights × micro features via one
+    * floor division, clamp, table lookup + linear interpolation) as
+    * ONE tight long-arithmetic call. Math.floorDiv ≡ the
+    * pmod-then-divide construction the DuckDB oracle uses, and the
+    * table is the SAME [[graft.operators.TextOps.SigTable]] constants
+    * the oracle interpolates as literals — semantics pinned by the
+    * QualityLrSpec integer replica and the LR oracles' hash gate.
+    */
+  def lrSigmoidCompute(x1m: Long, x2m: Long, x3m: Long,
+      w: Array[Long], tab: Array[Long], step: Int): Long = {
+    val half = (tab.length - 1) / 2
+    val lo = -half.toLong * step
+    val hi = half.toLong * step - 1
+    val s = w(0) * 1000000L + w(1) * x1m + w(2) * x2m + w(3) * x3m
+    val z = Math.floorDiv(s, 1000000L)
+    val zc = if (z < lo) lo else if (z > hi) hi else z
+    val off = zc - lo
+    val idx = (off / step).toInt
+    val frac = off % step
+    tab(idx) + (tab(idx + 1) - tab(idx)) * frac / step
+  }
+
+  /** The integer sigmoid as one codegen'd node — the Column-tree
+    * formulation (two element_at lookups on a 4097-literal array plus
+    * three pmod/divide chains) measured ~25% slower across the
+    * composed curation pipeline's multiple evaluation sites; this is
+    * the ChunkHashesExpr discipline applied to the scorer: a single
+    * static call, weights and table as reference objects.
+    */
+  case class LrSigmoidExpr(first: Expression, second: Expression, third: Expression,
+      w: Array[Long], tab: Array[Long], step: Int)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    require(w.length == 4 && tab.length % 2 == 1 && step >= 1,
+      "lr_sigmoid: need 4 weights, an odd-length table, step >= 1")
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == org.apache.spark.sql.types.LongType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"lr_sigmoid expects (long, long, long), got ${children.map(_.dataType)}")
+
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      lrSigmoidCompute(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Long],
+        w, tab, step)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("lrW", w, "long[]")
+      val tRef = ctx.addReferenceObj("lrTab", tab, "long[]")
+      nullSafeCodeGen(ctx, ev, (a, b, c) =>
+        s"${ev.value} = graft.plans.TextExpressions.lrSigmoidCompute($a, $b, $c, $wRef, $tRef, $step);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  def lrSigmoidNative(x1m: Column, x2m: Column, x3m: Column,
+      w: Array[Long], tab: Array[Long], step: Int): Column =
+    ColumnBridge.column(LrSigmoidExpr(ColumnBridge.expression(x1m),
+      ColumnBridge.expression(x2m), ColumnBridge.expression(x3m), w, tab, step))
 }
