@@ -535,7 +535,7 @@ object AnnOps {
     * the identical portable-mode layout), trained on first use
     * ([[Kmeans.memoized]]).
     */
-  private[operators] def trainedAnchors(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def trainedAnchors(spark: SparkSession, dir: String): DataFrame =
     trainedAnchorsK(spark, dir, IvfCells)
 
   /** [[trainedAnchors]] with an explicit cell count — the SemDeDup
