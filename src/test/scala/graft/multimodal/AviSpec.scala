@@ -109,6 +109,18 @@ class AviSpec extends AnyFunSuite {
     assert(Avi.parseSampled(patched, text) === Avi.parseSampled(avi, text))
   }
 
+  test("both video fourccs walk identically: 00db chunks parse like 00dc") {
+    // some MJPEG writers stamp frames as uncompressed-DIB '00db';
+    // the walker accepts both — patch every fourcc and re-parse
+    val avi = Avi.synth(text)
+    val s = new String(avi, "ISO-8859-1")
+    val patched = avi.clone()
+    var i = s.indexOf("00dc")
+    while (i >= 0) { patched(i + 3) = 'b'.toByte; i = s.indexOf("00dc", i + 1) }
+    // idx1 entries also carry the fourcc; they are skipped either way
+    assert(Avi.parseSampled(patched, text) === Avi.parseSampled(avi, text))
+  }
+
   test("malformed containers and corrupted frames fail loudly") {
     intercept[IllegalArgumentException](Avi.parseSampled("not avi".getBytes, "x"))
     intercept[IllegalArgumentException](Avi.synth("café"))
