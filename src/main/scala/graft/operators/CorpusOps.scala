@@ -148,6 +148,59 @@ object CorpusOps {
         countDistinct(col("bench_id")).as("n_bench"))
   }
 
+  /** §2.K q_contam_fuzzy — NEAR-DUPLICATE benchmark contamination,
+    * the fuzzy sibling of [[contamination]]'s exact K-gram pass: a
+    * lightly rephrased eval document thins the exact 8-gram evidence
+    * at every edit (and boilerplate grams are df-capped away
+    * entirely), while the pair-level Jaccard verdict stays one clean
+    * score with the nearest bench doc attached — so real
+    * decontamination runs both passes (spec pins the threshold
+    * behavior: a light rephrase is caught, a heavy one correctly
+    * passes). This one reuses the dedup
+    * suite's machinery wholesale — [[DedupOps.minhashBandRows]] for
+    * banding, [[DedupOps.verifyPairs]] for the exact-Jaccard verify —
+    * with ONE asymmetry: candidates are (train, bench) band-key
+    * collisions only, never train×train or bench×bench, so the
+    * candidate volume is bounded by the bench slice's bucket
+    * membership (5% of the corpus), strictly below the full dedup
+    * join. Output: per flagged TRAIN doc, how many bench docs it
+    * nears (jac ≥ the suite threshold), the max Jaccard, and the
+    * nearest bench doc (jac desc, id asc — deterministic).
+    *
+    * 100 TB shape: identical blocked cost to q_dedup_minhash minus
+    * the train×train quadrant; the is_bench flag rides a slim keyed
+    * join onto the 4-rows-per-doc band stream; verify shingles only
+    * candidate survivors (the verifyPairs semi-join discipline).
+    */
+  def contamFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), (bucket(col("text"), 20) === 0).as("is_bench"))
+    contamFuzzyFrame(d)
+  }
+
+  /** Frame-based core of [[contamFuzzy]] over (doc_id, text,
+    * is_bench) — factored for the spec's planted-rephrase test.
+    */
+  private[operators] def contamFuzzyFrame(d: DataFrame): DataFrame = {
+    val docs = d.select(col("doc_id"), col("text"))
+    val flags = d.select(col("doc_id"), col("is_bench"))
+    val flagged = DedupOps.minhashBandRows(docs).join(flags, "doc_id")
+    val train = flagged.filter(!col("is_bench"))
+      .select(col("band"), col("key"), col("doc_id").as("d1"))
+    val bench = flagged.filter(col("is_bench"))
+      .select(col("band"), col("key"), col("doc_id").as("d2"))
+    val cand = train.join(bench, Seq("band", "key")).select(col("d1"), col("d2"))
+    DedupOps.verifyPairs(cand, docs)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bench_near"),
+        max(col("jac")).as("max_jac"),
+        min(struct(negate(col("jac")).as("nj"), col("d2").as("d2"))).as("_best"))
+      .select(col("doc_id"), col("n_bench_near"), col("max_jac"),
+        col("_best.d2").as("nearest_bench"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language resampling weights toward a uniform target mixture:
     * weight = target_share / actual_share — the multiplier a sampler
     * applies per document of that language. One aggregation; the
@@ -664,6 +717,7 @@ object CorpusOps {
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_class_balance" -> (classBalance _),
     "q_contamination" -> (contamination _),
+    "q_contam_fuzzy" -> (contamFuzzy _),
     "q_mixture_weights" -> (mixtureWeights _))
 
   private val sqlBucket = "('0x' || substr(md5(text), 1, 8))::BIGINT % 10"
@@ -891,6 +945,33 @@ object CorpusOps {
       """SELECT label, count(*) n,
         |  round(count(*) / (SELECT count(*) FROM embeddings)::DOUBLE, 6) frac
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_contam_fuzzy" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${DedupOps.sqlShingles} sh,
+         |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 20 = 0 is_bench
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') toks FROM documents)
+         |), ${DedupOps.sqlBandCtes},
+         |fb AS (SELECT bands.doc_id, band, bkey, is_bench FROM bands JOIN t USING (doc_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+         |  FROM fb a JOIN fb b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE NOT a.is_bench AND b.is_bench
+         |), v AS MATERIALIZED (
+         |  SELECT d1, d2,
+         |         round(len(list_intersect(t1.sh, t2.sh))
+         |               / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE, 6) jac
+         |  FROM cand JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
+         |  WHERE len(list_intersect(t1.sh, t2.sh))
+         |        / len(list_distinct(list_concat(t1.sh, t2.sh)))::DOUBLE >= ${DedupOps.JaccardThreshold}
+         |), agg AS (
+         |  SELECT d1 doc_id, CAST(count(*) AS BIGINT) n_bench_near, max(jac) max_jac
+         |  FROM v GROUP BY d1
+         |), best AS (
+         |  SELECT d1 doc_id, d2 nearest_bench FROM v
+         |  QUALIFY row_number() OVER (PARTITION BY d1 ORDER BY jac DESC, d2) = 1
+         |)
+         |SELECT doc_id, n_bench_near, max_jac, nearest_bench
+         |FROM agg JOIN best USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_contamination" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') toks,

@@ -34,7 +34,7 @@ import graft.sources.Tables
 object DedupOps {
 
   private[graft] val ShingleK = 3
-  private val JaccardThreshold = 0.6
+  private[operators] val JaccardThreshold = 0.6
 
   /** Blocking keys with document frequency above this are dropped from
     * candidate generation (NOT from verification sets): a shingle
@@ -1280,7 +1280,7 @@ object DedupOps {
     "q_dedup_incremental" -> (dedupIncremental _))
 
   /** SQL fragment: distinct 3-token shingle list of `text`. */
-  private val sqlShingles =
+  private[operators] val sqlShingles =
     """list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
       |                             i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin
 
@@ -1311,7 +1311,7 @@ object DedupOps {
     * Bands × Rows or the band-key derivation is one edit per engine,
     * not three hand-synced SQL copies.
     */
-  private val sqlBandCtes =
+  private[operators] val sqlBandCtes =
     s"""m AS (
        |  SELECT doc_id, sh,
        |         md5(${mh(0)} || '|' || ${mh(1)}) b0,
