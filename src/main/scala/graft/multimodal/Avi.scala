@@ -104,7 +104,25 @@ object Avi {
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     require(bytes.nonEmpty, "avi synth input must be non-empty")
     val nFrames = (bytes.length + FramePx - 1) / FramePx
-    val jpegs = Array.tabulate(nFrames)(f => encodeJpegWith(writer, frameImage(bytes, f)))
+    val jpegs = IndexedSeq.tabulate(nFrames)(f => encodeJpegWith(writer, frameImage(bytes, f)))
+    // MJPEG: every frame is an independent JPEG (intra-only), so every
+    // idx1 entry carries AVIIF_KEYFRAME and strf declares no palette
+    buildContainer(jpegs, handler = "MJPG", compression = fourcc("MJPG"),
+      bitCount = 24, palette = Array.emptyByteArray, isKey = _ => true)
+  }
+
+  /** Shared RIFF/AVI container builder — the MJPEG path and the
+    * BI_RLE8 path ([[Rle]]) differ only in the stream handler, the
+    * `strf` pixel format (bit depth / biCompression / palette) and
+    * which idx1 entries carry the keyframe flag; everything
+    * structural (avih cross-check field, the JUNK chunk every walk
+    * must skip, word-aligned `00dc` movi chunks, idx1 offsets) is one
+    * copy here so the two codecs can never drift.
+    */
+  private[multimodal] def buildContainer(frames: IndexedSeq[Array[Byte]],
+      handler: String, compression: Array[Byte], bitCount: Int,
+      palette: Array[Byte], isKey: Int => Boolean): Array[Byte] = {
+    val nFrames = frames.length
 
     def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
       val pad = payload.length & 1
@@ -133,10 +151,10 @@ object Avi {
         .putInt(0).putInt(0).putInt(0).putInt(0)
       b.array()
     }
-    // strh — AVIStreamHeader (56 bytes), fccType 'vids', handler 'MJPG'
+    // strh — AVIStreamHeader (56 bytes), fccType 'vids'
     val strh = {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      b.put(fourcc("vids")).put(fourcc("MJPG"))
+      b.put(fourcc("vids")).put(fourcc(handler))
         .putInt(0)                // dwFlags
         .putShort(0).putShort(0)  // wPriority, wLanguage
         .putInt(0)                // dwInitialFrames
@@ -150,14 +168,18 @@ object Avi {
         .putShort(FrameW.toShort).putShort(FrameH.toShort)
       b.array()
     }
-    // strf — BITMAPINFOHEADER (40 bytes), biCompression 'MJPG'
+    // strf — BITMAPINFOHEADER (40 bytes) + optional RGBQUAD palette;
+    // biSize stays 40 (the palette FOLLOWS the header, per the format)
     val strf = {
-      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      val b = ByteBuffer.allocate(40 + palette.length).order(ByteOrder.LITTLE_ENDIAN)
       b.putInt(40).putInt(FrameW).putInt(FrameH)
-        .putShort(1).putShort(24)
-        .put(fourcc("MJPG"))
-        .putInt(FrameW * FrameH * 3)
-        .putInt(0).putInt(0).putInt(0).putInt(0)
+        .putShort(1).putShort(bitCount.toShort)
+        .put(compression)
+        .putInt(FrameW * FrameH * bitCount / 8)
+        .putInt(0).putInt(0)           // XPels/YPelsPerMeter
+        .putInt(palette.length / 4)    // biClrUsed
+        .putInt(0)                     // biClrImportant
+        .put(palette)
       b.array()
     }
     val hdrl = list("hdrl",
@@ -165,14 +187,15 @@ object Avi {
     // a deliberately-unknown chunk between hdrl and movi: naive
     // offset-walkers break here, chunk-walkers skip it by size
     val junk = chunk("JUNK", Array.fill[Byte](18)(0x6a))
-    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)))
+    val movi = list("movi", frames.toArray.flatMap(j => chunk("00dc", j)))
     // idx1 — one 16-byte entry per frame (ckid, flags, offset, size);
     // offsets are relative to the start of the movi list's type field
     val idx1 = {
       val b = ByteBuffer.allocate(16 * nFrames).order(ByteOrder.LITTLE_ENDIAN)
       var off = 4
-      jpegs.foreach { j =>
-        b.put(fourcc("00dc")).putInt(0x10).putInt(off).putInt(j.length)
+      frames.zipWithIndex.foreach { case (j, f) =>
+        b.put(fourcc("00dc")).putInt(if (isKey(f)) 0x10 else 0)
+          .putInt(off).putInt(j.length)
         off += 8 + j.length + (j.length & 1)
       }
       chunk("idx1", b.array())
@@ -205,14 +228,30 @@ object Avi {
     parseSampledWith(ImageIO.getImageReadersByFormatName("jpeg").next(),
       avi, source, stride)
 
-  private def parseSampledWith(reader: javax.imageio.ImageReader,
-      avi: Array[Byte], source: String, stride: Int): Seq[AviFrame] = {
+  /** The walked-out payload of an AVI container: the avih frame count
+    * (already cross-checked against the movi walk), the stream-format
+    * (`strf`) payload for codec validation, and the `00dc`/`00db`
+    * frame payloads in container order.
+    */
+  private[multimodal] final case class AviPayload(headerFrames: Int,
+      strf: Array[Byte], frames: IndexedSeq[Array[Byte]])
+
+  /** Shared container walk (the [[Wav.parse]] discipline): verify
+    * RIFF/'AVI ' magic, walk word-aligned chunks with unknown chunks
+    * skipped by declared size, read `avih`'s dwTotalFrames and the
+    * `strf` stream format out of the hdrl LIST, collect the movi
+    * LIST's frame chunks IN CONTAINER ORDER, and cross-check the two
+    * frame counts — one copy serving both the MJPEG and the BI_RLE8
+    * ([[Rle]]) decode paths.
+    */
+  private[multimodal] def readPayload(avi: Array[Byte]): AviPayload = {
     val buf = ByteBuffer.wrap(avi).order(ByteOrder.LITTLE_ENDIAN)
     def tag(): String = { val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII") }
     require(tag() == "RIFF", "not a RIFF container")
     buf.getInt // declared riff size
     require(tag() == "AVI ", "not an AVI form")
     var headerFrames = -1
+    var strf: Array[Byte] = Array.emptyByteArray
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def walk(limit: Int, inHdrl: Boolean, inMovi: Boolean): Unit =
       while (buf.position() < limit) {
@@ -229,12 +268,16 @@ object Avi {
         } else if (inHdrl && id == "avih") {
           buf.getInt; buf.getInt; buf.getInt; buf.getInt // usec, maxbps, pad, flags
           headerFrames = buf.getInt
+        } else if (inHdrl && id == "strf") {
+          val payload = new Array[Byte](size)
+          buf.get(payload)
+          strf = payload
         } else if (inMovi && (id == "00dc" || id == "00db")) {
           val payload = new Array[Byte](size)
           buf.get(payload)
           frames += payload
         }
-        // unknown chunks (JUNK, idx1, strh, strf, ...) skip via `next`
+        // unknown chunks (JUNK, idx1, strh, ...) skip via `next`
         buf.position(next)
       }
     walk(buf.limit(), inHdrl = false, inMovi = false)
@@ -242,6 +285,12 @@ object Avi {
     require(frames.nonEmpty, "missing movi video chunks")
     require(frames.length == headerFrames,
       s"avih declares $headerFrames frames, movi carries ${frames.length}")
+    AviPayload(headerFrames, strf, frames.toIndexedSeq)
+  }
+
+  private def parseSampledWith(reader: javax.imageio.ImageReader,
+      avi: Array[Byte], source: String, stride: Int): Seq[AviFrame] = {
+    val frames = readPayload(avi).frames
     val bytes = source.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     (0 until frames.length by stride).map { f =>
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(frames(f)))

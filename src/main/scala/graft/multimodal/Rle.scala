@@ -1,0 +1,307 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** REAL INTER-FRAME video decode — Microsoft BI_RLE8 in AVI, the stub
+  * boundary pushed past [[Avi]]'s intra-only MJPEG to a codec with
+  * genuine TEMPORAL state. BI_RLE8 (the Windows `MRLE` video handler;
+  * biCompression = 1 in BITMAPINFOHEADER, the same run-length format
+  * BMP files use) is the classic public delta codec: a frame's
+  * bytestream is a sequence of opcodes — encoded runs `(n, v)`,
+  * absolute literal runs `(0, n≥3, bytes…)`, end-of-line `(0,0)`,
+  * end-of-bitmap `(0,1)`, and the DELTA move `(0,2,dx,dy)` — and
+  * every pixel the opcodes SKIP (delta moves, end-of-lines past
+  * untouched pixels) retains its value from the PREVIOUS frame. A
+  * P-frame therefore cannot be decoded without the frames before it:
+  * the decoder carries one persistent canvas across the whole stream,
+  * exactly the inter-frame semantics MJPEG does not have. Rows are
+  * stored BOTTOM-UP (positive biHeight, the BMP convention), so the
+  * decoder must also flip rows back to image space.
+  *
+  * Synthesis is deterministic from the text corpus under the SAME
+  * frame rule as [[Gif]]/[[Avi]] (frame f's pixel p, row-major on the
+  * 16×4 canvas, is text byte 64f+p, 0 beyond the end): every
+  * [[KeyInterval]]-th frame is a KEYFRAME (full coverage — every
+  * pixel emitted, idx1 entry flagged AVIIF_KEYFRAME), every other
+  * frame a DELTA frame that emits exactly the pixels that changed
+  * from the previous frame and skips the rest via delta moves and
+  * end-of-lines. RLE8 is LOSSLESS, so decoded pixels round-trip
+  * bit-exactly (the GIF discipline, not JPEG's fidelity split), and
+  * the emitted-pixel count itself becomes hash-checkable:
+  * `n_px_written` for a delta frame IS the Hamming distance between
+  * consecutive frames under the synth rule, which the oracle
+  * recomputes in SQL — the inter-frame-ness is inside the hash gate,
+  * not just the spec.
+  *
+  * The container is [[Avi.buildContainer]] (one copy of the RIFF
+  * structure for both codecs) with handler 'MRLE', biCompression 1,
+  * 8-bit pixels through an identity gray palette, and keyframe flags
+  * only on key ordinals; the walk back is [[Avi.readPayload]], with
+  * the strf BITMAPINFOHEADER validated (dimensions, bit depth,
+  * BI_RLE8) before any frame decodes.
+  *
+  * 100 TB shape: encode and decode are pure JVM byte work (no ImageIO
+  * plugin at all) inside the mapPartitions batch boundary; blob bytes
+  * never ride a shuffle; output is one slim row per SAMPLED frame —
+  * but note the honest inter-frame cost: sampling frame 3 still
+  * decodes frames 1–2 (temporal dependency is WHY video pipelines
+  * seek to keyframes), so decode cost is linear in TOTAL frames, with
+  * the [[KeyInterval]] cadence the real-world seek bound.
+  */
+object Rle {
+
+  import Gif.{FrameW, FrameH, FramePx, SampleStride}
+
+  /** Keyframe cadence: frame ordinals ≡ 0 (mod 8) are fully coded. */
+  val KeyInterval = 8
+
+  /** The shared frame rule: frame f's pixel p = text byte 64f+p. */
+  private def framePixels(bytes: Array[Byte], f: Int): Array[Int] =
+    Array.tabulate(FramePx) { p =>
+      val k = f * FramePx + p
+      if (k < bytes.length) bytes(k) & 0xff else 0
+    }
+
+  /** Encode one KEYFRAME: every pixel emitted exactly once as encoded
+    * runs (maximal equal-value runs per row), rows bottom-up, EOL
+    * between rows, EOB at the end. No dependence on prior canvas.
+    */
+  private def encodeKey(cur: Array[Int]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](FramePx / 2)
+    var r = 0
+    while (r < FrameH) {
+      val y = FrameH - 1 - r // bottom-up storage
+      var x = 0
+      while (x < FrameW) {
+        val v = cur(y * FrameW + x)
+        var len = 1
+        while (x + len < FrameW && cur(y * FrameW + x + len) == v && len < 255) len += 1
+        out += len.toByte += v.toByte
+        x += len
+      }
+      if (r < FrameH - 1) { out += 0 += 0 } // EOL
+      r += 1
+    }
+    out += 0 += 1 // EOB
+    out.toArray
+  }
+
+  /** Encode one DELTA frame: exactly the pixels where `cur` differs
+    * from `prev` are emitted (absolute mode for changed segments ≥ 3,
+    * unit runs below), everything else is SKIPPED — vertical delta
+    * moves over fully-unchanged rows, horizontal delta moves over
+    * unchanged gaps inside a row — so the decoder's skipped pixels
+    * must come from its previous-frame canvas.
+    */
+  private def encodeDelta(prev: Array[Int], cur: Array[Int]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](16)
+    var curRow = 0 // decoder row position (bottom-up)
+    var curX = 0
+    var r = 0
+    while (r < FrameH) {
+      val y = FrameH - 1 - r
+      // maximal changed segments [s, e) of this row, image space
+      var x = 0
+      var rowHasChange = false
+      while (x < FrameW) {
+        if (cur(y * FrameW + x) != prev(y * FrameW + x)) {
+          if (!rowHasChange) {
+            rowHasChange = true
+            // advance the decoder to row r: one EOL if mid-row, then a
+            // vertical delta for any remaining fully-skipped rows
+            if (curX > 0) { out += 0 += 0; curRow += 1; curX = 0 }
+            if (r > curRow) { out += 0 += 2 += 0 += (r - curRow).toByte; curRow = r }
+          }
+          val s = x
+          var e = x + 1
+          while (e < FrameW && cur(y * FrameW + e) != prev(y * FrameW + e)) e += 1
+          if (s > curX) { out += 0 += 2 += (s - curX).toByte += 0; curX = s } // horizontal skip
+          val len = e - s
+          if (len >= 3) { // absolute mode, word-padded
+            out += 0 += len.toByte
+            var j = s
+            while (j < e) { out += cur(y * FrameW + j).toByte; j += 1 }
+            if ((len & 1) == 1) out += 0
+          } else {
+            var j = s
+            while (j < e) { out += 1 += cur(y * FrameW + j).toByte; j += 1 }
+          }
+          curX = e
+          x = e
+        } else x += 1
+      }
+      r += 1
+    }
+    out += 0 += 1 // EOB — any rows/pixels never reached stay at the previous frame
+    out.toArray
+  }
+
+  private[multimodal] val GrayPalette: Array[Byte] = {
+    // 256 RGBQUAD entries (B, G, R, reserved) — identity gray, so the
+    // 8-bit palette index IS the gray value (lossless, the GIF stance)
+    val p = new Array[Byte](1024)
+    var i = 0
+    while (i < 256) {
+      p(4 * i) = i.toByte; p(4 * i + 1) = i.toByte; p(4 * i + 2) = i.toByte
+      i += 1
+    }
+    p
+  }
+
+  /** Build a real BI_RLE8 AVI from `text`: keyframes every
+    * [[KeyInterval]] frames, delta frames between, through the shared
+    * [[Avi.buildContainer]] RIFF structure (handler 'MRLE',
+    * biCompression 1, gray palette, keyframe idx1 flags on key
+    * ordinals only).
+    */
+  def synth(text: String): Array[Byte] = {
+    require(text.forall(_ < 0x80),
+      "rle synth input must be ASCII; non-ASCII would diverge from the oracle")
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    require(bytes.nonEmpty, "rle synth input must be non-empty")
+    val nFrames = (bytes.length + FramePx - 1) / FramePx
+    var prev: Array[Int] = null
+    val frames = IndexedSeq.tabulate(nFrames) { f =>
+      val cur = framePixels(bytes, f)
+      val enc = if (f % KeyInterval == 0) encodeKey(cur) else encodeDelta(prev, cur)
+      prev = cur
+      enc
+    }
+    Avi.buildContainer(frames, handler = "MRLE",
+      compression = { // biCompression = 1 (BI_RLE8), little-endian int
+        val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putInt(1); b.array()
+      },
+      bitCount = 8, palette = GrayPalette, isKey = _ % KeyInterval == 0)
+  }
+
+  /** Apply one frame's RLE8 opcodes to the PERSISTENT canvas (image
+    * space; the bottom-up flip happens at write time). Returns the
+    * number of pixels written — for a delta frame that is exactly the
+    * encoder's changed-pixel count, i.e. the Hamming distance to the
+    * previous frame. Fails loudly on truncated opcodes, runs past the
+    * row end, moves past the bitmap, missing end-of-bitmap, trailing
+    * bytes after it, and a first frame that does not cover the canvas.
+    */
+  private def applyFrame(canvas: Array[Int], data: Array[Byte], isFirst: Boolean): Int = {
+    var i = 0
+    var row = 0
+    var x = 0
+    var written = 0
+    var eob = false
+    while (!eob) {
+      require(i + 2 <= data.length, s"truncated RLE opcode at byte $i")
+      val b1 = data(i) & 0xff; val b2 = data(i + 1) & 0xff; i += 2
+      if (b1 > 0) { // encoded run
+        require(row < FrameH && x + b1 <= FrameW,
+          s"RLE run past row end (row=$row x=$x len=$b1)")
+        val y = FrameH - 1 - row
+        var j = 0
+        while (j < b1) { canvas(y * FrameW + x + j) = b2; j += 1 }
+        written += b1; x += b1
+      } else b2 match {
+        case 0 => // end of line
+          row += 1; x = 0
+          require(row <= FrameH, "RLE end-of-line past the bitmap")
+        case 1 => eob = true
+        case 2 => // delta move: skipped pixels keep the PREVIOUS frame
+          require(i + 2 <= data.length, s"truncated RLE delta at byte $i")
+          val dx = data(i) & 0xff; val dy = data(i + 1) & 0xff; i += 2
+          x += dx; row += dy
+          require(x <= FrameW && row <= FrameH,
+            s"RLE delta past the bitmap (row=$row x=$x)")
+        case n => // absolute mode: n literal pixels, word-padded
+          require(row < FrameH && x + n <= FrameW,
+            s"RLE absolute run past row end (row=$row x=$x len=$n)")
+          require(i + n <= data.length, s"truncated RLE absolute run at byte $i")
+          val y = FrameH - 1 - row
+          var j = 0
+          while (j < n) { canvas(y * FrameW + x + j) = data(i + j) & 0xff; j += 1 }
+          i += n + (n & 1); x += n; written += n
+      }
+    }
+    require(i == data.length,
+      s"RLE data after end-of-bitmap (${data.length - i} trailing bytes)")
+    require(!isFirst || written == FramePx,
+      s"first frame writes $written of $FramePx pixels — not a keyframe, " +
+        "and there is no previous frame to inherit from")
+    written
+  }
+
+  /** Decode EVERY frame (temporal dependency: a P-frame needs its
+    * predecessors) through ONE persistent canvas, returning each
+    * frame's full image-space canvas snapshot and the decoder's
+    * actual opcode-written pixel count — the REAL count from applying
+    * opcodes, never derived from canvas diffs (deriving it would make
+    * the n_px_written hash gate tautological).
+    */
+  private[multimodal] def decodeAllCounted(avi: Array[Byte]): IndexedSeq[(Array[Int], Int)] = {
+    val pl = Avi.readPayload(avi)
+    // validate the stream format BEFORE touching frame bytes
+    require(pl.strf.length >= 40, "missing or truncated strf BITMAPINFOHEADER")
+    val h = java.nio.ByteBuffer.wrap(pl.strf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val biSize = h.getInt; val w = h.getInt; val ht = h.getInt
+    h.getShort // planes
+    val bits = h.getShort.toInt; val comp = h.getInt
+    require(biSize == 40, s"unexpected BITMAPINFOHEADER size $biSize")
+    require(w == FrameW && ht == FrameH, s"unexpected dimensions ${w}x$ht")
+    require(bits == 8, s"BI_RLE8 requires 8-bit pixels, strf declares $bits")
+    require(comp == 1, s"biCompression $comp is not BI_RLE8 (1)")
+    val canvas = new Array[Int](FramePx)
+    pl.frames.zipWithIndex.map { case (data, f) =>
+      val written = applyFrame(canvas, data, isFirst = f == 0)
+      (canvas.clone(), written)
+    }
+  }
+
+  /** Spec-facing: each frame's decoded image-space pixels. */
+  private[multimodal] def decodeAll(avi: Array[Byte]): IndexedSeq[Array[Int]] =
+    decodeAllCounted(avi).map(_._1)
+
+  /** One decoded sampled frame: ordinal, container frame count, pixel
+    * sum/max (the GIF lossless features), image-space TOP-row sum
+    * (catches a bottom-up flip bug — sums and maxima are
+    * orientation-blind), and the opcode-written pixel count (for a
+    * delta frame: the Hamming distance to the previous frame — the
+    * hash-gated proof the frame really is inter-frame coded).
+    */
+  case class RleFrame(frameIdx: Int, nFrames: Int, pxSum: Long, pxMax: Int,
+      row0Sum: Long, nPxWritten: Int)
+
+  /** Walk the container, decode ALL frames sequentially through the
+    * persistent canvas (inter-frame state), emit every `stride`-th. */
+  def parseSampled(avi: Array[Byte], stride: Int = SampleStride): Seq[RleFrame] = {
+    val all = decodeAllCounted(avi)
+    (0 until all.length by stride).map { f =>
+      val (cv, written) = all(f)
+      var sum = 0L; var mx = 0; var p = 0
+      while (p < FramePx) { val v = cv(p); sum += v; if (v > mx) mx = v; p += 1 }
+      var r0 = 0L; var q = 0
+      while (q < FrameW) { r0 += cv(q); q += 1 }
+      RleFrame(f, all.length, sum, mx, r0, written)
+    }
+  }
+
+  /** One output row per SAMPLED frame. */
+  case class RleRow(doc_id: Long, frame_idx: Long, n_frames: Long,
+      px_sum: Long, px_max: Long, row0_sum: Long, n_px_written: Long)
+
+  /** End-to-end pipeline over a (doc_id, text) frame: synthesize →
+    * real BI_RLE8 encode (keyframe cadence + delta frames) + real AVI
+    * container build → real chunk walk + sequential inter-frame
+    * decode → per-sampled-frame features, one mapPartitions pass.
+    * Pure JVM byte work — no ImageIO plugin to amortize, but the
+    * batch boundary keeps the shape uniform with the codec siblings.
+    */
+  def features(spark: SparkSession, docs: DataFrame): Dataset[RleRow] = {
+    import spark.implicits._
+    docs.selectExpr("cast(doc_id as long) doc_id", "text").as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          parseSampled(synth(text)).map(fr =>
+            RleRow(id, fr.frameIdx.toLong, fr.nFrames.toLong, fr.pxSum,
+              fr.pxMax.toLong, fr.row0Sum, fr.nPxWritten.toLong))
+        }
+      }
+  }
+}

@@ -270,8 +270,41 @@ object MultimodalOps {
         col("width"), col("height"), col("decode_ok"))
       .orderBy("doc_id", "frame_idx")
 
+  /** §2.J q_rle_frames — REAL INTER-FRAME video decode
+    * (graft.multimodal.Rle): Microsoft BI_RLE8 in AVI — keyframes
+    * every 8 frames, DELTA frames between them whose skip opcodes
+    * (delta moves, end-of-lines) inherit pixels from the PREVIOUS
+    * frame, so the decoder carries one persistent canvas across the
+    * stream (the temporal state MJPEG doesn't have). RLE8 is
+    * lossless, so decoded pixels round-trip bit-exactly (px_sum /
+    * px_max from DECODED pixels, the GIF stance), row0_sum is the
+    * image-space top row (catches the bottom-up-storage flip bug the
+    * orientation-blind sums would mask), and n_px_written — the
+    * decoder's actual opcode-written count — equals 64 on keyframes
+    * and the Hamming distance between consecutive frames on delta
+    * frames, which the oracle recomputes in SQL: the inter-frame
+    * coding itself is inside the hash gate. Remaining media stub:
+    * transform-coded, motion-compensated (H.264-class) codecs.
+    */
+  def rleFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Rle.features(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+          // same loud-ceiling discipline as the GIF/AVI mirrors
+          .filter(assert_true(
+            length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
+            lit(s"blob exceeds ${GifOracleMaxFrames * graft.multimodal.Gif.FramePx} " +
+              s"bytes: the DuckDB rle mirror enumerates at most $GifOracleMaxFrames " +
+              "frames/blob (range(0, 16)); widen the oracle range and this guard together"))
+            .isNull))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("px_sum"), col("px_max"), col("row0_sum"), col("n_px_written"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_avi_frames" -> (aviFrames _),
+    "q_rle_frames" -> (rleFrames _),
     "q_gif_frames" -> (gifFrames _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_bmp_features" -> (bmpFeatures _),
@@ -302,6 +335,49 @@ object MultimodalOps {
          |FROM d, range(0, $GifOracleMaxFrames) t(i)
          |WHERE t.i < nf AND t.i % ${graft.multimodal.Gif.SampleStride} = 0
          |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // ground-truth features from the SAME text the Spark side encodes
+    // into a BI_RLE8 AVI (lossless ⇒ bit-exact, the GIF stance):
+    // px_sum/px_max over frame f's pixels, row0_sum over its first 16
+    // (the image-space top row — a bottom-up flip bug diverges it),
+    // and n_px_written = 64 on keyframes (f % 8 = 0) else the Hamming
+    // distance between frame f and f−1 under the byte rule — the
+    // encoder emits exactly the changed pixels and the decoder counts
+    // its actual opcode writes, so delta coding itself is hash-gated
+    "q_rle_frames" -> {
+      val fp = graft.multimodal.Gif.FramePx
+      val w = graft.multimodal.Gif.FrameW
+      val ki = graft.multimodal.Rle.KeyInterval
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) len,
+         |         (length(text) + ${fp - 1}) // $fp AS nf
+         |  FROM documents WHERE length(text) > 0
+         |), fr AS (
+         |  SELECT doc_id, len, nf, text, t.i f
+         |  FROM d, range(0, $GifOracleMaxFrames) t(i)
+         |  WHERE t.i < nf AND t.i % ${graft.multimodal.Gif.SampleStride} = 0
+         |), px AS (
+         |  SELECT doc_id, nf, f, len, text,
+         |         list_transform(range(0, $fp),
+         |           p -> CASE WHEN f * $fp + p < len
+         |                     THEN ord(substring(text, f * $fp + p + 1, 1))
+         |                     ELSE 0 END) vals,
+         |         CASE WHEN f % $ki = 0 THEN $fp
+         |              ELSE list_sum(list_transform(range(0, $fp),
+         |                p -> CASE WHEN
+         |                  (CASE WHEN f * $fp + p < len
+         |                        THEN ord(substring(text, f * $fp + p + 1, 1)) ELSE 0 END)
+         |                  <> (CASE WHEN (f - 1) * $fp + p < len
+         |                        THEN ord(substring(text, (f - 1) * $fp + p + 1, 1)) ELSE 0 END)
+         |                  THEN 1 ELSE 0 END)) END written
+         |  FROM fr
+         |)
+         |SELECT doc_id, CAST(f AS BIGINT) frame_idx, CAST(nf AS BIGINT) n_frames,
+         |       CAST(list_sum(vals) AS BIGINT) px_sum,
+         |       CAST(list_max(vals) AS BIGINT) px_max,
+         |       CAST(list_sum(vals[1:$w]) AS BIGINT) row0_sum,
+         |       CAST(written AS BIGINT) n_px_written
+         |FROM px ORDER BY doc_id, frame_idx""".stripMargin
     },
     // ground-truth per-frame features from the SAME text the Spark
     // side encodes into an animated GIF: frame f's pixel p (row-major

@@ -34,7 +34,10 @@ class ConfParitySpec extends AnyFunSuite {
     // trained-weight literals under a hostile retrain), the rank-only
     // fusion, and the per-task-amortized multi-frame codec
     "q_ann_ivf_filtered", "q_curate_e2e", "q_hybrid_rank", "q_gif_frames",
-    "q_hybrid_rank_ivf", "q_curate_funnel")
+    "q_hybrid_rank_ivf", "q_curate_funnel",
+    // round-16 hard case: the inter-frame codec — sequential
+    // per-blob decode state must be invariant to partition layout
+    "q_rle_frames")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
