@@ -230,11 +230,14 @@ object Avi {
 
   /** The walked-out payload of an AVI container: the avih frame count
     * (already cross-checked against the movi walk), the stream-format
-    * (`strf`) payload for codec validation, and the `00dc`/`00db`
-    * frame payloads in container order.
+    * (`strf`) payload for codec validation, the `00dc`/`00db` frame
+    * payloads in container order, and each idx1 entry's
+    * AVIIF_KEYFRAME flag (empty when the container has no idx1) —
+    * the INDEX a seeking decoder reads to find the nearest keyframe.
     */
   private[multimodal] final case class AviPayload(headerFrames: Int,
-      strf: Array[Byte], frames: IndexedSeq[Array[Byte]])
+      strf: Array[Byte], frames: IndexedSeq[Array[Byte]],
+      keyFlags: IndexedSeq[Boolean])
 
   /** Shared container walk (the [[Wav.parse]] discipline): verify
     * RIFF/'AVI ' magic, walk word-aligned chunks with unknown chunks
@@ -253,6 +256,7 @@ object Avi {
     var headerFrames = -1
     var strf: Array[Byte] = Array.emptyByteArray
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val keyFlags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     def walk(limit: Int, inHdrl: Boolean, inMovi: Boolean): Unit =
       while (buf.position() < limit) {
         require(limit - buf.position() >= 8,
@@ -276,8 +280,16 @@ object Avi {
           val payload = new Array[Byte](size)
           buf.get(payload)
           frames += payload
+        } else if (id == "idx1") {
+          // one 16-byte entry per frame: ckid, dwFlags, offset, size —
+          // AVIIF_KEYFRAME (0x10) is what a seeking decoder reads
+          var off = 0
+          while (off + 16 <= size) {
+            keyFlags += (buf.getInt(buf.position() + off + 4) & 0x10) != 0
+            off += 16
+          }
         }
-        // unknown chunks (JUNK, idx1, strh, ...) skip via `next`
+        // unknown chunks (JUNK, strh, ...) skip via `next`
         buf.position(next)
       }
     walk(buf.limit(), inHdrl = false, inMovi = false)
@@ -285,7 +297,7 @@ object Avi {
     require(frames.nonEmpty, "missing movi video chunks")
     require(frames.length == headerFrames,
       s"avih declares $headerFrames frames, movi carries ${frames.length}")
-    AviPayload(headerFrames, strf, frames.toIndexedSeq)
+    AviPayload(headerFrames, strf, frames.toIndexedSeq, keyFlags.toIndexedSeq)
   }
 
   private def parseSampledWith(reader: javax.imageio.ImageReader,

@@ -235,9 +235,12 @@ object Rle {
     * opcodes, never derived from canvas diffs (deriving it would make
     * the n_px_written hash gate tautological).
     */
-  private[multimodal] def decodeAllCounted(avi: Array[Byte]): IndexedSeq[(Array[Int], Int)] = {
+  /** Walk + validate the stream format (BITMAPINFOHEADER dimensions,
+    * bit depth, BI_RLE8) BEFORE touching any frame bytes — one copy
+    * for the sequential and the seeking decode paths.
+    */
+  private def readValidated(avi: Array[Byte]): Avi.AviPayload = {
     val pl = Avi.readPayload(avi)
-    // validate the stream format BEFORE touching frame bytes
     require(pl.strf.length >= 40, "missing or truncated strf BITMAPINFOHEADER")
     val h = java.nio.ByteBuffer.wrap(pl.strf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val biSize = h.getInt; val w = h.getInt; val ht = h.getInt
@@ -247,6 +250,11 @@ object Rle {
     require(w == FrameW && ht == FrameH, s"unexpected dimensions ${w}x$ht")
     require(bits == 8, s"BI_RLE8 requires 8-bit pixels, strf declares $bits")
     require(comp == 1, s"biCompression $comp is not BI_RLE8 (1)")
+    pl
+  }
+
+  private[multimodal] def decodeAllCounted(avi: Array[Byte]): IndexedSeq[(Array[Int], Int)] = {
+    val pl = readValidated(avi)
     val canvas = new Array[Int](FramePx)
     pl.frames.zipWithIndex.map { case (data, f) =>
       val written = applyFrame(canvas, data, isFirst = f == 0)
@@ -282,9 +290,70 @@ object Rle {
     }
   }
 
+  /** KEYFRAME-SEEK decode — the reason keyframes exist: to decode
+    * frame `target`, read the idx1 INDEX for the nearest flagged
+    * keyframe at or before it and decode forward from THERE on a
+    * fresh canvas, never touching the frames before the keyframe
+    * (decode cost per target is bounded by [[KeyInterval]], not by
+    * stream position — at corpus scale, sampling the tail of an
+    * hour-long stream must not cost an hour of decode). The keyframe
+    * is verified to fully cover the canvas (a delta frame falsely
+    * flagged as a keyframe in idx1 fails loudly — an index that lies
+    * must not silently produce garbage pixels). Returns the decoded
+    * frame and how many frames were actually decoded.
+    */
+  private[multimodal] def decodeSeek(avi: Array[Byte], target: Int): (Array[Int], Int) = {
+    val pl = readValidated(avi)
+    require(target >= 0 && target < pl.frames.length,
+      s"seek target $target outside 0..${pl.frames.length - 1}")
+    require(pl.keyFlags.length == pl.frames.length,
+      s"idx1 carries ${pl.keyFlags.length} entries for ${pl.frames.length} " +
+        "frames — a seeking decoder needs the full index")
+    val key = (target to 0 by -1).find(pl.keyFlags(_)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no keyframe at or before frame $target in idx1"))
+    val canvas = new Array[Int](FramePx)
+    var f = key
+    while (f <= target) {
+      // the keyframe must self-contain: full canvas coverage, checked
+      // exactly like a stream-initial frame
+      applyFrame(canvas, pl.frames(f), isFirst = f == key)
+      f += 1
+    }
+    (canvas, target - key + 1)
+  }
+
   /** One output row per SAMPLED frame. */
   case class RleRow(doc_id: Long, frame_idx: Long, n_frames: Long,
       px_sum: Long, px_max: Long, row0_sum: Long, n_px_written: Long)
+
+  /** One output row per document for the SEEK path: the stream's
+    * LAST frame decoded via the idx1 keyframe index. */
+  case class SeekRow(doc_id: Long, n_frames: Long, target_idx: Long,
+      frames_decoded: Long, px_sum: Long, px_max: Long, row0_sum: Long)
+
+  /** Seek-decode each document's LAST frame through the idx1 keyframe
+    * index: `frames_decoded` is the decoder's actual count — at most
+    * [[KeyInterval]] regardless of stream length, and for the last
+    * frame exactly `(n−1) mod KeyInterval + 1`, which the oracle
+    * recomputes — so a decoder that secretly walks from frame 0
+    * diverges the hash, as do wrong pixels from a mis-seeked start.
+    */
+  def seekLast(spark: SparkSession, docs: DataFrame): Dataset[SeekRow] = {
+    import spark.implicits._
+    docs.selectExpr("cast(doc_id as long) doc_id", "text").as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val nf = (text.length + FramePx - 1) / FramePx
+          val (cv, dec) = decodeSeek(synth(text), nf - 1)
+          var sum = 0L; var mx = 0; var p = 0
+          while (p < FramePx) { val v = cv(p); sum += v; if (v > mx) mx = v; p += 1 }
+          var r0 = 0L; var q = 0
+          while (q < FrameW) { r0 += cv(q); q += 1 }
+          SeekRow(id, nf.toLong, (nf - 1).toLong, dec.toLong, sum, mx.toLong, r0)
+        }
+      }
+  }
 
   /** End-to-end pipeline over a (doc_id, text) frame: synthesize →
     * real BI_RLE8 encode (keyframe cadence + delta frames) + real AVI

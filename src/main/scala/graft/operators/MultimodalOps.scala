@@ -302,9 +302,42 @@ object MultimodalOps {
         col("px_sum"), col("px_max"), col("row0_sum"), col("n_px_written"))
       .orderBy("doc_id", "frame_idx")
 
+  /** §2.J q_rle_seek — KEYFRAME-SEEK decode through the idx1 index
+    * (graft.multimodal.Rle.decodeSeek): each document's LAST frame
+    * decoded from the nearest flagged keyframe forward, never
+    * touching the frames before it — the reason video keyframes
+    * exist (decode cost per target bounded by the 8-frame cadence,
+    * not by stream position; at corpus scale, sampling the tail of a
+    * long stream must not cost the whole stream). `frames_decoded`
+    * is the decoder's ACTUAL count — exactly (n−1) mod 8 + 1 for the
+    * last frame, recomputed by the oracle, so a decoder that
+    * secretly walks from frame 0 diverges the hash; pixel features
+    * from the seek-decoded canvas catch a mis-seeked start. RleSpec
+    * proves the skip is real by corrupting every pre-keyframe frame:
+    * sequential decode fails loudly, seek decode still succeeds.
+    */
+  def rleSeek(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Rle.seekLast(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+          // the oracle's arithmetic has no frame-count ceiling here,
+          // but keep the suite-wide guard so all RLE mirrors share one
+          // documented bound
+          .filter(assert_true(
+            length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
+            lit(s"blob exceeds ${GifOracleMaxFrames * graft.multimodal.Gif.FramePx} " +
+              "bytes: widen the RLE mirrors' documented frame ceiling " +
+              "and this guard together"))
+            .isNull))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("target_idx"),
+        col("frames_decoded"), col("px_sum"), col("px_max"), col("row0_sum"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_avi_frames" -> (aviFrames _),
     "q_rle_frames" -> (rleFrames _),
+    "q_rle_seek" -> (rleSeek _),
     "q_gif_frames" -> (gifFrames _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_bmp_features" -> (bmpFeatures _),
@@ -378,6 +411,34 @@ object MultimodalOps {
          |       CAST(list_sum(vals[1:$w]) AS BIGINT) row0_sum,
          |       CAST(written AS BIGINT) n_px_written
          |FROM px ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // the seek query's ground truth: the LAST frame's pixels under the
+    // byte rule, plus frames_decoded = (nf−1) mod 8 + 1 — the exact
+    // cost of decoding from the nearest keyframe forward; a decoder
+    // that walks from frame 0 (or seeks to the wrong keyframe and
+    // inherits wrong pixels) diverges the hash
+    "q_rle_seek" -> {
+      val fp = graft.multimodal.Gif.FramePx
+      val w = graft.multimodal.Gif.FrameW
+      val ki = graft.multimodal.Rle.KeyInterval
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) len,
+         |         (length(text) + ${fp - 1}) // $fp AS nf
+         |  FROM documents WHERE length(text) > 0
+         |), px AS (
+         |  SELECT doc_id, nf, nf - 1 AS f, len, text,
+         |         list_transform(range(0, $fp),
+         |           p -> CASE WHEN (nf - 1) * $fp + p < len
+         |                     THEN ord(substring(text, (nf - 1) * $fp + p + 1, 1))
+         |                     ELSE 0 END) vals
+         |  FROM d
+         |)
+         |SELECT doc_id, CAST(nf AS BIGINT) n_frames, CAST(f AS BIGINT) target_idx,
+         |       CAST(f % $ki + 1 AS BIGINT) frames_decoded,
+         |       CAST(list_sum(vals) AS BIGINT) px_sum,
+         |       CAST(list_max(vals) AS BIGINT) px_max,
+         |       CAST(list_sum(vals[1:$w]) AS BIGINT) row0_sum
+         |FROM px ORDER BY doc_id""".stripMargin
     },
     // ground-truth per-frame features from the SAME text the Spark
     // side encodes into an animated GIF: frame f's pixel p (row-major

@@ -117,6 +117,46 @@ class RleSpec extends AnyFunSuite {
     assert(Rle.decodeAll(Rle.synth(t))(2).toSeq === rule(t, 2))
   }
 
+  test("keyframe seek ≡ sequential decode for EVERY frame, with the bounded cost") {
+    val t = (0 until 64 * 10).map(i => ('a' + (i * 11) % 26).toChar).mkString // 10 frames
+    val avi = Rle.synth(t)
+    val sequential = Rle.decodeAll(avi)
+    (0 until 10).foreach { f =>
+      val (cv, dec) = Rle.decodeSeek(avi, f)
+      assert(cv.toSeq === sequential(f).toSeq, s"seek($f) pixels")
+      assert(dec === f % Rle.KeyInterval + 1, s"seek($f) cost")
+      assert(dec <= Rle.KeyInterval)
+    }
+  }
+
+  test("seek REALLY skips: with every pre-keyframe frame corrupted, seek works, sequential fails") {
+    val t = (0 until 64 * 10).map(i => ('a' + (i * 11) % 26).toChar).mkString // keyframes 0, 8
+    val pl = Avi.readPayload(Rle.synth(t))
+    // clobber frames 0-7 (everything before the second keyframe) with
+    // an opcode stream that fails loudly if ever decoded
+    val garbage: Array[Byte] = Array(17, 65, 0, 1) // run past the row end
+    val broken = rebuild(pl.frames.zipWithIndex.map {
+      case (fr, f) => if (f < Rle.KeyInterval) garbage else fr
+    })
+    intercept[IllegalArgumentException](Rle.decodeAll(broken))
+    val (cv, dec) = Rle.decodeSeek(broken, 9)
+    assert(dec === 2, "frames 8 and 9 only")
+    assert(cv.toSeq === rule(t, 9), "seek must decode frame 9 from keyframe 8 alone")
+  }
+
+  test("an idx1 index that lies fails loudly: a delta frame flagged as keyframe") {
+    // frame 1 changes only its second half: a PARTIAL delta frame
+    val t = "A" * 64 + ("A" * 32 + "B" * 32)
+    val pl = Avi.readPayload(Rle.synth(t))
+    // rebuild claiming EVERY frame is a keyframe: seeking to frame 1
+    // lands on the delta frame, which cannot self-contain
+    val lying = Avi.buildContainer(pl.frames, "MRLE", Bi_Rle8, 8,
+      Rle.GrayPalette, _ => true)
+    intercept[IllegalArgumentException](Rle.decodeSeek(lying, 1))
+    // and out-of-range targets are rejected
+    intercept[IllegalArgumentException](Rle.decodeSeek(Rle.synth(t), 99))
+  }
+
   test("malformed streams fail loudly, never silently") {
     intercept[IllegalArgumentException](Rle.synth("café"))
     intercept[IllegalArgumentException](Rle.synth(""))
