@@ -121,8 +121,12 @@ object Avi {
     */
   private[multimodal] def buildContainer(frames: IndexedSeq[Array[Byte]],
       handler: String, compression: Array[Byte], bitCount: Int,
-      palette: Array[Byte], isKey: Int => Boolean): Array[Byte] = {
+      palette: Array[Byte], isKey: Int => Boolean,
+      audio: IndexedSeq[Array[Byte]] = IndexedSeq.empty): Array[Byte] = {
     val nFrames = frames.length
+    require(audio.isEmpty || audio.length == nFrames,
+      s"interleaved audio must carry one block per video frame " +
+        s"(${audio.length} blocks, $nFrames frames)")
 
     def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
       val pad = payload.length & 1
@@ -145,7 +149,7 @@ object Avi {
         .putInt(0x10)             // dwFlags: AVIF_HASINDEX
         .putInt(nFrames)          // dwTotalFrames
         .putInt(0)                // dwInitialFrames
-        .putInt(1)                // dwStreams
+        .putInt(if (audio.nonEmpty) 2 else 1) // dwStreams
         .putInt(0)                // dwSuggestedBufferSize
         .putInt(FrameW).putInt(FrameH)
         .putInt(0).putInt(0).putInt(0).putInt(0)
@@ -182,21 +186,53 @@ object Avi {
         .put(palette)
       b.array()
     }
+    // the second stream's headers (PCM16 mono at the Wav path's rate):
+    // strh 'auds' with dwSampleSize = 2 (bytes per sample), strf a
+    // 16-byte WAVEFORMATEX (tag 1 = PCM)
+    val audioStrl = if (audio.isEmpty) Array.emptyByteArray else {
+      val nSamples = audio.map(_.length / 2).sum
+      val ash = {
+        val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(fourcc("auds")).putInt(0) // PCM carries no handler fourcc
+          .putInt(0).putShort(0).putShort(0).putInt(0)
+          .putInt(1).putInt(Wav.SampleRate) // dwScale / dwRate
+          .putInt(0).putInt(nSamples)       // dwStart, dwLength (samples)
+          .putInt(0).putInt(-1).putInt(2)   // bufSize, quality, dwSampleSize
+          .putShort(0).putShort(0).putShort(0).putShort(0)
+        b.array()
+      }
+      val asf = {
+        val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        b.putShort(1).putShort(1)            // wFormatTag PCM, nChannels
+          .putInt(Wav.SampleRate).putInt(Wav.SampleRate * 2) // rate, avg B/s
+          .putShort(2).putShort(16)          // nBlockAlign, wBitsPerSample
+        b.array()
+      }
+      list("strl", chunk("strh", ash) ++ chunk("strf", asf))
+    }
     val hdrl = list("hdrl",
-      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)) ++ audioStrl)
     // a deliberately-unknown chunk between hdrl and movi: naive
     // offset-walkers break here, chunk-walkers skip it by size
     val junk = chunk("JUNK", Array.fill[Byte](18)(0x6a))
-    val movi = list("movi", frames.toArray.flatMap(j => chunk("00dc", j)))
-    // idx1 — one 16-byte entry per frame (ckid, flags, offset, size);
-    // offsets are relative to the start of the movi list's type field
+    // movi: video-only = one 00dc per frame; demuxed = the standard
+    // interleave, each frame's 00dc followed by its 01wb audio block
+    val moviChunks: IndexedSeq[(String, Array[Byte], Int)] =
+      if (audio.isEmpty) frames.indices.map(f => ("00dc", frames(f), f))
+      else frames.indices.flatMap(f =>
+        IndexedSeq(("00dc", frames(f), f), ("01wb", audio(f), f)))
+    val movi = list("movi", moviChunks.toArray.flatMap { case (id, p, _) => chunk(id, p) })
+    // idx1 — one 16-byte entry per movi chunk (ckid, flags, offset,
+    // size) in movi order; offsets are relative to the start of the
+    // movi list's type field. PCM audio blocks are always keyframes.
     val idx1 = {
-      val b = ByteBuffer.allocate(16 * nFrames).order(ByteOrder.LITTLE_ENDIAN)
+      val b = ByteBuffer.allocate(16 * moviChunks.length).order(ByteOrder.LITTLE_ENDIAN)
       var off = 4
-      frames.zipWithIndex.foreach { case (j, f) =>
-        b.put(fourcc("00dc")).putInt(if (isKey(f)) 0x10 else 0)
-          .putInt(off).putInt(j.length)
-        off += 8 + j.length + (j.length & 1)
+      moviChunks.foreach { case (id, p, f) =>
+        val flag = if (id == "01wb" || isKey(f)) 0x10 else 0
+        b.put(fourcc(id)).putInt(flag).putInt(off).putInt(p.length)
+        off += 8 + p.length + (p.length & 1)
       }
       chunk("idx1", b.array())
     }
@@ -236,8 +272,12 @@ object Avi {
     * the INDEX a seeking decoder reads to find the nearest keyframe.
     */
   private[multimodal] final case class AviPayload(headerFrames: Int,
-      strf: Array[Byte], frames: IndexedSeq[Array[Byte]],
-      keyFlags: IndexedSeq[Boolean])
+      strfs: IndexedSeq[Array[Byte]], frames: IndexedSeq[Array[Byte]],
+      keyFlags: IndexedSeq[Boolean], audio: IndexedSeq[Array[Byte]]) {
+    /** Stream 0's (the video stream's) format — strl lists appear in
+      * stream order, so the first strf is the video one. */
+    def strf: Array[Byte] = strfs.headOption.getOrElse(Array.emptyByteArray)
+  }
 
   /** Shared container walk (the [[Wav.parse]] discipline): verify
     * RIFF/'AVI ' magic, walk word-aligned chunks with unknown chunks
@@ -254,9 +294,10 @@ object Avi {
     buf.getInt // declared riff size
     require(tag() == "AVI ", "not an AVI form")
     var headerFrames = -1
-    var strf: Array[Byte] = Array.emptyByteArray
+    val strfs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val keyFlags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val audio = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def walk(limit: Int, inHdrl: Boolean, inMovi: Boolean): Unit =
       while (buf.position() < limit) {
         require(limit - buf.position() >= 8,
@@ -275,17 +316,25 @@ object Avi {
         } else if (inHdrl && id == "strf") {
           val payload = new Array[Byte](size)
           buf.get(payload)
-          strf = payload
+          strfs += payload
         } else if (inMovi && (id == "00dc" || id == "00db")) {
           val payload = new Array[Byte](size)
           buf.get(payload)
           frames += payload
+        } else if (inMovi && id == "01wb") {
+          val payload = new Array[Byte](size)
+          buf.get(payload)
+          audio += payload
         } else if (id == "idx1") {
-          // one 16-byte entry per frame: ckid, dwFlags, offset, size —
-          // AVIIF_KEYFRAME (0x10) is what a seeking decoder reads
+          // one 16-byte entry per movi chunk: ckid, dwFlags, offset,
+          // size — AVIIF_KEYFRAME (0x10) on the VIDEO entries is what
+          // a seeking decoder reads; audio entries are skipped here
           var off = 0
           while (off + 16 <= size) {
-            keyFlags += (buf.getInt(buf.position() + off + 4) & 0x10) != 0
+            val p = buf.position() + off
+            val c2 = buf.get(p + 2).toChar; val c3 = buf.get(p + 3).toChar
+            if (c2 == 'd' && (c3 == 'c' || c3 == 'b'))
+              keyFlags += (buf.getInt(p + 4) & 0x10) != 0
             off += 16
           }
         }
@@ -297,7 +346,8 @@ object Avi {
     require(frames.nonEmpty, "missing movi video chunks")
     require(frames.length == headerFrames,
       s"avih declares $headerFrames frames, movi carries ${frames.length}")
-    AviPayload(headerFrames, strf, frames.toIndexedSeq, keyFlags.toIndexedSeq)
+    AviPayload(headerFrames, strfs.toIndexedSeq, frames.toIndexedSeq,
+      keyFlags.toIndexedSeq, audio.toIndexedSeq)
   }
 
   private def parseSampledWith(reader: javax.imageio.ImageReader,

@@ -154,25 +154,37 @@ object Rle {
     * biCompression 1, gray palette, keyframe idx1 flags on key
     * ordinals only).
     */
-  def synth(text: String): Array[Byte] = {
+  def synth(text: String): Array[Byte] =
+    Avi.buildContainer(encodeStream(checkedBytes(text)), handler = "MRLE",
+      compression = BiRle8, bitCount = 8, palette = GrayPalette,
+      isKey = _ % KeyInterval == 0)
+
+  private[multimodal] val BiRle8: Array[Byte] = {
+    // biCompression = 1 (BI_RLE8), little-endian int
+    val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(1); b.array()
+  }
+
+  private[multimodal] def checkedBytes(text: String): Array[Byte] = {
     require(text.forall(_ < 0x80),
       "rle synth input must be ASCII; non-ASCII would diverge from the oracle")
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     require(bytes.nonEmpty, "rle synth input must be non-empty")
+    bytes
+  }
+
+  /** The encoded frame sequence alone (keyframe cadence + deltas) —
+    * shared by the single-stream [[synth]] and the interleaved
+    * audio+video container ([[Demux]]). */
+  private[multimodal] def encodeStream(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
     val nFrames = (bytes.length + FramePx - 1) / FramePx
     var prev: Array[Int] = null
-    val frames = IndexedSeq.tabulate(nFrames) { f =>
+    IndexedSeq.tabulate(nFrames) { f =>
       val cur = framePixels(bytes, f)
       val enc = if (f % KeyInterval == 0) encodeKey(cur) else encodeDelta(prev, cur)
       prev = cur
       enc
     }
-    Avi.buildContainer(frames, handler = "MRLE",
-      compression = { // biCompression = 1 (BI_RLE8), little-endian int
-        val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        b.putInt(1); b.array()
-      },
-      bitCount = 8, palette = GrayPalette, isKey = _ % KeyInterval == 0)
   }
 
   /** Apply one frame's RLE8 opcodes to the PERSISTENT canvas (image
@@ -239,8 +251,15 @@ object Rle {
     * bit depth, BI_RLE8) BEFORE touching any frame bytes — one copy
     * for the sequential and the seeking decode paths.
     */
-  private def readValidated(avi: Array[Byte]): Avi.AviPayload = {
+  private[multimodal] def readValidated(avi: Array[Byte]): Avi.AviPayload = {
     val pl = Avi.readPayload(avi)
+    validateStrf(pl)
+    pl
+  }
+
+  /** strf BITMAPINFOHEADER checks alone, for callers that already
+    * hold a walked payload (the [[Demux]] path). */
+  private[multimodal] def validateStrf(pl: Avi.AviPayload): Unit = {
     require(pl.strf.length >= 40, "missing or truncated strf BITMAPINFOHEADER")
     val h = java.nio.ByteBuffer.wrap(pl.strf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val biSize = h.getInt; val w = h.getInt; val ht = h.getInt
@@ -250,13 +269,16 @@ object Rle {
     require(w == FrameW && ht == FrameH, s"unexpected dimensions ${w}x$ht")
     require(bits == 8, s"BI_RLE8 requires 8-bit pixels, strf declares $bits")
     require(comp == 1, s"biCompression $comp is not BI_RLE8 (1)")
-    pl
   }
 
-  private[multimodal] def decodeAllCounted(avi: Array[Byte]): IndexedSeq[(Array[Int], Int)] = {
-    val pl = readValidated(avi)
+  private[multimodal] def decodeAllCounted(avi: Array[Byte]): IndexedSeq[(Array[Int], Int)] =
+    decodeFrames(readValidated(avi).frames)
+
+  /** Sequential decode of an already-validated frame sequence. */
+  private[multimodal] def decodeFrames(
+      frames: IndexedSeq[Array[Byte]]): IndexedSeq[(Array[Int], Int)] = {
     val canvas = new Array[Int](FramePx)
-    pl.frames.zipWithIndex.map { case (data, f) =>
+    frames.zipWithIndex.map { case (data, f) =>
       val written = applyFrame(canvas, data, isFirst = f == 0)
       (canvas.clone(), written)
     }

@@ -334,8 +334,36 @@ object MultimodalOps {
         col("frames_decoded"), col("px_sum"), col("px_max"), col("row0_sum"))
       .orderBy("doc_id")
 
+  /** §2.J q_avi_demux — MULTI-STREAM A/V demux
+    * (graft.multimodal.Demux): a genuine two-stream AVI (avih
+    * dwStreams = 2, an 'auds' strl with WAVEFORMATEX strf, movi
+    * interleaved by time — each 00dc video chunk followed by its
+    * frame's 01wb PCM block, idx1 covering both) built and walked
+    * back per document; video decodes through the RLE8 inter-frame
+    * codec, audio as PCM16. Both codecs are lossless, so every
+    * column is hash-exact — and because audio block f carries frame
+    * f's bytes, the A/V ALIGNMENT is inside the hash gate: a demuxer
+    * that routes by position instead of stream id diverges.
+    */
+  def aviDemux(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Demux.features(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+          // same loud-ceiling discipline as the other frame mirrors
+          .filter(assert_true(
+            length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
+            lit(s"blob exceeds ${GifOracleMaxFrames * graft.multimodal.Gif.FramePx} " +
+              s"bytes: the DuckDB demux mirror enumerates at most $GifOracleMaxFrames " +
+              "frames/blob (range(0, 16)); widen the oracle range and this guard together"))
+            .isNull))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("px_sum"),
+        col("audio_n"), col("audio_sum"), col("audio_peak"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_avi_frames" -> (aviFrames _),
+    "q_avi_demux" -> (aviDemux _),
     "q_rle_frames" -> (rleFrames _),
     "q_rle_seek" -> (rleSeek _),
     "q_gif_frames" -> (gifFrames _),
@@ -410,6 +438,38 @@ object MultimodalOps {
          |       CAST(list_max(vals) AS BIGINT) px_max,
          |       CAST(list_sum(vals[1:$w]) AS BIGINT) row0_sum,
          |       CAST(written AS BIGINT) n_px_written
+         |FROM px ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // the demux query's ground truth: BOTH streams derive from the
+    // same bytes — video frame f's pixel sum under the byte rule, and
+    // audio block f = PCM16 of exactly frame f's bytes under the Wav
+    // sample rule ((b − 96)·256): exact sample count, sum, and peak,
+    // so a mis-paired block or a position-routed demux diverges
+    "q_avi_demux" -> {
+      val fp = graft.multimodal.Gif.FramePx
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) len,
+         |         (length(text) + ${fp - 1}) // $fp AS nf
+         |  FROM documents WHERE length(text) > 0
+         |), fr AS (
+         |  SELECT doc_id, len, nf, text, t.i f
+         |  FROM d, range(0, $GifOracleMaxFrames) t(i)
+         |  WHERE t.i < nf
+         |), px AS (
+         |  SELECT doc_id, nf, f, len,
+         |         list_transform(range(0, $fp),
+         |           p -> CASE WHEN f * $fp + p < len
+         |                     THEN ord(substring(text, f * $fp + p + 1, 1))
+         |                     ELSE 0 END) vals,
+         |         list_transform(range(f * $fp + 1, least((f + 1) * $fp, len) + 1),
+         |           i -> (ord(substring(text, i, 1)) - 96) * 256) smp
+         |  FROM fr
+         |)
+         |SELECT doc_id, CAST(f AS BIGINT) frame_idx, CAST(nf AS BIGINT) n_frames,
+         |       CAST(list_sum(vals) AS BIGINT) px_sum,
+         |       CAST(len(smp) AS BIGINT) audio_n,
+         |       CAST(list_sum(smp) AS BIGINT) audio_sum,
+         |       CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) audio_peak
          |FROM px ORDER BY doc_id, frame_idx""".stripMargin
     },
     // the seek query's ground truth: the LAST frame's pixels under the
