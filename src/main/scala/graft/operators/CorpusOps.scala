@@ -651,6 +651,124 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** §2.K q_contam_incremental — IVM for the DECONTAMINATION PASS:
+    * q_contamination maintained from the delta slice alone, the
+    * inverted-index economics a real decontam system runs on (the
+    * gram index is the stored artifact; a nightly ingest must not
+    * re-shingle years of corpus). The corpus splits at the doc_id
+    * midpoint; the stored state is the base slice's POSTING INDEX
+    * ((gram, doc_id, is_bench) — per-doc-distinct, exactly what the
+    * batch generator emits), its df table, and the base contamination
+    * RESULT. The update:
+    *
+    *  - delta postings + df deltas: O(|delta|) shingling, one keyed
+    *    df merge touching only delta grams;
+    *  - the hot (df-capped boilerplate) set is INSERT-ONLY — df only
+    *    grows, so grams can become hot, never un-hot: newly-hot =
+    *    touched grams whose merged df crosses the cap;
+    *  - affected docs = docs holding a TOUCHED gram (one keyed lookup
+    *    into the index). Every other base doc's row is provably
+    *    unchanged — none of its grams gained df, bench postings, or
+    *    hotness — and passes through from the stored result;
+    *  - affected base docs + delta docs re-evaluate against the
+    *    merged kept index. The df cap BOUNDS this: every kept gram's
+    *    posting list is ≤ cap and a newly-hot gram's list is ≈ cap at
+    *    crossing, so the re-evaluation set is ≤ |delta grams| · cap —
+    *    never corpus-shaped. The subtle retroactive case falls out
+    *    correctly: a delta arrival pushing a gram over the cap
+    *    REMOVES that gram's evidence from base docs (boilerplate
+    *    discovered late is still boilerplate), and those docs are in
+    *    the affected set precisely because the gram is touched.
+    *
+    * ORACLE = q_contamination's full-corpus SQL verbatim, so the hash
+    * gate proves incremental ≡ full — cross-boundary contamination
+    * (a delta bench doc flagging a base train doc), late boilerplate
+    * demotion, and delta-internal evidence included.
+    */
+  def contamIncremental(spark: SparkSession, dir: String): DataFrame =
+    contamIncrementalFrom(Tables.documents(spark, dir))._2
+
+  /** The incremental decontamination over an explicit document frame —
+    * returns (affected doc ids, output) so the spec can pin that the
+    * pass-through path really carries unchanged rows.
+    */
+  private[graft] def contamIncrementalFrom(documents: DataFrame): (DataFrame, DataFrame) = {
+    val docs = repartByKey(documents.select("doc_id", "text")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull), col("doc_id"))
+    val cut = docs.agg(
+      ((min(col("doc_id")) + max(col("doc_id"))) / 2).cast("long").as("cut_id"))
+    val tagged = docs.crossJoin(broadcast(cut))
+    def postings(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), (bucket(col("text"), 20) === 0).as("is_bench"),
+        graft.plans.TextExpressions
+          .shinglePostingsNative(split(col("text"), " "), ContamK).as("g"))
+    // MATERIALIZE the two posting indexes once (eager localCheckpoint,
+    // blocks freed with the plan): the batch query deliberately
+    // re-runs the cheap generator per consumer (3 consumers), but the
+    // incremental split has ~7 — measured 15.6 s at the sf1.0 slice
+    // unmaterialized vs 6.7 s materialized (batch: 2.3 s; the gap is
+    // the in-plan recomputation of the stored state, priced here but
+    // free in deployment where the base index is READ, not
+    // re-shingled). The delta index is built once and appended.
+    val basePost = postings(tagged.filter(col("doc_id") <= col("cut_id")).drop("cut_id"))
+      .localCheckpoint(true)
+    val deltaPost = postings(tagged.filter(col("doc_id") > col("cut_id")).drop("cut_id"))
+      .localCheckpoint(true)
+
+    // stored df state + the delta's df update, merged on touched grams only
+    val baseDf = basePost.groupBy("g").agg(count(lit(1)).as("df_b"))
+    val deltaDf = deltaPost.groupBy("g").agg(count(lit(1)).as("df_d"))
+    val baseHot = baseDf.filter(col("df_b") > ContamDfCap).select("g")
+    val newlyHot = deltaDf.join(baseDf, Seq("g"), "left")
+      .filter(col("df_d") + coalesce(col("df_b"), lit(0L)) > ContamDfCap)
+      .select("g")
+    val hotAll = baseHot.union(newlyHot).distinct()
+
+    // the stored base RESULT (what the previous run shipped)
+    val baseKept = basePost.join(baseHot, Seq("g"), "left_anti")
+    def evidence(kept: DataFrame): DataFrame =
+      kept.filter(!col("is_bench")).select(col("doc_id"), col("g"))
+        .join(kept.filter(col("is_bench")).select(col("g"), col("doc_id").as("bench_id")), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_grams"),
+          countDistinct(col("bench_id")).as("n_bench"))
+    val baseResult = evidence(baseKept)
+
+    // affected = docs holding a touched gram that is NOT already hot
+    // in the base — an already-hot gram was excluded from evidence
+    // before the delta and stays excluded (hotness is insert-only),
+    // so it cannot change any doc's row; dropping those grams here is
+    // what keeps the affected set cap-BOUNDED (a non-hot gram's base
+    // posting list is ≤ the df cap by definition; a hot gram's list
+    // is the corpus-shaped one we must never walk). Everything not
+    // affected passes through the stored result untouched.
+    val touchedLive = deltaDf.select("g").join(baseHot, Seq("g"), "left_anti")
+    val affected = basePost.join(touchedLive, Seq("g"))
+      .select("doc_id").distinct()
+      .union(deltaPost.select("doc_id").distinct()).distinct()
+    val unchanged = baseResult.join(affected, Seq("doc_id"), "left_anti")
+
+    // re-evaluate the affected docs against the merged kept index.
+    // Only the TRAIN side restricts to affected docs; the bench side
+    // must see the WHOLE kept bench slice (an affected train doc's
+    // evidence can come from an untouched base bench doc) — but the
+    // bench slice is 5% of the index and the hot anti-join runs on
+    // these two bounded streams, never the full index
+    val merged = basePost.unionByName(deltaPost)
+    val trainEval = merged.filter(!col("is_bench"))
+      .join(affected, Seq("doc_id"))
+      .join(hotAll, Seq("g"), "left_anti")
+      .select(col("doc_id"), col("g"))
+    val benchKept = merged.filter(col("is_bench"))
+      .join(hotAll, Seq("g"), "left_anti")
+      .select(col("g"), col("doc_id").as("bench_id"))
+    val reEvaluated = trainEval.join(benchKept, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_grams"),
+        countDistinct(col("bench_id")).as("n_bench"))
+    (affected, unchanged.unionByName(reEvaluated))
+  }
+
   /** §2.K q_curate_incremental — IVM for the CURATED CORPUS: the
     * composed pipeline ([[curateE2e]]) maintained from the delta
     * slice alone, never re-curating the base — the nightly-ingest
@@ -808,6 +926,7 @@ object CorpusOps {
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_class_balance" -> (classBalance _),
     "q_contamination" -> (contamination _),
+    "q_contam_incremental" -> (contamIncremental _),
     "q_contam_fuzzy" -> (contamFuzzy _),
     "q_mixture_weights" -> (mixtureWeights _))
 
@@ -882,6 +1001,34 @@ object CorpusOps {
        |       est_tokens, cum_tokens,
        |       (cum_tokens - est_tokens) // $ShardBudget AS shard
        |FROM packed ORDER BY doc_id""".stripMargin
+
+  /** The full-corpus decontamination SQL — one copy serving
+    * q_contamination AND q_contam_incremental (the curateOutputSql
+    * discipline: an incremental query's oracle must BE the full
+    * recomposition, never a copy that could drift).
+    */
+  private def contaminationSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') toks,
+       |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 20 = 0 is_bench
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, is_bench,
+       |         unnest(list_distinct(list_transform(
+       |           range(1, greatest(len(toks) - ${ContamK - 1}, 0) + 1),
+       |           i -> array_to_string(toks[i:i+${ContamK - 1}], ' ')))) gram
+       |  FROM t
+       |), hot AS (
+       |  SELECT gram FROM g GROUP BY gram HAVING count(*) > $ContamDfCap
+       |), kept AS (
+       |  SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)
+       |), bench AS (SELECT gram, doc_id bench_id FROM kept WHERE is_bench),
+       |train AS (SELECT doc_id, gram FROM kept WHERE NOT is_bench)
+       |SELECT doc_id,
+       |       CAST(count(DISTINCT gram) AS BIGINT) n_grams,
+       |       CAST(count(DISTINCT bench_id) AS BIGINT) n_bench
+       |FROM train JOIN bench USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the composed pipeline, stage for stage, then the per-source
@@ -1075,28 +1222,11 @@ object CorpusOps {
          |)
          |SELECT doc_id, n_bench_near, max_jac, nearest_bench
          |FROM agg JOIN best USING (doc_id) ORDER BY doc_id""".stripMargin,
-    "q_contamination" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') toks,
-         |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 20 = 0 is_bench
-         |  FROM documents
-         |), g AS (
-         |  SELECT doc_id, is_bench,
-         |         unnest(list_distinct(list_transform(
-         |           range(1, greatest(len(toks) - ${ContamK - 1}, 0) + 1),
-         |           i -> array_to_string(toks[i:i+${ContamK - 1}], ' ')))) gram
-         |  FROM t
-         |), hot AS (
-         |  SELECT gram FROM g GROUP BY gram HAVING count(*) > $ContamDfCap
-         |), kept AS (
-         |  SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)
-         |), bench AS (SELECT gram, doc_id bench_id FROM kept WHERE is_bench),
-         |train AS (SELECT doc_id, gram FROM kept WHERE NOT is_bench)
-         |SELECT doc_id,
-         |       CAST(count(DISTINCT gram) AS BIGINT) n_grams,
-         |       CAST(count(DISTINCT bench_id) AS BIGINT) n_bench
-         |FROM train JOIN bench USING (gram)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_contamination" -> contaminationSql,
+    // incremental ≡ full IS the claim: the oracle recomputes the
+    // whole-corpus decontamination while the query maintains the
+    // stored gram index from the delta slice
+    "q_contam_incremental" -> contaminationSql,
     "q_mixture_weights" ->
       """SELECT lang, count(*) n,
         |  round(count(*) / (SELECT count(*) FROM documents)::DOUBLE, 6) actual_frac,
