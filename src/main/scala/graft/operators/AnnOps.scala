@@ -526,6 +526,60 @@ object AnnOps {
     * the composition itself passes the hash gate; HierAssignSpec pins
     * ≡ flat on the executed plans.
     */
+  /** §2.H q_ann_ivf_hier_pq — the FULL billion-vector layout, every
+    * trained/scale answer composed at once: Lloyd-refined cell
+    * anchors ([[trainedAnchors]] — corpus-adaptive), routed through
+    * the two-level [[HierAssign]] assignment (no leaf-anchor
+    * broadcast — the past-the-ceiling path), candidates scored by
+    * TRAINED product-quantized codes ([[pqParts]] with
+    * [[PqKmeansIters]] codebook rounds — the compressed posting scan
+    * that never touches raw vectors until the end), then the exact
+    * rerank over the bounded survivor set. This is faiss
+    * IVFx,PQy-with-HNSW-coarse in the suite's portable-mode
+    * discipline: every stage's decision is rounded/tie-broken the
+    * same way on both engines, so the WHOLE composition passes the
+    * hash gate — the oracle stitches the three existing mirrors
+    * (unrolled cell Lloyd, unrolled PQ Lloyd, the ADC/rerank chain)
+    * with zero new SQL semantics. Exact-mode hier keeps assignment
+    * bit-identical to flat trained, which is what makes the flat
+    * oracle valid (the hash gate itself re-proves hier ≡ flat on
+    * real data every run).
+    */
+  def annIvfHierPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val (e, codes, lut) = pqParts(spark, dir, trainIters = PqKmeansIters)
+    val anchors = trainedAnchors(spark, dir)
+    val g = HierAssign.defaultGroups(IvfCells)
+    val assigned = HierAssign.assignUnit(e, anchors, g, g, roundCcos = true)
+      .select(col("vec_id"), col("cell"))
+    // probe cells: portable round-6 top-IvfProbeCells against the
+    // trained anchors (probes are few — the flat broadcast is right)
+    val probeCells = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(anchors))
+      .withColumn("ccos",
+        round(VectorExpressions.widenedDotNative(col("p_emb"), col("c")) / col("p_nrm"), 6))
+      .groupBy(col("probe_id"))
+      .agg(graft.plans.TopKAgg.topK(
+        struct(negate(col("ccos")).as("nc"), col("cell").as("cell")), IvfProbeCells).as("_tk"))
+      .select(col("probe_id"), explode(col("_tk.cell")).as("cell"))
+    val cand = assigned.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val scored = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("probe_id", "m", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdotq")).as("qdot")) // exact long sum — order-free
+      .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+      .join(broadcast(e.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("nrm").as("p_nrm"))), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        round(col("qdot").cast("double") / lit(1e6) / (col("nrm") * col("p_nrm")), 6)
+          .as("qcos"))
+    sq8Rerank(scored, e, PqRerank)
+  }
+
   def annIvfHierKmeans(spark: SparkSession, dir: String): DataFrame =
     annIvfWith(spark, dir, trainedAnchors(spark, dir),
       roundCcos = true, hierarchical = true)
@@ -1028,6 +1082,7 @@ object AnnOps {
     "q_ann_ivf_hier" -> (annIvfHier _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_ivf_hier_kmeans" -> (annIvfHierKmeans _),
+    "q_ann_ivf_hier_pq" -> (annIvfHierPq _),
     "q_ann_sq8" -> (annSq8 _),
     "q_ann_ivf_sq8" -> (annIvfSq8 _),
     "q_ann_ivf_pq" -> (annIvfPq _),
@@ -1115,7 +1170,85 @@ object AnnOps {
   // for the TRAINED two-level layout vs the flat trained pipeline
   val oracle: Map[String, String] = oracleBase +
     ("q_ann_ivf_hier" -> oracleBase("q_ann_ivf")) +
-    ("q_ann_ivf_hier_kmeans" -> oracleBase("q_ann_ivf_kmeans"))
+    ("q_ann_ivf_hier_kmeans" -> oracleBase("q_ann_ivf_kmeans")) +
+    // the full composed layout: trained cells (unrolled Lloyd) +
+    // trained PQ codebooks (unrolled subspace Lloyd) + the ADC/rerank
+    // chain — each piece verbatim from its existing mirror; the FLAT
+    // assignment here is what makes the hash gate re-prove hier ≡
+    // flat on real data every run
+    ("q_ann_ivf_hier_pq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))) nrm
+         |  FROM embeddings
+         |), nd AS (
+         |  SELECT vec_id,
+         |    ${sqlUnit("list_transform(embedding, x -> x::DOUBLE)")} nv
+         |  FROM e
+         |), a0 AS (
+         |  SELECT vec_id::BIGINT cell, nv c FROM nd WHERE vec_id < $IvfCells
+         |), ${(1 to IvfKmeansIters).map(sqlLloydRound).mkString(", ")},
+         |ms AS (SELECT unnest(range(0, $PqM)) m),
+         |sub AS (
+         |  SELECT vec_id, m, list_slice(embedding, m * $PqSub + 1, m * $PqSub + $PqSub) sub
+         |  FROM e, ms
+         |), subd AS (
+         |  SELECT vec_id, m, list_transform(sub, x -> x::DOUBLE) sub FROM sub
+         |), pcb0 AS (
+         |  SELECT m, vec_id code, sub c_sub FROM subd WHERE vec_id < $PqK
+         |), ${(1 to PqKmeansIters).map(sqlPqLloydRound).mkString(", ")},
+         |cb AS (SELECT m, code, c_sub FROM pcb$PqKmeansIters),
+         |enc AS (
+         |  SELECT s.vec_id, s.m, code,
+         |    round(list_sum(list_transform(range(1, $PqSub + 1),
+         |      i -> (s.sub[i]::DOUBLE - c.c_sub[i])
+         |         * (s.sub[i]::DOUBLE - c.c_sub[i]))), 6) d2
+         |  FROM sub s JOIN cb c USING (m)
+         |  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY d2, code) = 1
+         |), lut AS (
+         |  SELECT s.vec_id probe_id, s.m, c.code,
+         |    CAST(round(list_sum(list_transform(range(1, $PqSub + 1),
+         |      i -> s.sub[i]::DOUBLE * c.c_sub[i])) * 1000000.0, 0) AS BIGINT) pdotq
+         |  FROM sub s JOIN cb c USING (m)
+         |  WHERE s.vec_id < $NProbes
+         |), asg AS (
+         |  SELECT e.vec_id, cell,
+         |    round(list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> embedding[i]::DOUBLE * c[i])) / nrm, 6) ccos
+         |  FROM e CROSS JOIN a$IvfKmeansIters
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY ccos DESC, cell) = 1
+         |), pc AS (
+         |  SELECT e.vec_id probe_id, cell,
+         |    round(list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> embedding[i]::DOUBLE * c[i])) / nrm, 6) ccos
+         |  FROM e CROSS JOIN a$IvfKmeansIters WHERE e.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY ccos DESC, cell) <= $IvfProbeCells
+         |), adc AS (
+         |  SELECT pc.probe_id, asg.vec_id, sum(pdotq) qdot
+         |  FROM asg JOIN pc USING (cell)
+         |       JOIN enc ON enc.vec_id = asg.vec_id
+         |       JOIN lut ON lut.probe_id = pc.probe_id
+         |              AND lut.m = enc.m AND lut.code = enc.code
+         |  WHERE asg.vec_id <> pc.probe_id
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT a.probe_id, a.vec_id,
+         |    round(a.qdot::DOUBLE / 1000000.0 / (c.nrm * p.nrm), 6) qcos
+         |  FROM adc a JOIN e c ON c.vec_id = a.vec_id
+         |             JOIN e p ON p.vec_id = a.probe_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.probe_id
+         |                             ORDER BY qcos DESC, a.vec_id) <= $PqRerank
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, cand.qcos,
+         |         ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |)
+         |SELECT probe_id, vec_id, qcos, cos,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+         |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin)
 
   private lazy val oracleBase: Map[String, String] = Map(
     "q_ivf_cell_stats" ->

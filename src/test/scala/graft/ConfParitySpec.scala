@@ -35,9 +35,13 @@ class ConfParitySpec extends AnyFunSuite {
     // fusion, and the per-task-amortized multi-frame codec
     "q_ann_ivf_filtered", "q_curate_e2e", "q_hybrid_rank", "q_gif_frames",
     "q_hybrid_rank_ivf", "q_curate_funnel",
-    // round-16 hard case: the inter-frame codec — sequential
-    // per-blob decode state must be invariant to partition layout
-    "q_rle_frames")
+    // round-16 hard cases: the inter-frame codec (sequential per-blob
+    // decode state must be invariant to partition layout), the A/V
+    // demux, and the two IVM queries (midpoint splits, insert-only
+    // top-N merges and df-state merges must not depend on the
+    // partitioning that computed them)
+    "q_rle_frames", "q_avi_demux", "q_curate_incremental",
+    "q_contam_incremental", "q_ann_ivf_hier_pq")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
