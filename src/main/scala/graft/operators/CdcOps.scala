@@ -258,6 +258,94 @@ object CdcOps {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** §2.F q_sessionize_incremental — IVM for gap sessionization: the
+    * session table maintained from the delta slice alone (events
+    * split at the [[midpointCut]] timestamp midpoint — the nightly
+    * append shape: new events all AFTER the stored watermark). Time
+    * ordering makes exactly ONE base session per user mutable — the
+    * LAST one (every earlier session is already closed by a base
+    * event; delta events are all newer), and the boundary case is a
+    * genuine MERGE: a delta event within the 30-minute gap of the
+    * user's last base EVENT extends that session, beyond it opens
+    * session last_id+1, so the stored state per user is (last
+    * session_id, last event ts_ns) plus the session rows with their
+    * UNROUNDED value sums (rounding happens once, at the final
+    * merge — a stored-rounded sum re-rounded after the merge would
+    * drift off the full recompute).
+    *
+    * Delta work: one per-user window over DELTA events only, its lag
+    * SEEDED with the stored last event timestamp and its session
+    * counter with the stored last id (so delta session ids continue
+    * the user's sequence exactly as the full window would number
+    * them), then one session-level merge aggregation whose input is
+    * session ROWS (state-sized), never base events. The ORACLE is
+    * q_sessionize's full-window SQL verbatim, so the hash gate proves
+    * incremental ≡ full — boundary merges, continued numbering, and
+    * fresh-user sessions included.
+    */
+  def sessionizeIncremental(spark: SparkSession, dir: String): DataFrame =
+    sessionizeIncrementalFrom(Tables.events(spark, dir))
+
+  /** The incremental sessionization over an explicit event frame —
+    * the spec plants boundary merges and id-continuation cases. */
+  private[graft] def sessionizeIncrementalFrom(ev: DataFrame): DataFrame = {
+    val tagged = ev.crossJoin(midpointCut(ev))
+    val base = tagged.filter(col("ts_ns") <= col("cut_ns")).drop("cut_ns")
+    val delta = tagged.filter(col("ts_ns") > col("cut_ns")).drop("cut_ns")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+
+    // the stored state: base session rows (raw sums) + last-event info
+    val baseSess = base
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > 1800L * NsPerSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(expr(s"ts_ns DIV $NsPerSec")).as("start_s"),
+        max(expr(s"ts_ns DIV $NsPerSec")).as("end_s"),
+        sum(col("value")).as("raw_sum"),
+        max(col("ts_ns")).as("last_ns"))
+    val lastSess = baseSess
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("session_id"), col("last_ns"))).as("l"))
+      .select(col("user_id"), col("l.session_id").as("last_sid"),
+        col("l.last_ns").as("base_last_ns"))
+
+    // the increment: sessionize DELTA events with the window's lag
+    // seeded by the stored last event and ids continuing the sequence
+    val deltaSess = delta
+      .join(lastSess, Seq("user_id"), "left")
+      .withColumn("prev_ns",
+        coalesce(lag(col("ts_ns"), 1).over(byUser), col("base_last_ns")))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > 1800L * NsPerSec, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        coalesce(col("last_sid"), lit(0L)) + sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(expr(s"ts_ns DIV $NsPerSec")).as("start_s"),
+        max(expr(s"ts_ns DIV $NsPerSec")).as("end_s"),
+        sum(col("value")).as("raw_sum"))
+
+    // session-level merge: the boundary session appears on both sides
+    // with the SAME id and folds here; everything else passes through
+    baseSess.select("user_id", "session_id", "n_events", "start_s", "end_s", "raw_sum")
+      .unionByName(deltaSess)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        min(col("start_s")).as("start_s"),
+        max(col("end_s")).as("end_s"),
+        round(sum(col("raw_sum")), 2).as("sum_value"))
+  }
+
   /** Concurrent-session load at purchase time — a genuine range-join
     * workload (`ts BETWEEN start AND end` against an interval table
     * has no equi-key): each purchase counts the sessions of ANY user
@@ -531,6 +619,7 @@ object CdcOps {
     "q_cdc_envelope" -> (cdcEnvelope _),
     "q_cdc_incremental_view" -> (cdcIncrementalView _),
     "q_sessionize" -> (sessionize _),
+    "q_sessionize_incremental" -> (sessionizeIncremental _),
     "q_session_overlap" -> (sessionOverlap _),
     "q_overlap_preflight" -> (overlapPreflight _),
     "q_concurrent_sessions" -> (concurrentSessions _),
@@ -543,6 +632,19 @@ object CdcOps {
     * value, ts_ns, session_id)`, used by the sessionize and
     * concurrent-sessions oracles.
     */
+  /** The full-corpus sessionization SQL — one copy serving
+    * q_sessionize AND q_sessionize_incremental (the curateOutputSql
+    * discipline: an incremental query's oracle is the full
+    * recomposition itself, never a copy that could drift).
+    */
+  private def sqlSessionize: String =
+    s"""WITH $sqlSessionCtes
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |       min(ts_ns // 1000000000) AS start_s,
+       |       max(ts_ns // 1000000000) AS end_s,
+       |       round(sum(value), 2) AS sum_value
+       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
   private val sqlSessionCtes =
     """e AS (
       |  SELECT user_id, event_id, value,
@@ -754,13 +856,10 @@ object CdcOps {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
-    "q_sessionize" ->
-      s"""WITH $sqlSessionCtes
-         |SELECT user_id, session_id, count(*) AS n_events,
-         |       min(ts_ns // 1000000000) AS start_s,
-         |       max(ts_ns // 1000000000) AS end_s,
-         |       round(sum(value), 2) AS sum_value
-         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_sessionize" -> sqlSessionize,
+    // incremental ≡ full IS the claim: the oracle recomputes the full
+    // per-user window while the query maintains from the delta slice
+    "q_sessionize_incremental" -> sqlSessionize,
     "q_concurrent_sessions" ->
       s"""WITH $sqlSessionCtes,
          |s AS (

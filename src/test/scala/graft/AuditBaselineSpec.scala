@@ -36,7 +36,19 @@ class AuditBaselineSpec extends AnyFunSuite {
     // bounded cap-count branch), so its two content hashes evaluate
     // once per consumer — re-running the cheap projection beats a
     // barrier, the same documented trade as q_contamination
-    "q_curate_funnel" -> Map("md5(" -> 2))
+    "q_curate_funnel" -> Map("md5(" -> 2),
+    // train × bench two-input over the SHARED banding machinery: the
+    // band build (shingles + md5 band keys) and the per-doc bench
+    // flag evaluate once per side of the asymmetric candidate join,
+    // plus the survivor-bounded exact-Jaccard verify — the
+    // q_dedup_minhash adjudication shape with the two-branch flag
+    "q_contam_fuzzy" -> Map("shinglesexpr" -> 2, "md5(" -> 5),
+    // base-state + delta two-input over ONE per-row-cheap projection
+    // (normalized hash + bench flag): the base branch feeds both the
+    // survivor pipeline and the dedup hash-state consumer, the delta
+    // branch its own — the stored-state recomputation priced in-plan,
+    // the q_cdc_incremental_view adjudication shape
+    "q_curate_incremental" -> Map("md5(" -> 4))
 
   test("no registered query exceeds the adjudicated multi-site whitelist") {
     val offenders = AuditEval.sweep(spark, TestSpark.Sf).flatMap {
