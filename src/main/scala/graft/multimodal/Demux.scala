@@ -82,9 +82,7 @@ object Demux {
         s"${pl.audio.length} audio blocks")
     val video = Rle.decodeFrames(pl.frames)
     video.indices.map { f =>
-      val cv = video(f)._1
-      var sum = 0L; var p = 0
-      while (p < FramePx) { sum += cv(p); p += 1 }
+      val (sum, _, _) = Rle.canvasStats(video(f)._1)
       val blk = pl.audio(f)
       require((blk.length & 1) == 0,
         s"audio block $f has odd length ${blk.length} — torn PCM16 sample")

@@ -298,16 +298,24 @@ object Rle {
   case class RleFrame(frameIdx: Int, nFrames: Int, pxSum: Long, pxMax: Int,
       row0Sum: Long, nPxWritten: Int)
 
+  /** (px_sum, px_max, row0_sum) of an image-space canvas — ONE copy
+    * serving [[parseSampled]], [[seekLast]] and [[Demux.parse]] so the
+    * feature definitions cannot drift between the query surfaces. */
+  private[multimodal] def canvasStats(cv: Array[Int]): (Long, Int, Long) = {
+    var sum = 0L; var mx = 0; var p = 0
+    while (p < FramePx) { val v = cv(p); sum += v; if (v > mx) mx = v; p += 1 }
+    var r0 = 0L; var q = 0
+    while (q < FrameW) { r0 += cv(q); q += 1 }
+    (sum, mx, r0)
+  }
+
   /** Walk the container, decode ALL frames sequentially through the
     * persistent canvas (inter-frame state), emit every `stride`-th. */
   def parseSampled(avi: Array[Byte], stride: Int = SampleStride): Seq[RleFrame] = {
     val all = decodeAllCounted(avi)
     (0 until all.length by stride).map { f =>
       val (cv, written) = all(f)
-      var sum = 0L; var mx = 0; var p = 0
-      while (p < FramePx) { val v = cv(p); sum += v; if (v > mx) mx = v; p += 1 }
-      var r0 = 0L; var q = 0
-      while (q < FrameW) { r0 += cv(q); q += 1 }
+      val (sum, mx, r0) = canvasStats(cv)
       RleFrame(f, all.length, sum, mx, r0, written)
     }
   }
@@ -368,10 +376,7 @@ object Rle {
         rows.map { case (id, text) =>
           val nf = (text.length + FramePx - 1) / FramePx
           val (cv, dec) = decodeSeek(synth(text), nf - 1)
-          var sum = 0L; var mx = 0; var p = 0
-          while (p < FramePx) { val v = cv(p); sum += v; if (v > mx) mx = v; p += 1 }
-          var r0 = 0L; var q = 0
-          while (q < FrameW) { r0 += cv(q); q += 1 }
+          val (sum, mx, r0) = canvasStats(cv)
           SeekRow(id, nf.toLong, (nf - 1).toLong, dec.toLong, sum, mx.toLong, r0)
         }
       }

@@ -59,8 +59,10 @@ object MediaStream {
           case NonFatal(e) =>
             // the batch stance would abort here; the ingest gate
             // quarantines instead — reason preserved for triage
+            // (e.toString carries the class even when getMessage is
+            // null, so a message-less throw still triages)
             Seq(MediaOut(d.doc_id, ok = false, -1L, -1L, -1L, -1L, -1L, -1L,
-              s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+              e.toString))
         }
       }
     }
@@ -84,8 +86,11 @@ object MediaStream {
     */
   def health(out: Dataset[MediaOut]): DataFrame =
     out.agg(
-        sum(when(col("ok") && col("frame_idx") === 0L, 1L).otherwise(0L)).as("n_ok_docs"),
-        sum(when(!col("ok"), 1L).otherwise(0L)).as("n_dead_docs"))
+        // coalesce: a global sum over ZERO input rows is null — the
+        // gate's first empty trigger must read (0, 0, 0.0), not nulls
+        coalesce(sum(when(col("ok") && col("frame_idx") === 0L, 1L).otherwise(0L)),
+          lit(0L)).as("n_ok_docs"),
+        coalesce(sum(when(!col("ok"), 1L).otherwise(0L)), lit(0L)).as("n_dead_docs"))
       .select(col("n_ok_docs"), col("n_dead_docs"),
         round(col("n_dead_docs") /
           greatest(col("n_ok_docs") + col("n_dead_docs"), lit(1L)).cast("double"), 6)

@@ -37,9 +37,10 @@ class ConfParitySpec extends AnyFunSuite {
     "q_hybrid_rank_ivf", "q_curate_funnel",
     // round-16 hard cases: the inter-frame codec (sequential per-blob
     // decode state must be invariant to partition layout), the A/V
-    // demux, and the two IVM queries (midpoint splits, insert-only
-    // top-N merges and df-state merges must not depend on the
-    // partitioning that computed them)
+    // demux, the fully-composed trained vector layout, and the three
+    // IVM queries (midpoint splits, insert-only top-N merges,
+    // df-state merges and seeded session windows must not depend on
+    // the partitioning that computed them)
     "q_rle_frames", "q_avi_demux", "q_curate_incremental",
     "q_contam_incremental", "q_ann_ivf_hier_pq", "q_sessionize_incremental")
 

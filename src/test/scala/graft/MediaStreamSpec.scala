@@ -92,5 +92,13 @@ class MediaStreamSpec extends AnyFunSuite {
     assert(row.getLong(0) === 2L, "ok docs counted per document, not per frame")
     assert(row.getLong(1) === 1L)
     assert(row.getDouble(2) === math.rint(1.0 / 3.0 * 1e6) / 1e6)
+
+    // the gate's FIRST trigger may fire before any document arrives:
+    // the health row must read (0, 0, 0.0), never nulls (same code
+    // path batch/stream — evaluate on an empty frame)
+    val Array(empty) = MediaStream.health(
+      MediaStream.decoded(spark.emptyDataset[MediaStream.Doc])).collect()
+    assert(empty.getLong(0) === 0L && empty.getLong(1) === 0L
+      && empty.getDouble(2) === 0.0)
   }
 }

@@ -23,13 +23,10 @@ class RleSpec extends AnyFunSuite {
     }
   }
 
-  private val Bi_Rle8: Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.putInt(1); b.array()
-  }
-
+  // the PRODUCTION constants, not copies — a rebuilt container must
+  // exercise exactly the strf shape Rle.synth ships
   private def rebuild(frames: IndexedSeq[Array[Byte]]): Array[Byte] =
-    Avi.buildContainer(frames, "MRLE", Bi_Rle8, 8, Rle.GrayPalette,
+    Avi.buildContainer(frames, "MRLE", Rle.BiRle8, 8, Rle.GrayPalette,
       _ % Rle.KeyInterval == 0)
 
   // 300 bytes → 5 frames; consecutive frames differ on every in-text
@@ -150,7 +147,7 @@ class RleSpec extends AnyFunSuite {
     val pl = Avi.readPayload(Rle.synth(t))
     // rebuild claiming EVERY frame is a keyframe: seeking to frame 1
     // lands on the delta frame, which cannot self-contain
-    val lying = Avi.buildContainer(pl.frames, "MRLE", Bi_Rle8, 8,
+    val lying = Avi.buildContainer(pl.frames, "MRLE", Rle.BiRle8, 8,
       Rle.GrayPalette, _ => true)
     intercept[IllegalArgumentException](Rle.decodeSeek(lying, 1))
     // and out-of-range targets are rejected
