@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property fuzz for the byte-codec family: invariants that must hold
+  * for ALL ASCII inputs, not just the shipped corpus or the planted
+  * spec frames — codecs are exactly the code class where a rare input
+  * shape (a run crossing a row boundary, an all-identical frame, a
+  * one-byte tail frame) hides the off-by-one the example tests miss.
+  * Deterministic manual sampling (fixed seeds, no scalacheck bridge —
+  * the FunctionPropertiesSpec discipline).
+  */
+class CodecPropertiesSpec extends AnyFunSuite {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(91L + i)))
+
+  // text shapes that stress the codecs differently: uniform runs
+  // (long RLE runs, zero-delta frames), high-entropy (absolute mode
+  // everywhere), low-alphabet (mixed runs), and ragged lengths
+  // hitting every tail-frame size including single-byte
+  private val textGen: Gen[String] = for {
+    kind <- Gen.choose(0, 3)
+    len <- Gen.choose(1, 64 * 10 + 7)
+    s <- kind match {
+      case 0 => Gen.const("q" * len)
+      case 1 => Gen.listOfN(len, Gen.choose(32, 126)).map(_.map(_.toChar).mkString)
+      case 2 => Gen.listOfN(len, Gen.oneOf('a', 'b')).map(_.mkString)
+      case 3 => Gen.choose(0, 25).map(k =>
+        (0 until len).map(i => ('a' + (i * k) % 26).toChar).mkString)
+    }
+  } yield s
+
+  private def rule(bytes: Array[Byte], f: Int): IndexedSeq[Int] =
+    (0 until Gif.FramePx).map { p =>
+      val k = f * Gif.FramePx + p
+      if (k < bytes.length) bytes(k) & 0xff else 0
+    }
+
+  test("RLE round-trip is bit-exact for arbitrary ASCII texts") {
+    samples(textGen, 120).foreach { t =>
+      val bytes = t.getBytes("US-ASCII")
+      val frames = Rle.decodeAll(Rle.synth(t))
+      assert(frames.length === (bytes.length + Gif.FramePx - 1) / Gif.FramePx, s"len=${t.length}")
+      frames.zipWithIndex.foreach { case (cv, f) =>
+        assert(cv.toSeq === rule(bytes, f), s"len=${t.length} frame $f")
+      }
+    }
+  }
+
+  test("keyframe seek ≡ sequential decode at every ordinal, cost within the cadence") {
+    samples(textGen, 40).foreach { t =>
+      val avi = Rle.synth(t)
+      val sequential = Rle.decodeAll(avi)
+      sequential.indices.foreach { f =>
+        val (cv, dec) = Rle.decodeSeek(avi, f)
+        assert(cv.toSeq === sequential(f).toSeq, s"len=${t.length} seek($f)")
+        assert(dec === f % Rle.KeyInterval + 1)
+      }
+    }
+  }
+
+  test("demux round-trip: video pixels and audio samples agree with the rules per frame") {
+    samples(textGen, 60).foreach { t =>
+      val bytes = t.getBytes("US-ASCII")
+      val frames = Demux.parse(Demux.synth(t))
+      frames.foreach { fr =>
+        val px = rule(bytes, fr.frameIdx)
+        val lo = fr.frameIdx * Gif.FramePx
+        val hi = math.min(lo + Gif.FramePx, bytes.length)
+        val smp = (lo until hi).map(i => ((bytes(i) & 0xff) - 96) * 256)
+        assert(fr.pxSum === px.map(_.toLong).sum, s"len=${t.length} frame ${fr.frameIdx}")
+        assert(fr.audioN === smp.size && fr.audioSum === smp.map(_.toLong).sum
+          && fr.audioPeak === (if (smp.isEmpty) 0 else smp.map(math.abs).max),
+          s"len=${t.length} frame ${fr.frameIdx} audio")
+      }
+    }
+  }
+
+  test("n_px_written is the exact Hamming distance on delta frames, full on keyframes") {
+    samples(textGen, 60).foreach { t =>
+      val bytes = t.getBytes("US-ASCII")
+      Rle.parseSampled(Rle.synth(t), stride = 1).foreach { fr =>
+        val expect =
+          if (fr.frameIdx % Rle.KeyInterval == 0) Gif.FramePx
+          else rule(bytes, fr.frameIdx).zip(rule(bytes, fr.frameIdx - 1))
+            .count { case (a, b) => a != b }
+        assert(fr.nPxWritten === expect, s"len=${t.length} frame ${fr.frameIdx}")
+      }
+    }
+  }
+}
