@@ -122,7 +122,8 @@ object Avi {
   private[multimodal] def buildContainer(frames: IndexedSeq[Array[Byte]],
       handler: String, compression: Array[Byte], bitCount: Int,
       palette: Array[Byte], isKey: Int => Boolean,
-      audio: IndexedSeq[Array[Byte]] = IndexedSeq.empty): Array[Byte] = {
+      audio: IndexedSeq[Array[Byte]] = IndexedSeq.empty,
+      audioFirst: Boolean = false): Array[Byte] = {
     val nFrames = frames.length
     require(audio.isEmpty || audio.length == nFrames,
       s"interleaved audio must carry one block per video frame " +
@@ -210,9 +211,12 @@ object Avi {
       }
       list("strl", chunk("strh", ash) ++ chunk("strf", asf))
     }
-    val hdrl = list("hdrl",
-      chunk("avih", avih) ++
-        list("strl", chunk("strh", strh) ++ chunk("strf", strf)) ++ audioStrl)
+    // `audioFirst` reorders the strl lists only (movi chunk ids stay
+    // 00dc/01wb — the walker routes those by id): the spec's probe
+    // that header selection goes by strh fccType, never list position
+    val videoStrl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      (if (audioFirst) audioStrl ++ videoStrl else videoStrl ++ audioStrl))
     // a deliberately-unknown chunk between hdrl and movi: naive
     // offset-walkers break here, chunk-walkers skip it by size
     val junk = chunk("JUNK", Array.fill[Byte](18)(0x6a))
@@ -272,11 +276,16 @@ object Avi {
     * the INDEX a seeking decoder reads to find the nearest keyframe.
     */
   private[multimodal] final case class AviPayload(headerFrames: Int,
-      strfs: IndexedSeq[Array[Byte]], frames: IndexedSeq[Array[Byte]],
+      strfs: IndexedSeq[(String, Array[Byte])], frames: IndexedSeq[Array[Byte]],
       keyFlags: IndexedSeq[Boolean], audio: IndexedSeq[Array[Byte]]) {
-    /** Stream 0's (the video stream's) format — strl lists appear in
-      * stream order, so the first strf is the video one. */
-    def strf: Array[Byte] = strfs.headOption.getOrElse(Array.emptyByteArray)
+    /** The video stream's format, selected by its strl's strh fccType
+      * ('vids') — NOT by position: a container whose strl lists are
+      * ordered audio-first must still validate the right header. */
+    def strf: Array[Byte] = strfs.collectFirst { case ("vids", p) => p }
+      .getOrElse(Array.emptyByteArray)
+    /** The audio stream's format ('auds' strh), when present. */
+    def audioStrf: Option[Array[Byte]] =
+      strfs.collectFirst { case ("auds", p) => p }
   }
 
   /** Shared container walk (the [[Wav.parse]] discipline): verify
@@ -294,7 +303,10 @@ object Avi {
     buf.getInt // declared riff size
     require(tag() == "AVI ", "not an AVI form")
     var headerFrames = -1
-    val strfs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // each strf is tagged with ITS strl's strh fccType (vids/auds) so
+    // stream formats are selected by type, never by list position
+    var pendingFcc = ""
+    val strfs = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val keyFlags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val audio = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
@@ -313,10 +325,14 @@ object Avi {
         } else if (inHdrl && id == "avih") {
           buf.getInt; buf.getInt; buf.getInt; buf.getInt // usec, maxbps, pad, flags
           headerFrames = buf.getInt
+        } else if (inHdrl && id == "strh") {
+          require(size >= 4, s"strh chunk of $size bytes has no fccType")
+          pendingFcc = tag() // AVIStreamHeader.fccType: 'vids' / 'auds'
         } else if (inHdrl && id == "strf") {
           val payload = new Array[Byte](size)
           buf.get(payload)
-          strfs += payload
+          strfs += ((pendingFcc, payload))
+          pendingFcc = ""
         } else if (inMovi && (id == "00dc" || id == "00db")) {
           val payload = new Array[Byte](size)
           buf.get(payload)
@@ -338,7 +354,7 @@ object Avi {
             off += 16
           }
         }
-        // unknown chunks (JUNK, strh, ...) skip via `next`
+        // unknown chunks (JUNK, ...) skip via `next`
         buf.position(next)
       }
     walk(buf.limit(), inHdrl = false, inMovi = false)

@@ -62,11 +62,15 @@ object Demux {
   def parse(avi: Array[Byte]): Seq[AvFrame] = {
     val pl = Avi.readPayload(avi)
     Rle.validateStrf(pl)
-    // the audio stream's declared format (the second strl's strf, a
-    // WAVEFORMATEX) must match what the PCM decode assumes
+    // the audio stream's declared format — selected by its strl's
+    // strh fccType ('auds'), NOT by list position, so a container
+    // whose strl lists are ordered audio-first still validates the
+    // right WAVEFORMATEX — must match what the PCM decode assumes
     require(pl.strfs.length == 2,
       s"expected 2 stream formats (vids + auds), found ${pl.strfs.length}")
-    val af = pl.strfs(1)
+    val af = pl.audioStrf.getOrElse(
+      throw new IllegalArgumentException(
+        "missing audio stream format (no 'auds' strl in hdrl)"))
     require(af.length >= 16, "truncated WAVEFORMATEX in audio strf")
     val ah = ByteBuffer.wrap(af).order(ByteOrder.LITTLE_ENDIAN)
     val tag = ah.getShort.toInt; val ch = ah.getShort.toInt

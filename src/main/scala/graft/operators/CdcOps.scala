@@ -154,9 +154,7 @@ object CdcOps {
     */
   def scd2Incremental(spark: SparkSession, dir: String): DataFrame = {
     val feed = changeFeed(spark, dir)
-    val tagged = feed.crossJoin(midpointCut(feed))
-    val base = tagged.filter(col("ts_ns") <= col("cut_ns")).drop("cut_ns")
-    val delta = tagged.filter(col("ts_ns") > col("cut_ns")).drop("cut_ns")
+    val (base, delta) = Ivm.midpointSplit(feed, "ts_ns")
     // first delta change per touched key — closes that key's open row
     // (delete or not: any newer change closes the interval)
     val firstDelta = delta.groupBy("user_id")
@@ -289,9 +287,7 @@ object CdcOps {
   /** The incremental sessionization over an explicit event frame —
     * the spec plants boundary merges and id-continuation cases. */
   private[graft] def sessionizeIncrementalFrom(ev: DataFrame): DataFrame = {
-    val tagged = ev.crossJoin(midpointCut(ev))
-    val base = tagged.filter(col("ts_ns") <= col("cut_ns")).drop("cut_ns")
-    val delta = tagged.filter(col("ts_ns") > col("cut_ns")).drop("cut_ns")
+    val (base, delta) = Ivm.midpointSplit(ev, "ts_ns")
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
 
     // the stored state: base session rows (raw sums) + last-event info
@@ -522,10 +518,9 @@ object CdcOps {
     val feed = changeFeed(spark, dir).select(
       col("event_id"), col("ts_ns"), col("user_id"), col("op"),
       col("event_type"), col("value"))
-    val cut = midpointCut(feed)
-    val tagged = feed.crossJoin(cut)
-    val baseState = Ivm.compactSlice(tagged.filter(col("ts_ns") <= col("cut_ns")).drop("cut_ns"))
-    val deltaCompact = Ivm.compactSlice(tagged.filter(col("ts_ns") > col("cut_ns")).drop("cut_ns"))
+    val (baseSlice, deltaSlice) = Ivm.midpointSplit(feed, "ts_ns")
+    val baseState = Ivm.compactSlice(baseSlice)
+    val deltaCompact = Ivm.compactSlice(deltaSlice)
     val baseView = Ivm.typeView(baseState)
     Ivm.maintainView(baseView, baseState, deltaCompact)
       .select(col("last_type"), col("n_entities"),
@@ -543,8 +538,7 @@ object CdcOps {
     * Exposed package-private so the contract is spec-pinned.
     */
   private[operators] def midpointCut(feed: DataFrame): DataFrame =
-    broadcast(feed.agg(
-      expr("CAST(min(ts_ns) + (max(ts_ns) - min(ts_ns)) DIV 2 AS BIGINT)").as("cut_ns")))
+    Ivm.midpointCutOn(feed, "ts_ns", "cut_ns")
 
   private val PathTopK = 20
 

@@ -589,7 +589,7 @@ object CorpusOps {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def contamIdsMemoized(spark: SparkSession, dir: String): DataFrame =
     contamMemo.computeIfAbsent(s"${spark.hashCode()}|$dir", { _ =>
-      contamination(spark, dir).select("doc_id").localCheckpoint(true)
+      Ivm.materializeState(contamination(spark, dir).select("doc_id"))
     })
 
   /** Drop the memoized derived-artifact frames and release their
@@ -695,25 +695,22 @@ object CorpusOps {
   private[graft] def contamIncrementalFrom(documents: DataFrame): (DataFrame, DataFrame) = {
     val docs = repartByKey(documents.select("doc_id", "text")
         .filter(col("doc_id").isNotNull && col("text").isNotNull), col("doc_id"))
-    val cut = docs.agg(
-      ((min(col("doc_id")) + max(col("doc_id"))) / 2).cast("long").as("cut_id"))
-    val tagged = docs.crossJoin(broadcast(cut))
+    val (baseSlice, deltaSlice) = Ivm.midpointSplit(docs, "doc_id")
     def postings(d: DataFrame): DataFrame = d
       .select(col("doc_id"), (bucket(col("text"), 20) === 0).as("is_bench"),
         graft.plans.TextExpressions
           .shinglePostingsNative(split(col("text"), " "), ContamK).as("g"))
-    // MATERIALIZE the two posting indexes once (eager localCheckpoint,
-    // blocks freed with the plan): the batch query deliberately
-    // re-runs the cheap generator per consumer (3 consumers), but the
-    // incremental split has ~7 — measured 15.6 s at the sf1.0 slice
-    // unmaterialized vs 6.7 s materialized (batch: 2.3 s; the gap is
-    // the in-plan recomputation of the stored state, priced here but
-    // free in deployment where the base index is READ, not
-    // re-shingled). The delta index is built once and appended.
-    val basePost = postings(tagged.filter(col("doc_id") <= col("cut_id")).drop("cut_id"))
-      .localCheckpoint(true)
-    val deltaPost = postings(tagged.filter(col("doc_id") > col("cut_id")).drop("cut_id"))
-      .localCheckpoint(true)
+    // MATERIALIZE the two posting indexes once (Ivm.materializeState's
+    // eager-localCheckpoint discipline, blocks freed with the plan):
+    // the batch query deliberately re-runs the cheap generator per
+    // consumer (3 consumers), but the incremental split has ~7 —
+    // measured 15.6 s at the sf1.0 slice unmaterialized vs 6.7 s
+    // materialized (batch: 2.3 s; the gap is the in-plan recomputation
+    // of the stored state, priced here but free in deployment where
+    // the base index is READ, not re-shingled). The delta index is
+    // built once and appended.
+    val basePost = Ivm.materializeState(postings(baseSlice))
+    val deltaPost = Ivm.materializeState(postings(deltaSlice))
 
     // stored df state + the delta's df update, merged on touched grams only
     val baseDf = basePost.groupBy("g").agg(count(lit(1)).as("df_b"))
@@ -821,11 +818,7 @@ object CorpusOps {
   private[graft] def curateIncrementalFrom(docs: DataFrame, w: Array[Long],
       contamIds: DataFrame): (DataFrame, DataFrame) = {
     val all = curateBase(docs)
-    val cut = all.agg(
-      ((min(col("doc_id")) + max(col("doc_id"))) / 2).cast("long").as("cut_id"))
-    val tagged = all.crossJoin(broadcast(cut))
-    val base = tagged.filter(col("doc_id") <= col("cut_id")).drop("cut_id")
-    val delta = tagged.filter(col("doc_id") > col("cut_id")).drop("cut_id")
+    val (base, delta) = Ivm.midpointSplit(all, "doc_id")
 
     // the stored state, computed here from the base slice exactly as
     // the previous run's pipeline left it

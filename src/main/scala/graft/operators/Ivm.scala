@@ -25,6 +25,39 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ivm {
 
+  /** The shared base/delta SPLIT every incremental pipeline starts
+    * from: the overflow-safe integer midpoint of `key`'s range
+    * (min + (max − min) DIV 2 — min+max would overflow ns-epoch
+    * longs; `DIV` on a non-integral operand fails analysis loudly
+    * instead of silently switching arithmetic, the round-8 lesson),
+    * broadcast as a one-row cut frame. One copy of the cut expression
+    * for all five IVM pipelines (cdc_view, scd2, sessionize, curate,
+    * contam) so the discipline cannot drift per query.
+    */
+  def midpointCutOn(df: DataFrame, key: String, cutName: String): DataFrame =
+    broadcast(df.agg(
+      expr(s"CAST(min($key) + (max($key) - min($key)) DIV 2 AS BIGINT)").as(cutName)))
+
+  /** Split `df` into (base, delta) at [[midpointCutOn]]'s midpoint of
+    * `key`: base = rows ≤ cut (the previous run's input, whose outputs
+    * are the STORED state), delta = rows > cut (the new slice). The
+    * one-row cut rides a broadcast cross join — no shuffle.
+    */
+  def midpointSplit(df: DataFrame, key: String): (DataFrame, DataFrame) = {
+    val tagged = df.crossJoin(midpointCutOn(df, key, "_ivm_cut"))
+    (tagged.filter(col(key) <= col("_ivm_cut")).drop("_ivm_cut"),
+      tagged.filter(col(key) > col("_ivm_cut")).drop("_ivm_cut"))
+  }
+
+  /** The stored-state materialization discipline: EAGER localCheckpoint
+    * — not `persist` (whose lazy first-use double-executes generator
+    * lineage under a multi-consumer plan) — so in-plan recomputation of
+    * the state a deployment would READ is paid exactly once and its
+    * blocks are freed with the plan. Every IVM pipeline that feeds its
+    * stored state to 2+ consumers must route through here.
+    */
+  def materializeState(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** State/envelope column set (after [[compactSlice]]). */
   private val stateCols = Seq(
     "user_id", "last_event_id", "last_op", "last_type",

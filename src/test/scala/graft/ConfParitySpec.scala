@@ -41,7 +41,7 @@ class ConfParitySpec extends AnyFunSuite {
     // IVM queries (midpoint splits, insert-only top-N merges,
     // df-state merges and seeded session windows must not depend on
     // the partitioning that computed them)
-    "q_rle_frames", "q_avi_demux", "q_curate_incremental",
+    "q_rle_frames", "q_rle_seek", "q_avi_demux", "q_curate_incremental",
     "q_contam_incremental", "q_ann_ivf_hier_pq", "q_sessionize_incremental")
 
   private def rows(df: DataFrame): Seq[String] = {

@@ -52,6 +52,26 @@ class DemuxSpec extends AnyFunSuite {
     }
   }
 
+  test("stream formats are selected by strh fccType, not strl position: audio-first hdrl demuxes identically") {
+    val bytes = Rle.checkedBytes(text)
+    val video = Rle.encodeStream(bytes)
+    val audio = IndexedSeq.tabulate(video.length) { f =>
+      val lo = f * Gif.FramePx
+      val hi = math.min(lo + Gif.FramePx, bytes.length)
+      val b = java.nio.ByteBuffer.allocate((hi - lo) * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (lo until hi).foreach(i => b.putShort((((bytes(i) & 0xff) - 96) * 256).toShort))
+      b.array()
+    }
+    def build(audioFirst: Boolean) = Avi.buildContainer(video, handler = "MRLE",
+      compression = Rle.BiRle8, bitCount = 8, palette = Rle.GrayPalette,
+      isKey = _ % Rle.KeyInterval == 0, audio = audio, audioFirst = audioFirst)
+    // the audio-first container must parse to the SAME frames — a
+    // position-based header reader would validate the WAVEFORMATEX as
+    // a BITMAPINFOHEADER and fail (the round-16 advice scenario)
+    assert(Demux.parse(build(audioFirst = true)) === Demux.parse(build(audioFirst = false)))
+  }
+
   test("the video keyframe index survives the interleave: seek works on a demuxed container") {
     // idx1 now carries 01wb entries too (always key-flagged); the
     // walk must filter them out of the VIDEO keyframe index or
