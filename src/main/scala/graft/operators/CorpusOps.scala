@@ -110,6 +110,79 @@ object CorpusOps {
       .orderBy("label")
   }
 
+  /** PSI ≥ 0.2 is the conventional "significant shift" alert line. */
+  private val PsiAlert = 0.2
+
+  /** §2.K q_drift_psi — distribution-drift telemetry between corpus
+    * snapshots: the population-stability index per monitored feature
+    * between the doc_id-midpoint halves ([[Ivm.midpointSplit]] — base
+    * = the previous snapshot, delta = the newly ingested slice), the
+    * monitoring pass a production corpus pipeline runs between
+    * snapshots before retraining on the new mix. Features are
+    * deterministic integer/categorical bins (char-length, token
+    * count, scaled mean word length, lang, source); proportions are
+    * Laplace-smoothed over the feature's observed bin inventory (no
+    * log-of-zero on one-sided bins), and each bin's PSI contribution
+    * is DECIDED in integer nano-units before the per-feature sum —
+    * a last-ulp ln() divergence between engines cannot move the
+    * rounded-6 result (the established micro-unit discipline).
+    *
+    * 100 TB: two histogram aggregations (map-side partial combine —
+    * the only shuffle is features × bins wide) + one keyed join on
+    * (feature, bin); output bounded by the fixed bin inventories, so
+    * the readout is a driver-sized monitoring artifact at any corpus
+    * size.
+    */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame =
+    driftPsiFrom(Tables.documents(spark, dir))
+
+  /** The drift pass over an explicit document frame — the spec plants
+    * a known-PSI shift and pins shard-merge invariance. */
+  private[graft] def driftPsiFrom(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val (base, delta) = Ivm.midpointSplit(docs, "doc_id")
+    // one row per (doc, feature) with the doc's bin — integer DIV
+    // bins (engine-exact, no float binning) capped to a fixed top bin
+    def bins(d: DataFrame): DataFrame = d
+      .withColumn("ntok", size(split(col("text"), " ")))
+      .select(explode(array(
+        struct(lit("len_chars").as("feature"),
+          expr("CAST(least(n_chars DIV 64, 15) AS STRING)").as("bin")),
+        struct(lit("n_tokens").as("feature"),
+          expr("CAST(least(ntok DIV 8, 15) AS STRING)").as("bin")),
+        struct(lit("mean_word_len_x4").as("feature"),
+          expr("CAST(least((n_chars * 4) DIV ntok, 31) AS STRING)").as("bin")),
+        struct(lit("lang").as("feature"), coalesce(col("lang"), lit("?")).as("bin")),
+        struct(lit("source").as("feature"), coalesce(col("source"), lit("?")).as("bin"))
+      )).as("fb"))
+      .select(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+    val histB = bins(base).groupBy("feature", "bin").agg(count(lit(1)).as("n_b"))
+    val histD = bins(delta).groupBy("feature", "bin").agg(count(lit(1)).as("n_d"))
+    val joined = histB.join(histD, Seq("feature", "bin"), "full_outer")
+      .na.fill(0L, Seq("n_b", "n_d"))
+    // per-feature totals + observed bin inventory: a tiny frame
+    // (features × bins rows), so feature-keyed windows are free
+    val wf = Window.partitionBy(col("feature"))
+    val pA = (col("n_b") + lit(1)).cast("double") /
+      (col("tot_b") + col("n_bins")).cast("double")
+    val pB = (col("n_d") + lit(1)).cast("double") /
+      (col("tot_d") + col("n_bins")).cast("double")
+    joined
+      .withColumn("tot_b", sum(col("n_b")).over(wf))
+      .withColumn("tot_d", sum(col("n_d")).over(wf))
+      .withColumn("n_bins", count(lit(1)).over(wf))
+      .withColumn("nano",
+        round((pA - pB) * log(pA / pB) * lit(1e9), 0).cast("long"))
+      .groupBy("feature")
+      .agg(max(col("n_bins")).cast("long").as("n_bins"),
+        max(col("tot_b")).cast("long").as("n_base"),
+        max(col("tot_d")).cast("long").as("n_delta"),
+        round(sum(col("nano")) / lit(1e9), 6).as("psi"))
+      .withColumn("drifted", col("psi") >= PsiAlert)
+      .orderBy("feature")
+  }
+
   private val ContamK = 8
   private val ContamDfCap = 1000
 
@@ -919,6 +992,7 @@ object CorpusOps {
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_class_balance" -> (classBalance _),
     "q_contamination" -> (contamination _),
+    "q_drift_psi" -> (driftPsi _),
     "q_contam_incremental" -> (contamIncremental _),
     "q_contam_fuzzy" -> (contamFuzzy _),
     "q_mixture_weights" -> (mixtureWeights _))
@@ -1188,6 +1262,52 @@ object CorpusOps {
       """SELECT label, count(*) n,
         |  round(count(*) / (SELECT count(*) FROM embeddings)::DOUBLE, 6) frac
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    // the PSI recomputed end to end: same midpoint halves, same
+    // integer-DIV bins, same Laplace smoothing over the observed bin
+    // inventory, contributions decided in integer nano-units before
+    // the per-feature sum — so binning, smoothing and the drift
+    // verdict itself are all inside the hash gate
+    "q_drift_psi" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars, len(string_split(text, ' ')) ntok,
+         |         coalesce(lang, '?') lang, coalesce(source, '?') source
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), cut AS (
+         |  SELECT CAST(min(doc_id) + (max(doc_id) - min(doc_id)) // 2 AS BIGINT) cut_id
+         |  FROM d
+         |), f AS (
+         |  SELECT doc_id, 'len_chars' feature, CAST(least(n_chars // 64, 15) AS VARCHAR) bin FROM d
+         |  UNION ALL SELECT doc_id, 'n_tokens', CAST(least(ntok // 8, 15) AS VARCHAR) FROM d
+         |  UNION ALL SELECT doc_id, 'mean_word_len_x4',
+         |    CAST(least((n_chars * 4) // ntok, 31) AS VARCHAR) FROM d
+         |  UNION ALL SELECT doc_id, 'lang', lang FROM d
+         |  UNION ALL SELECT doc_id, 'source', source FROM d
+         |), h AS (
+         |  SELECT feature, bin,
+         |         count(*) FILTER (WHERE doc_id <= cut_id) n_b,
+         |         count(*) FILTER (WHERE doc_id > cut_id) n_d
+         |  FROM f, cut GROUP BY feature, bin
+         |), t AS (
+         |  SELECT feature, n_b, n_d,
+         |         sum(n_b) OVER (PARTITION BY feature) tot_b,
+         |         sum(n_d) OVER (PARTITION BY feature) tot_d,
+         |         count(*) OVER (PARTITION BY feature) n_bins
+         |  FROM h
+         |), c AS (
+         |  SELECT feature, n_bins, tot_b, tot_d,
+         |         CAST(round((CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_bins AS DOUBLE)
+         |                   - CAST(n_d + 1 AS DOUBLE) / CAST(tot_d + n_bins AS DOUBLE))
+         |           * ln((CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_bins AS DOUBLE))
+         |              / (CAST(n_d + 1 AS DOUBLE) / CAST(tot_d + n_bins AS DOUBLE)))
+         |           * 1e9) AS BIGINT) nano
+         |  FROM t
+         |)
+         |SELECT feature, CAST(max(n_bins) AS BIGINT) n_bins,
+         |       CAST(max(tot_b) AS BIGINT) n_base,
+         |       CAST(max(tot_d) AS BIGINT) n_delta,
+         |       round(sum(nano) / 1e9, 6) psi,
+         |       round(sum(nano) / 1e9, 6) >= $PsiAlert AS drifted
+         |FROM c GROUP BY feature ORDER BY feature""".stripMargin,
     "q_contam_fuzzy" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${DedupOps.sqlShingles} sh,
