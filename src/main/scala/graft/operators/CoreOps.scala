@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
-import graft.sources.{Codecs, Tables}
+import graft.sources.{AvroCodec, Codecs, Tables}
 
 /** §2.E — core SQL analytics: star joins, windowed top-N, JSON
   * extraction, CSV round-trip (the reference's dataManager.ts
@@ -107,6 +107,24 @@ object CoreOps {
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
         round(col("s_acctbal"), 2).as("acctbal"))
       .orderBy("s_suppkey")
+  }
+
+  /** §2.E q_avro_roundtrip — Avro export/import round-trip, the
+    * Kafka-ecosystem wire format beside CSV/JSON/ORC: customer goes
+    * out as self-describing Avro containers (one per partition, via
+    * the public Avro Java library — see [[graft.sources.AvroCodec]])
+    * and comes back type-preserved with no schema argument, proven
+    * against the parquet-derived oracle by hash equality.
+    * `c_acctbal` re-rounds at the output boundary only, the ORC
+    * discipline.
+    */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_avro").toString
+    AvroCodec.exportAvro(Tables.customer(spark, dir), tmp)
+    AvroCodec.importAvro(spark, tmp)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
   }
 
   /** Hierarchical totals via ROLLUP (subtotals + grand total). */
@@ -579,6 +597,7 @@ object CoreOps {
     "q_json_extract" -> (jsonExtract _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_avro_roundtrip" -> (avroRoundtrip _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
@@ -741,6 +760,12 @@ object CoreOps {
     "q_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    // the oracle reads the ORIGINAL parquet — hash equality proves the
+    // Avro container round-trip preserved every value and type
+    "q_avro_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_cube" ->
