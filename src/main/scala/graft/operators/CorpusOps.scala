@@ -183,8 +183,19 @@ object CorpusOps {
       .orderBy("feature")
   }
 
-  private val ContamK = 8
-  private val ContamDfCap = 1000
+  private[graft] val ContamK = 8
+  private[graft] val ContamDfCap = 1000
+
+  /** The ONE contamination posting projection — bench flag (the
+    * content-hash 5% slice) + the K-gram generator — shared by the
+    * batch pass, the IVM ([[contamIncrementalFrom]]) and the ingest
+    * gate (streaming ContamStream), so the three surfaces cannot
+    * drift on what a "posting" is.
+    */
+  private[graft] def contamPostingsOf(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), (bucket(col("text"), 20) === 0).as("is_bench"),
+      graft.plans.TextExpressions
+        .shinglePostingsNative(split(col("text"), " "), ContamK).as("g"))
 
   /** Benchmark-contamination detection — the standard decontamination
     * pass of an LLM training pipeline: flag training documents that
@@ -205,11 +216,9 @@ object CorpusOps {
     // raw gram stream unaggregated (measured ~50% slower with the
     // barrier at the sf1.0 slice); the train⋈bench join below is on g
     // but both sides are post-anti-join slivers, not the raw stream
-    val grams = repartByKey(Tables.documents(spark, dir).select("doc_id", "text")
-        .filter(col("doc_id").isNotNull && col("text").isNotNull), col("doc_id"))
-      .select(col("doc_id"), (bucket(col("text"), 20) === 0).as("is_bench"),
-        graft.plans.TextExpressions
-          .shinglePostingsNative(split(col("text"), " "), ContamK).as("g"))
+    val grams = contamPostingsOf(
+      repartByKey(Tables.documents(spark, dir).select("doc_id", "text")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull), col("doc_id")))
     val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > ContamDfCap).select("g")
     val kept = grams.join(broadcast(hot), Seq("g"), "left_anti")
@@ -769,10 +778,7 @@ object CorpusOps {
     val docs = repartByKey(documents.select("doc_id", "text")
         .filter(col("doc_id").isNotNull && col("text").isNotNull), col("doc_id"))
     val (baseSlice, deltaSlice) = Ivm.midpointSplit(docs, "doc_id")
-    def postings(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), (bucket(col("text"), 20) === 0).as("is_bench"),
-        graft.plans.TextExpressions
-          .shinglePostingsNative(split(col("text"), " "), ContamK).as("g"))
+    def postings(d: DataFrame): DataFrame = contamPostingsOf(d)
     // MATERIALIZE the two posting indexes once (Ivm.materializeState's
     // eager-localCheckpoint discipline, blocks freed with the plan):
     // the batch query deliberately re-runs the cheap generator per
