@@ -220,6 +220,10 @@ object MultimodalOps {
     */
   private val GifOracleMaxFrames = 16
 
+  /** MC scroll frames: ceil((1024−64)/16)+1 for the 1024-byte blob
+    * ceiling the family shares — the DuckDB mirror's range bound. */
+  private val McOracleMaxFrames = 61
+
   def gifFrames(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Gif.features(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -334,6 +338,46 @@ object MultimodalOps {
         col("frames_decoded"), col("px_sum"), col("px_max"), col("row0_sum"))
       .orderBy("doc_id")
 
+  /** §2.J q_mc_frames — MOTION-COMPENSATED video decode
+    * (graft.multimodal.Mc): a block-motion P-frame codec (per-block
+    * motion vector + sparse raw residual — the MPEG-1 P-frame idea
+    * minus the DCT) through the SHARED AVI container path. The synth
+    * is a credits-roll (the canvas scrolls up one row per frame) with
+    * a non-scrolling ticker overlay, so P-frame blocks genuinely
+    * REUSE pixels from a different location of the previous frame
+    * (the mechanism BI_RLE8's skip-in-place cannot express) and
+    * carry residuals exactly where the overlay occludes the motion.
+    * The motion itself is hash-gated: per sampled frame the DECODER'S
+    * n_mv_nonzero (blocks coded with a real displacement — the
+    * two-candidate search's content-dependent choice), n_px_resid,
+    * and resid_abs_sum (Σ|residual − the motion-compensated
+    * prediction it overwrote|, measured against the decoder's own
+    * canvas) plus the canvas px_sum, all four recomputed by the
+    * oracle from the scroll + overlay rule — a decoder that ignores
+    * vectors or a poisoned reference frame diverges. McSpec pins
+    * temporal dependency (poison corrupts successors until the next
+    * keyframe), idx1 seek parity, decoder generality on hand-crafted
+    * exotic vectors, and encoder partiality (P-frames carry only the
+    * uncovered row as literals). Remaining media stub: exactly
+    * transform coding (DCT/quantization).
+    */
+  def mcFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Mc.features(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+          // same loud-ceiling discipline: the MC mirror enumerates at
+          // most McOracleMaxFrames scroll frames per blob
+          .filter(assert_true(
+            length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
+            lit(s"blob exceeds ${GifOracleMaxFrames * graft.multimodal.Gif.FramePx} " +
+              s"bytes: the DuckDB mc mirror enumerates at most $McOracleMaxFrames " +
+              "frames/blob; widen the oracle range and this guard together"))
+            .isNull))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("px_sum"),
+        col("n_mv_nonzero"), col("n_px_resid"), col("resid_abs_sum"))
+      .orderBy("doc_id", "frame_idx")
+
   /** §2.J q_avi_demux — MULTI-STREAM A/V demux
     * (graft.multimodal.Demux): a genuine two-stream AVI (avih
     * dwStreams = 2, an 'auds' strl with WAVEFORMATEX strf, movi
@@ -366,6 +410,7 @@ object MultimodalOps {
     "q_avi_demux" -> (aviDemux _),
     "q_rle_frames" -> (rleFrames _),
     "q_rle_seek" -> (rleSeek _),
+    "q_mc_frames" -> (mcFrames _),
     "q_gif_frames" -> (gifFrames _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_bmp_features" -> (bmpFeatures _),
@@ -439,6 +484,64 @@ object MultimodalOps {
          |       CAST(list_sum(vals[1:$w]) AS BIGINT) row0_sum,
          |       CAST(written AS BIGINT) n_px_written
          |FROM px ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // the MOTION recomputed end to end: the scroll + ticker rule gives
+    // every pixel of frames f and f−1 in closed form, so the oracle
+    // replays the encoder's two-candidate search per block (mismatch
+    // counts at the zero vector vs the scroll predictor, ties to
+    // zero), sums the chosen residual counts and |cur − prediction|
+    // values, and the canvas pixel sum — a decoder that ignores
+    // vectors, drops residuals, or decodes intra-only diverges
+    "q_mc_frames" -> {
+      val fp = graft.multimodal.Gif.FramePx // 64
+      val w = graft.multimodal.Gif.FrameW // 16 (= the scroll step)
+      val om = graft.multimodal.Mc.OverlayMod
+      val ki = graft.multimodal.Mc.KeyInterval
+      val st = graft.multimodal.Gif.SampleStride
+      def pix(q: String, g: String): String =
+        s"(CASE WHEN ($q) % $om = 0 THEN 128 + ((bsum + ($g)) % 64) " +
+          s"ELSE (CASE WHEN ($g) * $w + ($q) < len " +
+          s"THEN ord(substring(text, ($g) * $w + ($q) + 1, 1)) ELSE 0 END) END)"
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) len,
+         |         CASE WHEN length(text) <= $fp THEN 1
+         |              ELSE (length(text) - $fp + ${w - 1}) // $w + 1 END nf,
+         |         list_sum(list_transform(range(0, length(text)),
+         |           i -> ord(substring(text, i + 1, 1)))) bsum
+         |  FROM documents WHERE length(text) > 0
+         |), fr AS (
+         |  SELECT doc_id, text, len, nf, bsum, t.i f
+         |  FROM d, range(0, $McOracleMaxFrames) t(i)
+         |  WHERE t.i < nf AND t.i % $st = 0
+         |), px AS (
+         |  SELECT doc_id, nf, f, t2.p p, t2.p // 4 b,
+         |         ${pix("t2.p", "f")} cur,
+         |         CASE WHEN f = 0 THEN 0 ELSE ${pix("t2.p", "f - 1")} END p0,
+         |         CASE WHEN f = 0 OR t2.p >= ${fp - w} THEN 0
+         |              ELSE ${pix(s"t2.p + $w", "f - 1")} END ps
+         |  FROM fr, range(0, $fp) t2(p)
+         |), blk AS (
+         |  SELECT doc_id, nf, f, b, sum(cur) s_cur,
+         |         sum(CASE WHEN cur <> p0 THEN 1 ELSE 0 END) c0,
+         |         sum(CASE WHEN cur <> ps THEN 1 ELSE 0 END) cs,
+         |         sum(abs(cur - p0)) s0,
+         |         sum(abs(cur - ps)) ss
+         |  FROM px GROUP BY doc_id, nf, f, b
+         |)
+         |SELECT doc_id, CAST(f AS BIGINT) frame_idx, CAST(nf AS BIGINT) n_frames,
+         |       CAST(sum(s_cur) AS BIGINT) px_sum,
+         |       CAST(CASE WHEN f % $ki = 0 THEN 0 ELSE
+         |         sum(CASE WHEN b < 12 AND cs < c0 THEN 1 ELSE 0 END) END AS BIGINT)
+         |         n_mv_nonzero,
+         |       CAST(CASE WHEN f % $ki = 0 THEN 0 ELSE
+         |         sum(CASE WHEN b < 12 THEN least(cs, c0) ELSE 0 END) END AS BIGINT)
+         |         n_px_resid,
+         |       CAST(CASE WHEN f % $ki = 0 THEN 0 ELSE
+         |         sum(CASE WHEN b < 12 THEN
+         |           CASE WHEN cs < c0 THEN ss ELSE s0 END ELSE 0 END) END AS BIGINT)
+         |         resid_abs_sum
+         |FROM blk GROUP BY doc_id, f, nf
+         |ORDER BY doc_id, frame_idx""".stripMargin
     },
     // the demux query's ground truth: BOTH streams derive from the
     // same bytes — video frame f's pixel sum under the byte rule, and

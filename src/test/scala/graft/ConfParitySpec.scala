@@ -42,7 +42,12 @@ class ConfParitySpec extends AnyFunSuite {
     // df-state merges and seeded session windows must not depend on
     // the partitioning that computed them)
     "q_rle_frames", "q_rle_seek", "q_avi_demux", "q_curate_incremental",
-    "q_contam_incremental", "q_ann_ivf_hier_pq", "q_sessionize_incremental")
+    "q_contam_incremental", "q_ann_ivf_hier_pq", "q_sessionize_incremental",
+    // round-17 hard cases: the motion-compensated codec (sequential
+    // reference-frame decode state must be invariant to partition
+    // layout) and the drift readout (histogram merges + the smoothed
+    // PSI must not depend on how shards arrive)
+    "q_mc_frames", "q_drift_psi", "q_avro_roundtrip")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
