@@ -279,6 +279,32 @@ object Mc {
   case class McRow(doc_id: Long, frame_idx: Long, n_frames: Long,
       px_sum: Long, n_mv_nonzero: Long, n_px_resid: Long, resid_abs_sum: Long)
 
+  /** One output row per document for the SEEK path (the
+    * [[Rle.SeekRow]] contract on the motion-compensated codec). */
+  case class McSeekRow(doc_id: Long, n_frames: Long, target_idx: Long,
+      frames_decoded: Long, px_sum: Long)
+
+  /** Seek-decode each document's LAST frame through the idx1 keyframe
+    * index: `frames_decoded` is the decoder's actual count — exactly
+    * (n−1) mod [[KeyInterval]] + 1, oracle-recomputed, so a decoder
+    * secretly motion-compensating from frame 0 diverges the hash; the
+    * seek-decoded canvas sum catches a mis-seeked start (a wrong
+    * reference frame feeds wrong pixels through every vector).
+    */
+  def seekLast(spark: SparkSession, docs: DataFrame): Dataset[McSeekRow] = {
+    import spark.implicits._
+    docs.selectExpr("cast(doc_id as long) doc_id", "text").as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val nf = nFramesOf(text.length)
+          val (cv, dec) = decodeSeek(synth(text), nf - 1)
+          var sum = 0L; var p = 0
+          while (p < FramePx) { sum += cv(p); p += 1 }
+          McSeekRow(id, nf.toLong, (nf - 1).toLong, dec.toLong, sum)
+        }
+      }
+  }
+
   /** End-to-end pipeline over a (doc_id, text) frame: synthesize →
     * real GMC1 encode (keyframe cadence + motion-searched P-frames) +
     * real AVI container build → real chunk walk + sequential

@@ -378,6 +378,35 @@ object MultimodalOps {
         col("n_mv_nonzero"), col("n_px_resid"), col("resid_abs_sum"))
       .orderBy("doc_id", "frame_idx")
 
+  /** §2.J q_mc_seek — KEYFRAME-SEEK decode on the MOTION-COMPENSATED
+    * codec (graft.multimodal.Mc.decodeSeek, the q_rle_seek contract):
+    * each document's LAST frame decoded from the nearest
+    * AVIIF_KEYFRAME-flagged idx1 entry forward — the seek bound
+    * matters MORE under motion compensation than under RLE (every
+    * P-frame needs a correct reference canvas, so without the index
+    * the tail of a long stream costs the whole stream of vector
+    * applications). `frames_decoded` = (n−1) mod 8 + 1 exactly,
+    * oracle-recomputed; the seek-decoded canvas sum (under the
+    * scroll + ticker rule) catches a mis-seeked start — a wrong
+    * reference frame feeds wrong pixels through every copied block.
+    */
+  def mcSeek(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Mc.seekLast(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+          // keep the suite-wide blob ceiling (the oracle's arithmetic
+          // has no frame-count ceiling on this one)
+          .filter(assert_true(
+            length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
+            lit(s"blob exceeds ${GifOracleMaxFrames * graft.multimodal.Gif.FramePx} " +
+              "bytes: widen the MC mirrors' documented ceiling and this " +
+              "guard together"))
+            .isNull))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("target_idx"),
+        col("frames_decoded"), col("px_sum"))
+      .orderBy("doc_id")
+
   /** §2.J q_avi_demux — MULTI-STREAM A/V demux
     * (graft.multimodal.Demux): a genuine two-stream AVI (avih
     * dwStreams = 2, an 'auds' strl with WAVEFORMATEX strf, movi
@@ -411,6 +440,7 @@ object MultimodalOps {
     "q_rle_frames" -> (rleFrames _),
     "q_rle_seek" -> (rleSeek _),
     "q_mc_frames" -> (mcFrames _),
+    "q_mc_seek" -> (mcSeek _),
     "q_gif_frames" -> (gifFrames _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_bmp_features" -> (bmpFeatures _),
@@ -542,6 +572,36 @@ object MultimodalOps {
          |         resid_abs_sum
          |FROM blk GROUP BY doc_id, f, nf
          |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // the MC seek contract recomputed: frames_decoded = (n−1) mod 8 + 1
+    // (a decoder walking from frame 0 diverges) and the last frame's
+    // canvas sum under the scroll + ticker rule (a mis-seeked start
+    // feeds wrong reference pixels through every motion vector)
+    "q_mc_seek" -> {
+      val fp = graft.multimodal.Gif.FramePx
+      val w = graft.multimodal.Gif.FrameW
+      val om = graft.multimodal.Mc.OverlayMod
+      val ki = graft.multimodal.Mc.KeyInterval
+      def pix(q: String, g: String): String =
+        s"(CASE WHEN ($q) % $om = 0 THEN 128 + ((bsum + ($g)) % 64) " +
+          s"ELSE (CASE WHEN ($g) * $w + ($q) < len " +
+          s"THEN ord(substring(text, ($g) * $w + ($q) + 1, 1)) ELSE 0 END) END)"
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) len,
+         |         CASE WHEN length(text) <= $fp THEN 1
+         |              ELSE (length(text) - $fp + ${w - 1}) // $w + 1 END nf,
+         |         list_sum(list_transform(range(0, length(text)),
+         |           i -> ord(substring(text, i + 1, 1)))) bsum
+         |  FROM documents WHERE length(text) > 0
+         |), s AS (
+         |  SELECT doc_id, nf, sum(${pix("t.p", "nf - 1")}) ps
+         |  FROM d, range(0, $fp) t(p) GROUP BY doc_id, nf
+         |)
+         |SELECT doc_id, CAST(nf AS BIGINT) n_frames,
+         |       CAST(nf - 1 AS BIGINT) target_idx,
+         |       CAST((nf - 1) % $ki + 1 AS BIGINT) frames_decoded,
+         |       CAST(ps AS BIGINT) px_sum
+         |FROM s ORDER BY doc_id""".stripMargin
     },
     // the demux query's ground truth: BOTH streams derive from the
     // same bytes — video frame f's pixel sum under the byte rule, and
