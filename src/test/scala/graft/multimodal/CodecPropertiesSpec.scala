@@ -62,6 +62,64 @@ class CodecPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent replica of the MC synth rule (scroll + ticker). */
+  private def mcRule(bytes: Array[Byte], f: Int): IndexedSeq[Int] = {
+    val bsum = bytes.foldLeft(0L)((s, x) => s + (x & 0xff))
+    (0 until Gif.FramePx).map { p =>
+      if (p % Mc.OverlayMod == 0) (128L + ((bsum + f) % 64L)).toInt
+      else {
+        val k = f * Gif.FrameW + p
+        if (k < bytes.length) bytes(k) & 0xff else 0
+      }
+    }
+  }
+
+  test("MC round-trip is bit-exact and the motion stats match an independent rule replica") {
+    samples(textGen, 120).foreach { t =>
+      val bytes = t.getBytes("US-ASCII")
+      val frames = Mc.decodeAll(Mc.synth(t))
+      val expectedN =
+        if (bytes.length <= Gif.FramePx) 1
+        else (bytes.length - Gif.FramePx + Gif.FrameW - 1) / Gif.FrameW + 1
+      assert(frames.length === expectedN, s"len=${t.length}")
+      frames.zipWithIndex.foreach { case ((cv, st), f) =>
+        val cur = mcRule(bytes, f)
+        assert(cv.toSeq === cur, s"len=${t.length} frame $f")
+        if (f % Mc.KeyInterval == 0) {
+          assert(st.nMv === 0 && st.nResid === 0 && st.residAbs === 0L,
+            s"len=${t.length} key $f")
+        } else {
+          // replica of the two-candidate search, straight from the rule
+          val prev = mcRule(bytes, f - 1)
+          var nMv = 0; var nResid = 0; var residAbs = 0L
+          (0 until 12).foreach { b =>
+            val ps = (0 until 4).map(j => 4 * b + j)
+            val c0 = ps.count(p => cur(p) != prev(p))
+            val cS = ps.count(p => cur(p) != prev(p + Gif.FrameW))
+            val s0 = ps.map(p => math.abs(cur(p) - prev(p)).toLong).sum
+            val sS = ps.map(p => math.abs(cur(p) - prev(p + Gif.FrameW)).toLong).sum
+            if (cS < c0) { nMv += 1; nResid += cS; residAbs += sS }
+            else { nResid += c0; residAbs += s0 }
+          }
+          assert((st.nMv, st.nResid, st.residAbs) === ((nMv, nResid, residAbs)),
+            s"len=${t.length} frame $f motion stats")
+        }
+      }
+    }
+  }
+
+  test("MC keyframe seek ≡ sequential decode at every ordinal, cost within the cadence") {
+    samples(textGen, 40).foreach { t =>
+      val avi = Mc.synth(t)
+      val sequential = Mc.decodeAll(avi)
+      sequential.indices.foreach { f =>
+        val (cv, dec) = Mc.decodeSeek(avi, f)
+        assert(cv.toSeq === sequential(f)._1.toSeq, s"len=${t.length} seek($f)")
+        assert(dec === f % Mc.KeyInterval + 1)
+      }
+    }
+  }
+
   test("demux round-trip: video pixels and audio samples agree with the rules per frame") {
     samples(textGen, 60).foreach { t =>
       val bytes = t.getBytes("US-ASCII")
