@@ -407,6 +407,43 @@ object MultimodalOps {
         col("frames_decoded"), col("px_sum"))
       .orderBy("doc_id")
 
+  /** §2.J q_wht_frames — TRANSFORM-CODED frames (graft.multimodal.Xf):
+    * the declared media-stub boundary crossed — a real transform +
+    * quantization codec (the JPEG/MPEG I-frame idea with the DCT's
+    * integer sibling, the 4-point Walsh–Hadamard transform whose
+    * forward/inverse are pure integer adds — the same reason H.264
+    * uses an integer transform: bit-exact agreement everywhere,
+    * including the DuckDB oracle). Per 4×1 block: c = H·x, biased
+    * non-negative rounded quantization (DIV-portable), int16
+    * coefficients through the SHARED AVI path (fourcc GWT1, all
+    * frames intra/key). The RATE/DISTORTION trade-off itself is
+    * hash-gated: per sampled frame the decoder's n_nz_ac (nonzero
+    * quantized AC coefficients — what an entropy coder would spend
+    * bits on) and sad (Σ|decoded − source| against the synth rule),
+    * plus the reconstructed px_sum/px_max, all recomputed by the
+    * oracle replaying transform → quantize → inverse → clamp in
+    * closed-form SQL. XfSpec pins exact losslessness at Q=1 (the
+    * transform is perfectly invertible), the Q=8 per-pixel error
+    * bound, energy compaction (flat blocks = zero ACs), and loud
+    * malformed-payload failure. Remaining media stub: entropy coding
+    * + the closed-loop lossy-reference assembly.
+    */
+  def whtFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Xf.features(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+          // same loud-ceiling discipline as the GIF/AVI/RLE mirrors
+          .filter(assert_true(
+            length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
+            lit(s"blob exceeds ${GifOracleMaxFrames * graft.multimodal.Gif.FramePx} " +
+              s"bytes: the DuckDB wht mirror enumerates at most $GifOracleMaxFrames " +
+              "frames/blob (range(0, 16)); widen the oracle range and this guard together"))
+            .isNull))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("px_sum"),
+        col("px_max"), col("n_nz_ac"), col("sad"))
+      .orderBy("doc_id", "frame_idx")
+
   /** §2.J q_avi_demux — MULTI-STREAM A/V demux
     * (graft.multimodal.Demux): a genuine two-stream AVI (avih
     * dwStreams = 2, an 'auds' strl with WAVEFORMATEX strf, movi
@@ -441,6 +478,7 @@ object MultimodalOps {
     "q_rle_seek" -> (rleSeek _),
     "q_mc_frames" -> (mcFrames _),
     "q_mc_seek" -> (mcSeek _),
+    "q_wht_frames" -> (whtFrames _),
     "q_gif_frames" -> (gifFrames _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_bmp_features" -> (bmpFeatures _),
@@ -571,6 +609,62 @@ object MultimodalOps {
          |           CASE WHEN cs < c0 THEN ss ELSE s0 END ELSE 0 END) END AS BIGINT)
          |         resid_abs_sum
          |FROM blk GROUP BY doc_id, f, nf
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // the RATE/DISTORTION of the transform codec recomputed end to
+    // end: the oracle replays transform → quantize → inverse → clamp
+    // in closed-form integer SQL (every division biased non-negative,
+    // so floor and truncation agree across engines) and re-derives
+    // n_nz_ac, sad, and the reconstructed pixel features
+    "q_wht_frames" -> {
+      val fp = graft.multimodal.Gif.FramePx
+      val st = graft.multimodal.Gif.SampleStride
+      val q = graft.multimodal.Xf.Quant
+      def cq(c: String): String = s"((($c) + ${2048 + q / 2}) // $q) * $q - 2048"
+      def xr(s: String): String = s"greatest(least((($s) + 16386) // 4 - 4096, 255), 0)"
+      val (r0, r1, r2, r3) = (xr("cq0 + cq1 + cq2 + cq3"), xr("cq0 - cq1 + cq2 - cq3"),
+        xr("cq0 + cq1 - cq2 - cq3"), xr("cq0 - cq1 - cq2 + cq3"))
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) len,
+         |         (length(text) + ${fp - 1}) // $fp AS nf
+         |  FROM documents WHERE length(text) > 0
+         |), fr AS (
+         |  SELECT doc_id, text, len, nf, t.i f
+         |  FROM d, range(0, $GifOracleMaxFrames) t(i)
+         |  WHERE t.i < nf AND t.i % $st = 0
+         |), px AS (
+         |  SELECT doc_id, nf, f, t2.p p, t2.p // 4 b,
+         |         CASE WHEN f * $fp + t2.p < len
+         |              THEN ord(substring(text, f * $fp + t2.p + 1, 1)) ELSE 0 END x
+         |  FROM fr, range(0, $fp) t2(p)
+         |), blk AS (
+         |  SELECT doc_id, nf, f, b,
+         |         sum(CASE WHEN p % 4 = 0 THEN x END) x0,
+         |         sum(CASE WHEN p % 4 = 1 THEN x END) x1,
+         |         sum(CASE WHEN p % 4 = 2 THEN x END) x2,
+         |         sum(CASE WHEN p % 4 = 3 THEN x END) x3
+         |  FROM px GROUP BY doc_id, nf, f, b
+         |), co AS (
+         |  SELECT doc_id, nf, f, x0, x1, x2, x3,
+         |         ${cq("x0 + x1 + x2 + x3")} cq0,
+         |         ${cq("x0 - x1 + x2 - x3")} cq1,
+         |         ${cq("x0 + x1 - x2 - x3")} cq2,
+         |         ${cq("x0 - x1 - x2 + x3")} cq3
+         |  FROM blk
+         |), rec AS (
+         |  SELECT doc_id, nf, f,
+         |         $r0 + $r1 + $r2 + $r3 bsum,
+         |         greatest($r0, $r1, $r2, $r3) bmax,
+         |         (cq1 <> 0)::INT + (cq2 <> 0)::INT + (cq3 <> 0)::INT bnz,
+         |         abs($r0 - x0) + abs($r1 - x1) + abs($r2 - x2) + abs($r3 - x3) bsad
+         |  FROM co
+         |)
+         |SELECT doc_id, CAST(f AS BIGINT) frame_idx, CAST(nf AS BIGINT) n_frames,
+         |       CAST(sum(bsum) AS BIGINT) px_sum,
+         |       CAST(max(bmax) AS BIGINT) px_max,
+         |       CAST(sum(bnz) AS BIGINT) n_nz_ac,
+         |       CAST(sum(bsad) AS BIGINT) sad
+         |FROM rec GROUP BY doc_id, f, nf
          |ORDER BY doc_id, frame_idx""".stripMargin
     },
     // the MC seek contract recomputed: frames_decoded = (n−1) mod 8 + 1

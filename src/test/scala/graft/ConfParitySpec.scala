@@ -47,7 +47,8 @@ class ConfParitySpec extends AnyFunSuite {
     // reference-frame decode state must be invariant to partition
     // layout) and the drift readout (histogram merges + the smoothed
     // PSI must not depend on how shards arrive)
-    "q_mc_frames", "q_mc_seek", "q_drift_psi", "q_avro_roundtrip")
+    "q_mc_frames", "q_mc_seek", "q_drift_psi", "q_avro_roundtrip",
+    "q_wht_frames")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted

@@ -120,6 +120,23 @@ class CodecPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("WHT transform inverts exactly at Q=1 and bounds the error at Q=8, for arbitrary texts") {
+    samples(textGen, 120).foreach { t =>
+      val bytes = t.getBytes("US-ASCII")
+      val lossless = Xf.decodeAll(Xf.synth(t, q = 1), q = 1)
+      lossless.zipWithIndex.foreach { case (fr, f) =>
+        assert(fr.pixels.toSeq === rule(bytes, f), s"len=${t.length} frame $f (Q=1)")
+      }
+      Xf.decodeAll(Xf.synth(t)).zipWithIndex.foreach { case (fr, f) =>
+        val src = rule(bytes, f)
+        (0 until Gif.FramePx).foreach { p =>
+          assert(math.abs(fr.pixels(p) - src(p)) <= Xf.Quant / 2 + 1,
+            s"len=${t.length} frame $f pixel $p (Q=${Xf.Quant})")
+        }
+      }
+    }
+  }
+
   test("demux round-trip: video pixels and audio samples agree with the rules per frame") {
     samples(textGen, 60).foreach { t =>
       val bytes = t.getBytes("US-ASCII")
