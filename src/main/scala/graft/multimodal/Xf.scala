@@ -155,6 +155,187 @@ object Xf {
     pl.frames.map(decodeFrame(_, q))
   }
 
+  // ------------------------------------------------------------------
+  // ENTROPY CODING — Rice/Golomb over the quantized coefficients (the
+  // public FLAC/JPEG-LS family): quantized values are centered
+  // (d = tq − [[RiceCenter]]), zigzag-mapped to non-negative
+  // (v = 2d or −2d−1), and coded as unary(v >> k) + terminator + k
+  // raw low bits with the fixed parameter k = [[RiceK]]. The code
+  // LENGTH is closed-form — (v >> k) + 1 + k bits — which is what
+  // makes the compressed SIZE itself oracle-recomputable in SQL: a
+  // decoder that mis-parses even one unary run consumes the wrong
+  // bit count and diverges the hash. Frames are byte-aligned with
+  // zero padding; the decoder parses exactly 64 codes and then
+  // requires < 8 leftover bits, all zero (trailing garbage is loud).
+  // ------------------------------------------------------------------
+
+  /** Rice parameter (fixed — adaptive k is the JPEG-LS refinement). */
+  val RiceK = 3
+
+  /** Center: the quantized value of an all-zero coefficient block
+    * ((0 + Bias + Q/2) DIV Q for the registered [[Quant]]). */
+  val RiceCenter: Int = (Bias + Quant / 2) / Quant // 256
+
+  private final class BitWriter {
+    private val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nBits = 0
+    def put(bit: Int): Unit = {
+      cur = (cur << 1) | (bit & 1)
+      nBits += 1
+      if (nBits % 8 == 0) { buf += cur.toByte; cur = 0 }
+    }
+    def putN(value: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { put((value >> i) & 1); i -= 1 }
+    }
+    def bits: Int = nBits
+    def toBytes: Array[Byte] = {
+      val pad = (8 - nBits % 8) % 8
+      var i = 0
+      while (i < pad) { put(0); i += 1 }
+      buf.toArray
+    }
+  }
+
+  private final class BitReader(data: Array[Byte]) {
+    private var pos = 0
+    def read(): Int = {
+      require(pos < data.length * 8, s"bitstream exhausted at bit $pos")
+      val b = (data(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      b
+    }
+    def readN(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | read(); i += 1 }
+      v
+    }
+    def consumed: Int = pos
+    def remaining: Int = data.length * 8 - pos
+  }
+
+  private def zigzag(d: Int): Int = if (d >= 0) 2 * d else -2 * d - 1
+  private def unzigzag(v: Int): Int = if ((v & 1) == 0) v / 2 else -(v + 1) / 2
+
+  /** Rice-encode one frame's 64 quantized coefficients. */
+  private def encodeRiceFrame(cur: Array[Int], q: Int): Array[Byte] = {
+    val w = new BitWriter
+    var blk = 0
+    while (blk < NBlocks) {
+      val off = BlockW * blk
+      val c = fwd(cur(off), cur(off + 1), cur(off + 2), cur(off + 3))
+      var k = 0
+      while (k < BlockW) {
+        val tq = (c(k) + Bias + q / 2) / q
+        val v = zigzag(tq - RiceCenter)
+        var u = v >> RiceK
+        while (u > 0) { w.put(1); u -= 1 }
+        w.put(0)
+        w.putN(v & ((1 << RiceK) - 1), RiceK)
+        k += 1
+      }
+      blk += 1
+    }
+    w.toBytes
+  }
+
+  private[multimodal] def encodeRiceStream(bytes: Array[Byte], q: Int): IndexedSeq[Array[Byte]] = {
+    val nFrames = (bytes.length + FramePx - 1) / FramePx
+    IndexedSeq.tabulate(nFrames)(f => encodeRiceFrame(framePixels(bytes, f), q))
+  }
+
+  /** biCompression fourcc for the entropy-coded variant's strf. */
+  private[multimodal] val RiceComp: Array[Byte] = "GWR1".getBytes("US-ASCII")
+
+  /** Build a real GWR1 AVI from `text` (WHT + quant + Rice, intra). */
+  def riceSynth(text: String, q: Int = Quant): Array[Byte] =
+    Avi.buildContainer(encodeRiceStream(Rle.checkedBytes(text), q), handler = "GWR1",
+      compression = RiceComp, bitCount = 8, palette = Rle.GrayPalette,
+      isKey = _ => true)
+
+  private[multimodal] def validateRiceStrf(pl: Avi.AviPayload): Unit = {
+    require(pl.strf.length >= 40, "missing or truncated strf BITMAPINFOHEADER")
+    val h = ByteBuffer.wrap(pl.strf).order(ByteOrder.LITTLE_ENDIAN)
+    h.getInt; h.getInt; h.getInt; h.getShort; h.getShort
+    val comp = new Array[Byte](4); h.get(comp)
+    require(java.util.Arrays.equals(comp, RiceComp),
+      s"biCompression ${new String(comp, "US-ASCII")} is not GWR1")
+  }
+
+  /** One entropy-decoded frame: pixels + the REAL consumed bit count
+    * (before byte-alignment padding) — the rate the oracle recomputes. */
+  private[multimodal] final case class RiceFrame(pixels: Array[Int], nBits: Int)
+
+  /** Entropy-decode one frame: 64 Rice codes → dequantize → inverse
+    * WHT → clamp. Fails loudly on an exhausted bitstream, more than
+    * 7 leftover bits, or nonzero padding.
+    */
+  private def decodeRiceFrame(data: Array[Byte], q: Int): RiceFrame = {
+    val r = new BitReader(data)
+    val out = new Array[Int](FramePx)
+    var blk = 0
+    while (blk < NBlocks) {
+      val c = new Array[Int](BlockW)
+      var k = 0
+      while (k < BlockW) {
+        var u = 0
+        while (r.read() == 1) u += 1
+        val v = (u << RiceK) | r.readN(RiceK)
+        c(k) = (unzigzag(v) + RiceCenter) * q - Bias
+        k += 1
+      }
+      val s = fwd(c(0), c(1), c(2), c(3))
+      val off = BlockW * blk
+      var j = 0
+      while (j < BlockW) {
+        val v = (s(j) + 4 * Bias * 2 + 2) / 4 - 2 * Bias
+        out(off + j) = math.max(0, math.min(255, v))
+        j += 1
+      }
+      blk += 1
+    }
+    val consumed = r.consumed
+    require(r.remaining < 8,
+      s"${r.remaining} bits after the last code — trailing data in a GWR1 frame")
+    while (r.remaining > 0) require(r.read() == 0, "nonzero padding bits")
+    RiceFrame(out, consumed)
+  }
+
+  private[multimodal] def riceDecodeAll(avi: Array[Byte], q: Int = Quant): IndexedSeq[RiceFrame] = {
+    val pl = Avi.readPayload(avi)
+    validateRiceStrf(pl)
+    pl.frames.map(decodeRiceFrame(_, q))
+  }
+
+  /** One output row per SAMPLED frame of the entropy-coded variant:
+    * reconstruction + the compressed size in bits. */
+  case class RiceRow(doc_id: Long, frame_idx: Long, n_frames: Long,
+      px_sum: Long, n_bits: Long, sad: Long)
+
+  /** End-to-end entropy-coded pipeline: synthesize → WHT + quantize +
+    * Rice encode + AVI build → walk + REAL bit-level entropy decode →
+    * per-sampled-frame rate (consumed bits) and distortion. */
+  def riceFeatures(spark: SparkSession, docs: DataFrame): Dataset[RiceRow] = {
+    import spark.implicits._
+    docs.selectExpr("cast(doc_id as long) doc_id", "text").as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val bytes = Rle.checkedBytes(text)
+          val all = riceDecodeAll(riceSynth(text))
+          (0 until all.length by SampleStride).map { f =>
+            val src = framePixels(bytes, f)
+            val cv = all(f).pixels
+            var sum = 0L; var sad = 0L; var p = 0
+            while (p < FramePx) {
+              sum += cv(p); sad += math.abs(cv(p) - src(p)); p += 1
+            }
+            RiceRow(id, f.toLong, all.length.toLong, sum, all(f).nBits.toLong, sad)
+          }
+        }
+      }
+  }
+
   /** One output row per SAMPLED frame: reconstruction features + the
     * rate (n_nz_ac) and distortion (sad vs the synth rule) halves. */
   case class XfRow(doc_id: Long, frame_idx: Long, n_frames: Long,

@@ -444,6 +444,39 @@ object MultimodalOps {
         col("px_max"), col("n_nz_ac"), col("sad"))
       .orderBy("doc_id", "frame_idx")
 
+  /** §2.J q_rice_frames — ENTROPY-CODED frames (graft.multimodal.Xf's
+    * Rice/Golomb arm, the public FLAC/JPEG-LS family): the quantized
+    * WHT coefficients centered, zigzag-mapped and coded as
+    * unary(v >> k) + terminator + k raw bits (fixed k = 3) — a REAL
+    * bit-level entropy decoder walks the stream back. The COMPRESSED
+    * SIZE is inside the hash gate: Rice code lengths are closed-form
+    * ((v >> k) + 1 + k), so the oracle recomputes the decoder's
+    * actual consumed bit count per frame in SQL — one mis-parsed
+    * unary run and every subsequent coefficient lands on the wrong
+    * bit, diverging pixels AND the bit count. Reconstruction and
+    * distortion are the q_wht_frames gate (same transform + quant).
+    * With this, every codec INGREDIENT is real — container walk,
+    * intra transform + quantization, entropy coding, run-length
+    * temporal, motion compensation, keyframe seek; only their
+    * closed-loop assembly (the full H.264 integration) stays out of
+    * scope.
+    */
+  def riceFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Xf.riceFeatures(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+          // same loud-ceiling discipline as the GIF/AVI/RLE mirrors
+          .filter(assert_true(
+            length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
+            lit(s"blob exceeds ${GifOracleMaxFrames * graft.multimodal.Gif.FramePx} " +
+              s"bytes: the DuckDB rice mirror enumerates at most $GifOracleMaxFrames " +
+              "frames/blob (range(0, 16)); widen the oracle range and this guard together"))
+            .isNull))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("px_sum"),
+        col("n_bits"), col("sad"))
+      .orderBy("doc_id", "frame_idx")
+
   /** §2.J q_avi_demux — MULTI-STREAM A/V demux
     * (graft.multimodal.Demux): a genuine two-stream AVI (avih
     * dwStreams = 2, an 'auds' strl with WAVEFORMATEX strf, movi
@@ -479,6 +512,7 @@ object MultimodalOps {
     "q_mc_frames" -> (mcFrames _),
     "q_mc_seek" -> (mcSeek _),
     "q_wht_frames" -> (whtFrames _),
+    "q_rice_frames" -> (riceFrames _),
     "q_gif_frames" -> (gifFrames _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_bmp_features" -> (bmpFeatures _),
@@ -663,6 +697,69 @@ object MultimodalOps {
          |       CAST(sum(bsum) AS BIGINT) px_sum,
          |       CAST(max(bmax) AS BIGINT) px_max,
          |       CAST(sum(bnz) AS BIGINT) n_nz_ac,
+         |       CAST(sum(bsad) AS BIGINT) sad
+         |FROM rec GROUP BY doc_id, f, nf
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // the COMPRESSED SIZE recomputed: Rice code lengths are closed
+    // form ((v >> k) + 1 + k), so per frame the oracle re-derives the
+    // decoder's actual consumed bit count, the reconstruction, and
+    // the distortion — the whole rate/distortion/entropy triple
+    "q_rice_frames" -> {
+      val fp = graft.multimodal.Gif.FramePx
+      val st = graft.multimodal.Gif.SampleStride
+      val q = graft.multimodal.Xf.Quant
+      val rk = graft.multimodal.Xf.RiceK
+      val ctr = graft.multimodal.Xf.RiceCenter
+      def tq(c: String): String = s"((($c) + ${2048 + q / 2}) // $q)"
+      def cq(k: Int): String = s"tq$k * $q - 2048"
+      def bits(k: Int): String =
+        s"(CASE WHEN tq$k - $ctr >= 0 THEN 2 * (tq$k - $ctr) " +
+          s"ELSE -2 * (tq$k - $ctr) - 1 END) // ${1 << rk} + ${1 + rk}"
+      def xr(s: String): String = s"greatest(least((($s) + 16386) // 4 - 4096, 255), 0)"
+      val (r0, r1, r2, r3) = (xr("cq0 + cq1 + cq2 + cq3"), xr("cq0 - cq1 + cq2 - cq3"),
+        xr("cq0 + cq1 - cq2 - cq3"), xr("cq0 - cq1 - cq2 + cq3"))
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) len,
+         |         (length(text) + ${fp - 1}) // $fp AS nf
+         |  FROM documents WHERE length(text) > 0
+         |), fr AS (
+         |  SELECT doc_id, text, len, nf, t.i f
+         |  FROM d, range(0, $GifOracleMaxFrames) t(i)
+         |  WHERE t.i < nf AND t.i % $st = 0
+         |), px AS (
+         |  SELECT doc_id, nf, f, t2.p p, t2.p // 4 b,
+         |         CASE WHEN f * $fp + t2.p < len
+         |              THEN ord(substring(text, f * $fp + t2.p + 1, 1)) ELSE 0 END x
+         |  FROM fr, range(0, $fp) t2(p)
+         |), blk AS (
+         |  SELECT doc_id, nf, f, b,
+         |         sum(CASE WHEN p % 4 = 0 THEN x END) x0,
+         |         sum(CASE WHEN p % 4 = 1 THEN x END) x1,
+         |         sum(CASE WHEN p % 4 = 2 THEN x END) x2,
+         |         sum(CASE WHEN p % 4 = 3 THEN x END) x3
+         |  FROM px GROUP BY doc_id, nf, f, b
+         |), tqs AS (
+         |  SELECT doc_id, nf, f, x0, x1, x2, x3,
+         |         ${tq("x0 + x1 + x2 + x3")} tq0,
+         |         ${tq("x0 - x1 + x2 - x3")} tq1,
+         |         ${tq("x0 + x1 - x2 - x3")} tq2,
+         |         ${tq("x0 - x1 - x2 + x3")} tq3
+         |  FROM blk
+         |), co AS (
+         |  SELECT doc_id, nf, f, x0, x1, x2, x3,
+         |         ${cq(0)} cq0, ${cq(1)} cq1, ${cq(2)} cq2, ${cq(3)} cq3,
+         |         ${bits(0)} + ${bits(1)} + ${bits(2)} + ${bits(3)} bbits
+         |  FROM tqs
+         |), rec AS (
+         |  SELECT doc_id, nf, f,
+         |         $r0 + $r1 + $r2 + $r3 bsum, bbits,
+         |         abs($r0 - x0) + abs($r1 - x1) + abs($r2 - x2) + abs($r3 - x3) bsad
+         |  FROM co
+         |)
+         |SELECT doc_id, CAST(f AS BIGINT) frame_idx, CAST(nf AS BIGINT) n_frames,
+         |       CAST(sum(bsum) AS BIGINT) px_sum,
+         |       CAST(sum(bbits) AS BIGINT) n_bits,
          |       CAST(sum(bsad) AS BIGINT) sad
          |FROM rec GROUP BY doc_id, f, nf
          |ORDER BY doc_id, frame_idx""".stripMargin

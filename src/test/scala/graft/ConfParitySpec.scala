@@ -48,7 +48,7 @@ class ConfParitySpec extends AnyFunSuite {
     // layout) and the drift readout (histogram merges + the smoothed
     // PSI must not depend on how shards arrive)
     "q_mc_frames", "q_mc_seek", "q_drift_psi", "q_avro_roundtrip",
-    "q_wht_frames")
+    "q_wht_frames", "q_rice_frames")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted

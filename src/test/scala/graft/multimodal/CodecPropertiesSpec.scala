@@ -137,6 +137,31 @@ class CodecPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("Rice entropy layer round-trips the quantized stream and matches the closed-form bit count") {
+    samples(textGen, 80).foreach { t =>
+      val bytes = t.getBytes("US-ASCII")
+      val plain = Xf.decodeAll(Xf.synth(t))
+      val rice = Xf.riceDecodeAll(Xf.riceSynth(t))
+      rice.zip(plain).zipWithIndex.foreach { case ((r, p), f) =>
+        assert(r.pixels.toSeq === p.pixels.toSeq, s"len=${t.length} frame $f")
+        // independent replica of the code-length formula over the rule
+        val src = rule(bytes, f)
+        val expBits = (0 until 16).map { b =>
+          val x = (0 until 4).map(j => src(4 * b + j))
+          val c = Seq(x(0) + x(1) + x(2) + x(3), x(0) - x(1) + x(2) - x(3),
+            x(0) + x(1) - x(2) - x(3), x(0) - x(1) - x(2) + x(3))
+          c.map { ck =>
+            val tq = (ck + 2048 + Xf.Quant / 2) / Xf.Quant
+            val d = tq - Xf.RiceCenter
+            val v = if (d >= 0) 2 * d else -2 * d - 1
+            (v >> Xf.RiceK) + 1 + Xf.RiceK
+          }.sum
+        }.sum
+        assert(r.nBits === expBits, s"len=${t.length} frame $f bit count")
+      }
+    }
+  }
+
   test("demux round-trip: video pixels and audio samples agree with the rules per frame") {
     samples(textGen, 60).foreach { t =>
       val bytes = t.getBytes("US-ASCII")

@@ -82,6 +82,42 @@ class XfSpec extends AnyFunSuite {
       .getMessage.contains("not GWT1"))
   }
 
+  test("Rice arm: entropy layer is lossless over the quantized coefficients, and it COMPRESSES") {
+    val plain = Xf.decodeAll(Xf.synth(text))
+    val rice = Xf.riceDecodeAll(Xf.riceSynth(text))
+    assert(rice.length === plain.length)
+    rice.zip(plain).zipWithIndex.foreach { case ((r, p), f) =>
+      assert(r.pixels.toSeq === p.pixels.toSeq,
+        s"frame $f: entropy coding must not change reconstruction")
+      assert(r.nBits < 64 * 16, s"frame $f: ${r.nBits} bits ≥ raw 16-bit coding")
+    }
+    // and at Q=1 the whole chain (transform + entropy) is lossless
+    Xf.riceDecodeAll(Xf.riceSynth(text, q = 1), q = 1).zipWithIndex.foreach {
+      case (fr, f) => assert(fr.pixels.toSeq === rule(text, f), s"frame $f (Q=1)")
+    }
+  }
+
+  test("Rice bitstream damage fails loudly: truncation, trailing data, nonzero padding") {
+    val pl = Avi.readPayload(Xf.riceSynth(text))
+    def rebuild(frames: IndexedSeq[Array[Byte]]): Array[Byte] =
+      Avi.buildContainer(frames, "GWR1", Xf.RiceComp, 8, Rle.GrayPalette, _ => true)
+    // truncated: drop the last byte → the 64th code runs out of bits
+    val cut = pl.frames.updated(0, pl.frames(0).dropRight(1))
+    assert(intercept[IllegalArgumentException](Xf.riceDecodeAll(rebuild(cut)))
+      .getMessage.contains("exhausted"))
+    // a whole trailing byte after the last code
+    val extra = pl.frames.updated(0, pl.frames(0) :+ 0.toByte)
+    assert(intercept[IllegalArgumentException](Xf.riceDecodeAll(rebuild(extra)))
+      .getMessage.contains("trailing"))
+    // nonzero padding bits inside the last byte
+    val mangled = pl.frames(0).clone()
+    mangled(mangled.length - 1) = (mangled(mangled.length - 1) | 1).toByte
+    val bad = pl.frames.updated(0, mangled)
+    val e = intercept[IllegalArgumentException](Xf.riceDecodeAll(rebuild(bad)))
+    assert(e.getMessage.contains("padding") || e.getMessage.contains("trailing") ||
+      e.getMessage.contains("exhausted"))
+  }
+
   test("rate and distortion are real corpus-wide at BOTH verify-gate SFs") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
