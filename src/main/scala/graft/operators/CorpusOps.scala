@@ -136,29 +136,32 @@ object CorpusOps {
   def driftPsi(spark: SparkSession, dir: String): DataFrame =
     driftPsiFrom(Tables.documents(spark, dir))
 
-  /** The drift pass over an explicit document frame — the spec plants
-    * a known-PSI shift and pins shard-merge invariance. */
-  private[graft] def driftPsiFrom(documents: DataFrame): DataFrame = {
-    val docs = documents
-      .filter(col("doc_id").isNotNull && col("text").isNotNull)
-    val (base, delta) = Ivm.midpointSplit(docs, "doc_id")
-    // one row per (doc, feature) with the doc's bin — integer DIV
-    // bins (engine-exact, no float binning) capped to a fixed top bin
-    def bins(d: DataFrame): DataFrame = d
-      .withColumn("ntok", size(split(col("text"), " ")))
-      .select(explode(array(
-        struct(lit("len_chars").as("feature"),
-          expr("CAST(least(n_chars DIV 64, 15) AS STRING)").as("bin")),
-        struct(lit("n_tokens").as("feature"),
-          expr("CAST(least(ntok DIV 8, 15) AS STRING)").as("bin")),
-        struct(lit("mean_word_len_x4").as("feature"),
-          expr("CAST(least((n_chars * 4) DIV ntok, 31) AS STRING)").as("bin")),
-        struct(lit("lang").as("feature"), coalesce(col("lang"), lit("?")).as("bin")),
-        struct(lit("source").as("feature"), coalesce(col("source"), lit("?")).as("bin"))
-      )).as("fb"))
-      .select(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
-    val histB = bins(base).groupBy("feature", "bin").agg(count(lit(1)).as("n_b"))
-    val histD = bins(delta).groupBy("feature", "bin").agg(count(lit(1)).as("n_d"))
+  /** The ONE (doc → feature, bin) projection — integer DIV bins
+    * (engine-exact, no float binning) capped to a fixed top bin —
+    * shared by the batch pass and the streaming monitor (DriftStream)
+    * so the two surfaces cannot drift on what a bin is.
+    */
+  private[graft] def driftBins(d: DataFrame): DataFrame = d
+    .withColumn("ntok", size(split(col("text"), " ")))
+    .select(explode(array(
+      struct(lit("len_chars").as("feature"),
+        expr("CAST(least(n_chars DIV 64, 15) AS STRING)").as("bin")),
+      struct(lit("n_tokens").as("feature"),
+        expr("CAST(least(ntok DIV 8, 15) AS STRING)").as("bin")),
+      struct(lit("mean_word_len_x4").as("feature"),
+        expr("CAST(least((n_chars * 4) DIV ntok, 31) AS STRING)").as("bin")),
+      struct(lit("lang").as("feature"), coalesce(col("lang"), lit("?")).as("bin")),
+      struct(lit("source").as("feature"), coalesce(col("source"), lit("?")).as("bin"))
+    )).as("fb"))
+    .select(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+
+  /** The PSI readout over two (feature, bin, count) histograms — the
+    * serving half shared by the batch pass (midpoint halves) and the
+    * streaming monitor (stored base histogram × live ingest
+    * histogram). Expects columns (feature, bin, n_b) and
+    * (feature, bin, n_d).
+    */
+  private[graft] def psiOf(histB: DataFrame, histD: DataFrame): DataFrame = {
     val joined = histB.join(histD, Seq("feature", "bin"), "full_outer")
       .na.fill(0L, Seq("n_b", "n_d"))
     // per-feature totals + observed bin inventory: a tiny frame
@@ -181,6 +184,17 @@ object CorpusOps {
         round(sum(col("nano")) / lit(1e9), 6).as("psi"))
       .withColumn("drifted", col("psi") >= PsiAlert)
       .orderBy("feature")
+  }
+
+  /** The drift pass over an explicit document frame — the spec plants
+    * a known-PSI shift and pins shard-merge invariance. */
+  private[graft] def driftPsiFrom(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val (base, delta) = Ivm.midpointSplit(docs, "doc_id")
+    psiOf(
+      driftBins(base).groupBy("feature", "bin").agg(count(lit(1)).as("n_b")),
+      driftBins(delta).groupBy("feature", "bin").agg(count(lit(1)).as("n_d")))
   }
 
   private[graft] val ContamK = 8
