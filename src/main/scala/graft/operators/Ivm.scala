@@ -44,9 +44,15 @@ object Ivm {
     * one-row cut rides a broadcast cross join — no shuffle.
     */
   def midpointSplit(df: DataFrame, key: String): (DataFrame, DataFrame) = {
-    val tagged = df.crossJoin(midpointCutOn(df, key, "_ivm_cut"))
-    (tagged.filter(col(key) <= col("_ivm_cut")).drop("_ivm_cut"),
-      tagged.filter(col(key) > col("_ivm_cut")).drop("_ivm_cut"))
+    // The cut column must be absent from df, or the filter below would
+    // resolve ambiguously for every pipeline routed through here — pick
+    // the first suffixed name guaranteed not to collide.
+    val cutName = Iterator.from(0)
+      .map(i => if (i == 0) "_ivm_cut" else s"_ivm_cut_$i")
+      .find(n => !df.columns.contains(n)).get
+    val tagged = df.crossJoin(midpointCutOn(df, key, cutName))
+    (tagged.filter(col(key) <= col(cutName)).drop(cutName),
+      tagged.filter(col(key) > col(cutName)).drop(cutName))
   }
 
   /** The stored-state materialization discipline: EAGER localCheckpoint

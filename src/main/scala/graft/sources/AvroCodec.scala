@@ -108,23 +108,43 @@ object AvroCodec {
       schemaJson.getBytes(StandardCharsets.UTF_8))
     d.foreachPartition { (rows: Iterator[Row]) =>
       val schema = new Schema.Parser().parse(schemaJson)
-      val pid = TaskContext.getPartitionId()
+      val tc = TaskContext.get()
+      val pid = tc.partitionId()
+      // Retried/speculative attempts of the same partition must never
+      // write the same file concurrently (a half-written container is
+      // silent corruption): stream into a task-attempt-UNIQUE temp name
+      // and atomically rename on success — last committer wins, losers
+      // leave only a temp file the next overwrite sweeps.
+      val finalFile = new File(path, f"part-$pid%05d.avro")
+      val tmpFile = new File(path, f".part-$pid%05d-attempt-${tc.taskAttemptId()}.avro.tmp")
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
-      writer.create(schema, new File(path, f"part-$pid%05d.avro"))
-      try rows.foreach { r =>
-        val rec = new GenericData.Record(schema)
-        var i = 0
-        while (i < sparkSchema.length) {
-          val v = if (r.isNullAt(i)) null else sparkSchema(i).dataType match {
-            case BinaryType => ByteBuffer.wrap(r.getAs[Array[Byte]](i))
-            case _ => r.get(i).asInstanceOf[AnyRef]
+      writer.create(schema, tmpFile)
+      try {
+        rows.foreach { r =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < sparkSchema.length) {
+            val v = if (r.isNullAt(i)) null else sparkSchema(i).dataType match {
+              case BinaryType => ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+              case _ => r.get(i).asInstanceOf[AnyRef]
+            }
+            rec.put(i, v)
+            i += 1
           }
-          rec.put(i, v)
-          i += 1
+          writer.append(rec)
         }
-        writer.append(rec)
-      } finally writer.close()
+        writer.close()
+        Files.move(tmpFile.toPath, finalFile.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      } catch {
+        case e: Throwable =>
+          try writer.close() catch { case _: Throwable => () }
+          Files.deleteIfExists(tmpFile.toPath)
+          throw e
+      }
     }
   }
 

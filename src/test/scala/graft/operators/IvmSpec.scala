@@ -93,6 +93,24 @@ class IvmSpec extends AnyFunSuite {
     }
   }
 
+  test("midpointSplit survives an input that already carries an _ivm_cut column") {
+    val df = feedDf(Seq(
+      (1L, 100L, 1L, "c", "signup", 10.0),
+      (2L, 200L, 2L, "c", "signup", 20.0),
+      (3L, 300L, 3L, "c", "signup", 30.0),
+      (4L, 400L, 4L, "c", "signup", 40.0)))
+      .withColumn("_ivm_cut", lit(-1L)) // hostile pre-existing name
+    val (b, d) = Ivm.midpointSplit(df, "ts_ns")
+    // the split must key on ts_ns's real midpoint (250), not the
+    // hostile column, and must preserve the caller's column untouched
+    assert(b.select("ts_ns").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq === Seq(100L, 200L))
+    assert(d.select("ts_ns").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq === Seq(300L, 400L))
+    assert(b.columns.contains("_ivm_cut") &&
+      b.select("_ivm_cut").distinct().collect().map(_.getLong(0)).toSeq === Seq(-1L))
+  }
+
   test("maintainView on the real feed: midpoint split equals full recompute (sf0.001)") {
     val feed = CdcOps.changeFeed(spark, "/root/testdata/sf0.001").select(
       col("event_id"), col("ts_ns"), col("user_id"), col("op"),

@@ -92,4 +92,15 @@ class AvroCodecSpec extends AnyFunSuite {
     AvroCodec.exportAvro(frame().limit(10), tmp, singleFile = true)
     assert(AvroCodec.importAvro(spark, tmp).count() === 10L)
   }
+
+  test("export commits via attempt-unique temp + atomic rename: no .tmp residue") {
+    val tmp = Files.createTempDirectory("avro_spec5").toString
+    AvroCodec.exportAvro(frame(), tmp)
+    val names = new java.io.File(tmp).listFiles().map(_.getName).toSeq
+    assert(names.count(_.endsWith(".avro")) > 1, "multi-partition export expected")
+    assert(!names.exists(_.endsWith(".tmp")),
+      s"temp files must be renamed away on commit: $names")
+    // and the committed files are each complete containers
+    assert(AvroCodec.importAvro(spark, tmp).count() === 50L)
+  }
 }

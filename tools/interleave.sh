@@ -26,7 +26,16 @@ OUT_ABS=$(cd "$(dirname "$OUT")" 2>/dev/null && pwd)/$(basename "$OUT") || OUT_A
 WT=/tmp/graft_interleave_wt
 if [ ! -d "$WT" ]; then
   git -C "$REPO" worktree add --detach "$WT" "$REF" >&2
+else
+  # A stale worktree from a previous run may hold a DIFFERENT ref —
+  # silently benching against it would adjudicate vs a wrong baseline.
+  # Force the requested ref (and a clean tree) every time.
+  git -C "$WT" checkout --detach "$REF" >&2
+  git -C "$WT" reset --hard "$REF" >&2
 fi
+WT_HEAD=$(git -C "$WT" rev-parse HEAD)
+REF_SHA=$(git -C "$REPO" rev-parse "$REF^{commit}")
+[ "$WT_HEAD" = "$REF_SHA" ] || { echo "worktree HEAD $WT_HEAD != requested ref $REF_SHA" >&2; exit 1; }
 echo "[interleave] building prev ($REF) in $WT" >&2
 (cd "$WT" && sbt -batch compile >/dev/null)
 echo "[interleave] building cur in $REPO" >&2
@@ -54,7 +63,17 @@ def load(tag):
             runs.append(json.load(f)["queries"])
     return runs
 prev, cur = load("prev"), load("cur")
-names = sorted(cur[0])
+# A query present on only one side (e.g. added after prev-ref) would
+# yield an empty sample list and crash min() AFTER all bench passes
+# were paid — validate the set against both sides' first round and
+# pair only the intersection, reporting the rest.
+only_cur = sorted(set(cur[0]) - set(prev[0]))
+only_prev = sorted(set(prev[0]) - set(cur[0]))
+for n in only_cur:
+    print(f"[interleave] SKIP {n}: absent from prev ref's registry", file=sys.stderr)
+for n in only_prev:
+    print(f"[interleave] SKIP {n}: absent from cur registry", file=sys.stderr)
+names = sorted(set(cur[0]) & set(prev[0]))
 qs = {}
 for n in names:
     p = [r[n] for r in prev if n in r]
@@ -65,6 +84,7 @@ for n in names:
 tp = round(sum(q["prev_min"] for q in qs.values()), 3)
 tc = round(sum(q["cur_min"] for q in qs.values()), 3)
 doc = {"prev_ref": ref, "sf": sf, "rounds": rounds,
+       "skipped_only_cur": only_cur, "skipped_only_prev": only_prev,
        "total_prev_min": tp, "total_cur_min": tc,
        "total_ratio_cur_over_prev": round(tc / tp, 3) if tp else None,
        "queries": qs}

@@ -25,14 +25,17 @@ report() { # name, hits
 # (commons, hadoop pulled directly, ...) shows up as a hit and must
 # be consciously added here
 report "nonpublic-import" "$(grep -rInE '^[[:space:]]*import ' src --include='*.scala' \
-  | grep -vE 'import (org\.apache\.spark\.|org\.apache\.hadoop\.fs\.|org\.apache\.avro\.|scala\.|java\.|javax\.|graft\.|org\.scalatest|org\.scalacheck|spark\.implicits|s\.implicits|[A-Z][A-Za-z0-9]*\.)' || true)"
+  | grep -vE 'import (org\.apache\.spark\.|org\.apache\.hadoop\.fs\.|org\.apache\.avro\.|scala\.|java\.|javax\.|graft\.|org\.scalatest|org\.scalacheck|spark\.implicits|s\.implicits|[A-Z][A-Za-z0-9]*\.(\{|[A-Z]))' || true)"
 # org.apache.hadoop.fs is the Spark-bundled FileSystem API (atomic
 # rename / commit markers in UpsertSink, Fallback) — public, ships in
 # /opt/spark/jars; the .fs. scope keeps the rest of hadoop flagged.
 # org.apache.avro is the public Avro Java library (ships in
-# /opt/spark/jars; backs sources/AvroCodec). The [A-Z]... alternative
-# is package-RELATIVE object imports (import Gif.{FrameW, ...}) —
-# in-repo names, not external roots
+# /opt/spark/jars; backs sources/AvroCodec). The [A-Z]...(\{|[A-Z])
+# alternative is package-RELATIVE object MEMBER imports
+# (import Gif.{FrameW, ...}, import TextOps.Bm25K1) — the member
+# after the dot must itself be capitalized or a brace group, so an
+# external root written as a capitalized package followed by
+# lowercase segments (Foo.bar.baz) still flags
 
 report "nonpublic-url" "$(grep -rInoE 'https?://[a-zA-Z0-9._/-]+' src --include='*.scala' \
   | grep -vE '(apache\.org|github\.com|wikipedia\.org|ietf\.org|w3\.org|example\.(com|org))' || true)"
