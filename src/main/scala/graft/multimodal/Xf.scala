@@ -64,7 +64,7 @@ object Xf {
     }
 
   /** Forward 4-point WHT of one block (H symmetric, H·H = 4I). */
-  private def fwd(x0: Int, x1: Int, x2: Int, x3: Int): Array[Int] =
+  private[multimodal] def fwd(x0: Int, x1: Int, x2: Int, x3: Int): Array[Int] =
     Array(x0 + x1 + x2 + x3, x0 - x1 + x2 - x3, x0 + x1 - x2 - x3, x0 - x1 - x2 + x3)
 
   /** Encode one frame: 16 blocks × 4 quantized coefficients, int16 LE. */
@@ -176,7 +176,7 @@ object Xf {
     * ((0 + Bias + Q/2) DIV Q for the registered [[Quant]]). */
   val RiceCenter: Int = (Bias + Quant / 2) / Quant // 256
 
-  private final class BitWriter {
+  private[multimodal] final class BitWriter {
     private val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
     private var cur = 0
     private var nBits = 0
@@ -198,7 +198,7 @@ object Xf {
     }
   }
 
-  private final class BitReader(data: Array[Byte]) {
+  private[multimodal] final class BitReader(data: Array[Byte]) {
     private var pos = 0
     def read(): Int = {
       require(pos < data.length * 8, s"bitstream exhausted at bit $pos")
@@ -215,8 +215,8 @@ object Xf {
     def remaining: Int = data.length * 8 - pos
   }
 
-  private def zigzag(d: Int): Int = if (d >= 0) 2 * d else -2 * d - 1
-  private def unzigzag(v: Int): Int = if ((v & 1) == 0) v / 2 else -(v + 1) / 2
+  private[multimodal] def zigzag(d: Int): Int = if (d >= 0) 2 * d else -2 * d - 1
+  private[multimodal] def unzigzag(v: Int): Int = if ((v & 1) == 0) v / 2 else -(v + 1) / 2
 
   /** Rice-encode one frame's 64 quantized coefficients. */
   private def encodeRiceFrame(cur: Array[Int], q: Int): Array[Byte] = {

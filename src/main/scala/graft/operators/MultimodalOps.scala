@@ -224,6 +224,107 @@ object MultimodalOps {
     * ceiling the family shares — the DuckDB mirror's range bound. */
   private val McOracleMaxFrames = 61
 
+  /** The shared recursive reconstruction CTE behind the q_gop_frames /
+    * q_gop_seek oracles: a RECURSIVE CTE whose working row carries the
+    * decoder's 64-pixel canvas as list state, replaying per frame the
+    * full closed loop — source synthesis (scroll + ticker), two-
+    * candidate motion search on SOURCE frames, prediction from the
+    * RECONSTRUCTED previous canvas, residual WHT → biased quantize →
+    * dequantize → inverse → clamp, and the exact Rice+mv bit count.
+    * Base case is a virtual frame −1 with a zero canvas, so frame 0
+    * (a keyframe) flows through the same transition expression.
+    */
+  private lazy val gopRecursiveCte: String = {
+    val fp = graft.multimodal.Gif.FramePx // 64
+    val w = graft.multimodal.Gif.FrameW // 16 (= the scroll step)
+    val om = graft.multimodal.Mc.OverlayMod
+    val ki = graft.multimodal.Gop.KeyInterval
+    val q = graft.multimodal.Gop.Quant
+    val rk = graft.multimodal.Gop.RiceK
+    val ctr = (2048 + q / 2) / q // Rice centering at the registered Quant
+    // synth rule: frame g's pixel p under scroll + ticker (the
+    // q_mc_frames pix block, with the ≥0 guard for the virtual g−1=−1)
+    def pix(pv: String, gv: String): String =
+      s"(CASE WHEN ($pv) % $om = 0 THEN 128 + ((bsum + ($gv)) % 64) " +
+        s"ELSE (CASE WHEN ($gv) * $w + ($pv) >= 0 AND ($gv) * $w + ($pv) < len " +
+        s"THEN ord(substring(text, ($gv) * $w + ($pv) + 1, 1)) ELSE 0 END) END)"
+    // 4-point WHT row selected by `v` % 4 (H is symmetric, so the same
+    // CASE shape serves the forward transform and the inverse)
+    def whtCase(v: String, a: String, b: String, c: String, d: String): String =
+      s"(CASE ($v) % 4 WHEN 0 THEN ($a) + ($b) + ($c) + ($d) " +
+        s"WHEN 1 THEN ($a) - ($b) + ($c) - ($d) " +
+        s"WHEN 2 THEN ($a) + ($b) - ($c) - ($d) " +
+        s"ELSE ($a) - ($b) - ($c) + ($d) END)"
+    def rr(i: Int): String = s"resid[4 * (p // 4) + $i + 1]"
+    def dq(i: Int): String = s"(tq[4 * (p // 4) + $i + 1] * $q - 2048)"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, text, length(text) len,
+       |         CASE WHEN length(text) <= $fp THEN 1
+       |              ELSE (length(text) - $fp + ${w - 1}) // $w + 1 END nf,
+       |         list_sum(list_transform(range(0, length(text)),
+       |           i -> ord(substring(text, i + 1, 1)))) bsum
+       |  FROM documents WHERE length(text) > 0
+       |), rec AS (
+       |  SELECT doc_id, -1 AS f, nf, len, text, bsum,
+       |         list_transform(range(0, $fp), p -> 0) cv,
+       |         0 AS px_sum, 0 AS n_mv, 0 AS n_bits, 0 AS sad
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id, g AS f, nf, len, text, bsum, newcv AS cv,
+       |         list_sum(newcv) AS px_sum,
+       |         CASE WHEN g % $ki = 0 THEN 0 ELSE list_sum(dy) END AS n_mv,
+       |         CASE WHEN g % $ki = 0 THEN 0 ELSE 12 END
+       |           + list_sum(list_transform(tq, t ->
+       |               (CASE WHEN t >= $ctr THEN 2 * (t - $ctr)
+       |                     ELSE -2 * (t - $ctr) - 1 END) // ${1 << rk} + ${1 + rk}))
+       |           AS n_bits,
+       |         list_sum(list_transform(range(0, $fp),
+       |           p -> abs(newcv[p + 1] - src[p + 1]))) AS sad
+       |  FROM (
+       |    SELECT *,
+       |           list_transform(range(0, $fp), p -> greatest(least(
+       |             pred[p + 1]
+       |               + (${whtCase("p", dq(0), dq(1), dq(2), dq(3))} + 16386) // 4 - 4096,
+       |             255), 0)) newcv
+       |    FROM (
+       |      SELECT *,
+       |             list_transform(range(0, $fp),
+       |               p -> ((${whtCase("p", rr(0), rr(1), rr(2), rr(3))}) + ${2048 + q / 2}) // $q) tq
+       |      FROM (
+       |        SELECT *,
+       |               list_transform(range(0, $fp), p -> src[p + 1] - pred[p + 1]) resid
+       |        FROM (
+       |          SELECT *,
+       |                 list_transform(range(0, $fp), p ->
+       |                   CASE WHEN g % $ki = 0 OR p >= ${fp - w} THEN 0
+       |                        ELSE cv[p + 16 * dy[p // 4 + 1] + 1] END) pred
+       |          FROM (
+       |            SELECT *,
+       |                   list_transform(range(0, 16), b ->
+       |                     CASE WHEN g % $ki = 0 OR b >= 12 THEN 0
+       |                          WHEN list_sum(list_transform(range(0, 4), j ->
+       |                                 CASE WHEN src[4 * b + j + 1] <> srcp[4 * b + 16 + j + 1]
+       |                                      THEN 1 ELSE 0 END))
+       |                             < list_sum(list_transform(range(0, 4), j ->
+       |                                 CASE WHEN src[4 * b + j + 1] <> srcp[4 * b + j + 1]
+       |                                      THEN 1 ELSE 0 END))
+       |                          THEN 1 ELSE 0 END) dy
+       |            FROM (
+       |              SELECT doc_id, f + 1 AS g, nf, len, text, bsum, cv,
+       |                     list_transform(range(0, $fp), p -> ${pix("p", "f + 1")}) src,
+       |                     list_transform(range(0, $fp), p -> ${pix("p", "f")}) srcp
+       |              FROM rec WHERE f + 1 < nf
+       |            ) l1
+       |          ) l2
+       |        ) l3
+       |      ) l4
+       |    ) l5
+       |  ) l6
+       |)
+       |""".stripMargin
+  }
+
+
   def gifFrames(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Gif.features(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -477,6 +578,65 @@ object MultimodalOps {
         col("n_bits"), col("sad"))
       .orderBy("doc_id", "frame_idx")
 
+  /** §2.J q_gop_frames — the CLOSED-LOOP codec assembly
+    * (graft.multimodal.Gop): motion-compensated prediction (Mc's
+    * two-candidate search) + WHT-transformed quantized residuals (Xf)
+    * + Rice-coded coefficients and motion bits (Xf's entropy arm),
+    * composed into one GOP codec (fourcc GGP1) whose encoder predicts
+    * from its own DECODED reconstruction — the drift-free property
+    * that separates a real hybrid video codec from stacked parts.
+    * The loop itself is hash-gated: per sampled frame the decoder's
+    * px_sum (reconstructed canvas), n_mv_nonzero (search choices),
+    * n_bits (actual consumed Rice+mv bits — rate) and sad (distortion
+    * vs the synth rule) are recomputed by a RECURSIVE-CTE oracle that
+    * replays the reconstruction frame by frame with the 64-pixel
+    * canvas as list state. GopSpec pins encoder-reference ≡
+    * decoder-canvas bit-for-bit over a long GOP, the open-loop
+    * counterexample (source-predicting encoder drifts until keyframe
+    * re-sync), q=1 end-to-end losslessness, seek parity, and loud
+    * malformed-stream failure.
+    */
+  def gopFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Gop.features(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+          // same loud-ceiling discipline: the recursive mirror iterates
+          // at most McOracleMaxFrames scroll frames per blob
+          .filter(assert_true(
+            length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
+            lit(s"blob exceeds ${GifOracleMaxFrames * graft.multimodal.Gif.FramePx} " +
+              s"bytes: the DuckDB gop mirror iterates at most $McOracleMaxFrames " +
+              "frames/blob; widen the oracle recursion and this guard together"))
+            .isNull))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("px_sum"),
+        col("n_mv_nonzero"), col("n_bits"), col("sad"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** §2.J q_gop_seek — KEYFRAME-SEEK decode on the closed-loop GOP
+    * codec (graft.multimodal.Gop.decodeSeek, the q_mc_seek contract):
+    * each document's LAST frame decoded from the nearest
+    * AVIIF_KEYFRAME-flagged idx1 entry forward. frames_decoded =
+    * (n−1) mod 8 + 1 exactly; the canvas sum equals the FULL decode's
+    * last frame (the closed-loop re-sync property: a keyframe fully
+    * re-synchronizes the loop, so seeking loses nothing) — both
+    * recomputed by the same recursive oracle.
+    */
+  def gopSeek(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Gop.seekLast(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+          .filter(assert_true(
+            length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
+            lit(s"blob exceeds ${GifOracleMaxFrames * graft.multimodal.Gif.FramePx} " +
+              s"bytes: the DuckDB gop mirror iterates at most $McOracleMaxFrames " +
+              "frames/blob; widen the oracle recursion and this guard together"))
+            .isNull))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("target_idx"),
+        col("frames_decoded"), col("px_sum"))
+      .orderBy("doc_id")
+
   /** §2.J q_avi_demux — MULTI-STREAM A/V demux
     * (graft.multimodal.Demux): a genuine two-stream AVI (avih
     * dwStreams = 2, an 'auds' strl with WAVEFORMATEX strf, movi
@@ -513,6 +673,8 @@ object MultimodalOps {
     "q_mc_seek" -> (mcSeek _),
     "q_wht_frames" -> (whtFrames _),
     "q_rice_frames" -> (riceFrames _),
+    "q_gop_frames" -> (gopFrames _),
+    "q_gop_seek" -> (gopSeek _),
     "q_gif_frames" -> (gifFrames _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_bmp_features" -> (bmpFeatures _),
@@ -764,6 +926,31 @@ object MultimodalOps {
          |FROM rec GROUP BY doc_id, f, nf
          |ORDER BY doc_id, frame_idx""".stripMargin
     },
+    // the CLOSED LOOP recomputed: the oracle replays the codec's
+    // recursive reconstruction — motion search on source frames
+    // (closed-form, the q_mc_frames block), prediction from the
+    // RECONSTRUCTED previous frame carried as 64-pixel list state in
+    // a RECURSIVE CTE, residual transform → quantize → dequantize →
+    // inverse → clamp per 4-pixel block, plus the exact Rice+mv bit
+    // count — so rate, distortion, motion and the reconstruction are
+    // all re-derived through the same drift-free loop the decoder runs
+    "q_gop_frames" -> (gopRecursiveCte +
+      s"""SELECT doc_id, CAST(f AS BIGINT) frame_idx, CAST(nf AS BIGINT) n_frames,
+         |       CAST(px_sum AS BIGINT) px_sum, CAST(n_mv AS BIGINT) n_mv_nonzero,
+         |       CAST(n_bits AS BIGINT) n_bits, CAST(sad AS BIGINT) sad
+         |FROM rec WHERE f >= 0 AND f % ${graft.multimodal.Gif.SampleStride} = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin),
+    // the GOP seek contract: frames_decoded = (n−1) mod 8 + 1, and the
+    // seek-decoded canvas sum ≡ the FULL recursive decode's last frame
+    // (closed-loop keyframe re-sync — the same recursive oracle, final
+    // frame only)
+    "q_gop_seek" -> (gopRecursiveCte +
+      s"""SELECT doc_id, CAST(nf AS BIGINT) n_frames,
+         |       CAST(nf - 1 AS BIGINT) target_idx,
+         |       CAST((nf - 1) % ${graft.multimodal.Gop.KeyInterval} + 1 AS BIGINT) frames_decoded,
+         |       CAST(px_sum AS BIGINT) px_sum
+         |FROM rec WHERE f = nf - 1
+         |ORDER BY doc_id""".stripMargin),
     // the MC seek contract recomputed: frames_decoded = (n−1) mod 8 + 1
     // (a decoder walking from frame 0 diverges) and the last frame's
     // canvas sum under the scroll + ticker rule (a mis-seeked start

@@ -48,7 +48,11 @@ class ConfParitySpec extends AnyFunSuite {
     // layout) and the drift readout (histogram merges + the smoothed
     // PSI must not depend on how shards arrive)
     "q_mc_frames", "q_mc_seek", "q_drift_psi", "q_avro_roundtrip",
-    "q_wht_frames", "q_rice_frames")
+    "q_wht_frames", "q_rice_frames",
+    // round-18 hard cases: the closed-loop GOP codec (sequential
+    // reconstruction state per blob must be invariant to partition
+    // layout)
+    "q_gop_frames", "q_gop_seek")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
