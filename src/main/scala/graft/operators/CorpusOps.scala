@@ -18,7 +18,7 @@ import graft.sources.Tables
 object CorpusOps {
 
   /** Stable 32-bit content bucket from md5. */
-  private def bucket(c: org.apache.spark.sql.Column, mod: Int) =
+  private[operators] def bucket(c: org.apache.spark.sql.Column, mod: Int) =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long") % mod
 
   /** Deterministic stratified sampling: ~30% per language stratum,
@@ -512,7 +512,7 @@ object CorpusOps {
         (col("p") + 1).cast("long").as("sample_rank"))
   }
 
-  private val DsirBuckets = 128
+  private[operators] val DsirBuckets = 128
   private val DsirTarget  = "src1"
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

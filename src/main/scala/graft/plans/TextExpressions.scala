@@ -715,4 +715,62 @@ object TextExpressions {
       w: Array[Long], tab: Array[Long], step: Int): Column =
     ColumnBridge.column(LrSigmoidExpr(ColumnBridge.expression(x1m),
       ColumnBridge.expression(x2m), ColumnBridge.expression(x3m), w, tab, step))
+
+  /** Vector form of [[lrSigmoidCompute]] for the hashed-n-gram model:
+    * z = (w(0)·1e6 + Σ_b w(b+1)·xs(b)) DIV 1e6, then the same clamped
+    * table interpolation. Magnitude contract: |w| ≤ ~1e8 after
+    * training and xs ≤ 1e6 micro, so each term ≤ 1e14 and the 129-term
+    * sum ≤ ~1.3e16 ≪ 2^63 — exact in long arithmetic.
+    */
+  def lrSigmoidVecCompute(xs: ArrayData, w: Array[Long], tab: Array[Long],
+      step: Int): Long = {
+    val half = (tab.length - 1) / 2
+    val lo = -half.toLong * step
+    val hi = half.toLong * step - 1
+    var s = w(0) * 1000000L
+    var i = 0
+    val n = xs.numElements()
+    while (i < n) { s += w(i + 1) * xs.getLong(i); i += 1 }
+    val z = Math.floorDiv(s, 1000000L)
+    val zc = if (z < lo) lo else if (z > hi) hi else z
+    val off = zc - lo
+    val idx = (off / step).toInt
+    val frac = off % step
+    tab(idx) + (tab(idx + 1) - tab(idx)) * frac / step
+  }
+
+  /** [[LrSigmoidExpr]]'s dense-feature-array sibling — one codegen'd
+    * node over an `array<long>` micro-unit feature column, weights
+    * (bias +: per-bucket) and table as reference objects. Serves the
+    * hashed-n-gram quality classifier's training loop (20 passes) and
+    * scorer without any interpreted HOF lambda in the hot path.
+    */
+  case class LrSigmoidVecExpr(child: Expression, w: Array[Long],
+      tab: Array[Long], step: Int) extends UnaryExpression {
+    require(w.length >= 2 && tab.length % 2 == 1 && step >= 1,
+      "lr_sigmoid_vec: need bias + at least one weight, an odd-length table, step >= 1")
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"lr_sigmoid_vec expects array<long>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      lrSigmoidVecCompute(a.asInstanceOf[ArrayData], w, tab, step)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("lrVecW", w, "long[]")
+      val tRef = ctx.addReferenceObj("lrVecTab", tab, "long[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.TextExpressions.lrSigmoidVecCompute($a, $wRef, $tRef, $step);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def lrSigmoidVecNative(xs: Column, w: Array[Long], tab: Array[Long],
+      step: Int): Column =
+    ColumnBridge.column(LrSigmoidVecExpr(ColumnBridge.expression(xs), w, tab, step))
 }

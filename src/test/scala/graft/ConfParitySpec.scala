@@ -51,8 +51,10 @@ class ConfParitySpec extends AnyFunSuite {
     "q_wht_frames", "q_rice_frames",
     // round-18 hard cases: the closed-loop GOP codec (sequential
     // reconstruction state per blob must be invariant to partition
-    // layout)
-    "q_gop_frames", "q_gop_seek")
+    // layout) and the 132-weight n-gram training loop (the LrGradAgg
+    // gradient must be order/partition-free; retrained per variant)
+    "q_gop_frames", "q_gop_seek", "q_quality_lr_ngram",
+    "q_quality_lr_ngram_score")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
