@@ -528,6 +528,70 @@ object CdcOps {
       .orderBy("last_type")
   }
 
+  /** §2.F q_cdc_txn_snapshot — the transactionally-consistent
+    * MULTI-TABLE snapshot single-table compaction cannot express (the
+    * real Debezium-consumer problem: a parent table and a child table
+    * stream as separate change feeds, and joining per-table "latest"
+    * snapshots taken at different positions shows child rows without
+    * their parent's version — fractured reads). Two feeds derive from
+    * the events stream: the PARENT table keyed on user_id (the entity
+    * head) and the CHILD table keyed on (user_id, event_type) (the
+    * per-entity line items). Both are cut at ONE shared LSN watermark
+    * — [[Ivm.midpointCutOn]] over the whole feed, the common cut a
+    * consistent consumer must take — then compacted independently
+    * (newest wins, tombstones drop the key) and full-outer joined.
+    *
+    * The referential-integrity audit is IN the output: every row
+    * carries `status` — 'ok' (child line under a live parent),
+    * 'orphaned' (a surviving child line whose parent's newest change
+    * at the cut is a tombstone — excluded from serving, `served` =
+    * false, but kept as the audit trail a real consumer alerts on),
+    * 'childless' (a live parent whose child lines are all tombstoned)
+    * — and the oracle recomputes the whole thing from the raw feed,
+    * so a consumer that cuts the two tables at different positions,
+    * or serves orphans, diverges the hash. CdcTxnSpec pins the
+    * planted straddle: a parent update before the cut plus a child
+    * insert after it must NOT surface the child (the naive
+    * uncut-child join does — spec-demonstrated), and a tombstoned
+    * parent orphans exactly its surviving child lines.
+    *
+    * 100 TB shape: one broadcast one-row cut, two keyed window
+    * shuffles (user_id; user_id × type — both high-cardinality), one
+    * keyed full-outer join. No range join, no per-key collect.
+    */
+  def cdcTxnSnapshot(spark: SparkSession, dir: String): DataFrame =
+    txnSnapshotFrom(changeFeed(spark, dir))
+
+  private[graft] def txnSnapshotFrom(feed: DataFrame): DataFrame = {
+    // ONE shared watermark for BOTH tables: the consistent-cut
+    // discipline (a per-table cut is exactly the fractured-read bug)
+    val sliced = feed
+      .crossJoin(Ivm.midpointCutOn(feed, "ts_ns", "txn_cut_ns"))
+      .filter(col("ts_ns") <= col("txn_cut_ns"))
+    val wP = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val parent = sliced
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("user_id"), col("event_id").as("p_event_id"),
+        col("event_type").as("p_type"), round(col("value"), 2).as("p_value"))
+    val wC = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val child = sliced
+      .withColumn("rn", row_number().over(wC))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("user_id"), col("event_type").as("child_type"),
+        col("event_id").as("c_event_id"), round(col("value"), 2).as("c_value"))
+    parent.join(child, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("child_type"), col("c_event_id"), col("c_value"),
+        col("p_event_id"), col("p_type"), col("p_value"),
+        when(col("p_event_id").isNull, "orphaned")
+          .when(col("child_type").isNull, "childless")
+          .otherwise("ok").as("status"),
+        col("p_event_id").isNotNull.as("served"))
+      .orderBy("user_id", "child_type")
+  }
+
   /** Deterministic split point for [[cdcIncrementalView]]: midpoint
     * of the commit-time range in INTEGER ns (min + (max−min) DIV 2 —
     * min+max would overflow ns-epoch longs). Pinned to the long
@@ -612,6 +676,7 @@ object CdcOps {
     "q_scd2_incremental" -> (scd2Incremental _),
     "q_cdc_envelope" -> (cdcEnvelope _),
     "q_cdc_incremental_view" -> (cdcIncrementalView _),
+    "q_cdc_txn_snapshot" -> (cdcTxnSnapshot _),
     "q_sessionize" -> (sessionize _),
     "q_sessionize_incremental" -> (sessionizeIncremental _),
     "q_session_overlap" -> (sessionOverlap _),
@@ -823,6 +888,42 @@ object CdcOps {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) = 1
         |  AND op <> 'd'
         |ORDER BY user_id""".stripMargin,
+    // the consistent multi-table cut recomputed end to end: the same
+    // op rule, the same integer midpoint watermark, both per-table
+    // compactions, the full-outer join and the orphan audit — a
+    // consumer cutting the tables at different positions diverges
+    "q_cdc_txn_snapshot" ->
+      """WITH env AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+        |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 THEN 'd'
+        |         WHEN event_type = 'signup' THEN 'c'
+        |         ELSE 'u' END AS op
+        |  FROM events
+        |), cut AS (
+        |  SELECT CAST(min(ts_ns) + (max(ts_ns) - min(ts_ns)) // 2 AS BIGINT) c FROM env
+        |), sl AS (
+        |  SELECT env.* FROM env, cut WHERE ts_ns <= c
+        |), p AS (
+        |  SELECT user_id, event_id p_event_id, event_type p_type,
+        |         round(value, 2) p_value
+        |  FROM sl
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |            ORDER BY ts_ns DESC, event_id DESC) = 1 AND op <> 'd'
+        |), c AS (
+        |  SELECT user_id, event_type child_type, event_id c_event_id,
+        |         round(value, 2) c_value
+        |  FROM sl
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |            ORDER BY ts_ns DESC, event_id DESC) = 1 AND op <> 'd'
+        |)
+        |SELECT user_id, child_type, c_event_id, c_value,
+        |       p_event_id, p_type, p_value,
+        |       CASE WHEN p_event_id IS NULL THEN 'orphaned'
+        |            WHEN child_type IS NULL THEN 'childless'
+        |            ELSE 'ok' END status,
+        |       (p_event_id IS NOT NULL) served
+        |FROM p FULL OUTER JOIN c USING (user_id)
+        |ORDER BY user_id, child_type""".stripMargin,
     "q_cdc_envelope" ->
       """WITH env AS (
         |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
