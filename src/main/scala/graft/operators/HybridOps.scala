@@ -188,11 +188,73 @@ object HybridOps {
       .select(col("probe_id"), col("vec_id").as("doc_id"), col("rnk").as("lex_rnk"))
   }
 
+  /** MMR trade-off weight λ in micro-units (0.7 — the standard
+    * relevance-leaning operating point). */
+  private[operators] val MmrLambdaMicro = 700000L
+
+  /** §2.H q_hybrid_mmr — retrieval DIVERSIFICATION: the one production
+    * retrieval op the fusion family lacked. The fused top-k
+    * (q_hybrid_rank's exact output, same arms/constants/tie-breaks) is
+    * greedily re-ranked by maximal marginal relevance (Carbonell &
+    * Goldstein 1998): pick argmax λ·rel − (1−λ)·max-sim-to-selected,
+    * so near-duplicate results are DEMOTED below less-relevant but
+    * diverse ones — the de-dup a RAG context window needs. Everything
+    * is integer micro-units (rel = the 6-decimal RRF × 1e6, sim = the
+    * 6-decimal candidate-pair cosine × 1e6, the objective in micro²,
+    * maxsim clamped at 0), so the oracle replays the greedy recurrence
+    * exactly as [[HybridTopK]] unrolled step CTEs over the SAME fused
+    * oracle chain. MmrSpec pins the recurrence against a driver
+    * replica and the planted duplicate-demotion.
+    *
+    * 100 TB shape: cost is k² per probe over the BOUNDED fused list —
+    * candidate pairs are ≤ probes × k² rows joined to exactly the
+    * candidates' embeddings (never corpus pairs); the greedy runs as
+    * one interpreted node per probe row ([[graft.plans
+    * .VectorExpressions.MmrSelectExpr]] — ≤ probes rows, not a hot
+    * path). Corpus cost stays exactly the fusion's.
+    */
+  def hybridMmr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val fused = hybridWith(spark, dir, AnnOps.exactCosineTopK(spark, dir, VecArmK))
+      .select(col("probe_id"), col("doc_id"),
+        round(col("rrf") * lit(1e6)).cast("long").as("relm"))
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorExpressions.normNative(col("embedding")).as("nrm"))
+    // a fused candidate may come from the LEXICAL arm alone and carry
+    // no embedding (the corpus outnumbers the vector table) — it stays
+    // a candidate; it simply has no similarity edges (maxsim 0), the
+    // oracle's exact treatment
+    val cand = fused.join(e, fused("doc_id") === e("vec_id")).drop("vec_id")
+    val lhs = cand.select(col("probe_id"), col("doc_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val rhs = cand.select(col("probe_id").as("pb"), col("doc_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = lhs.join(rhs, lhs("probe_id") === rhs("pb") && col("a") < col("b"))
+      .select(col("probe_id"), col("a"), col("b"),
+        round(round(VectorExpressions.cosineNative(
+          col("ea"), col("na"), col("eb"), col("nb")), 6) * lit(1e6))
+          .cast("long").as("simm"))
+    val cs = fused.groupBy("probe_id")
+      .agg(collect_list(struct(col("doc_id"), col("relm"))).as("cands"))
+    val ps = pairs.groupBy("probe_id")
+      .agg(collect_list(struct(col("a"), col("b"), col("simm"))).as("pairs"))
+    cs.join(ps, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        posexplode(VectorExpressions.mmrSelect(col("cands"), col("pairs"),
+          MmrLambdaMicro)).as(Seq("p", "s")))
+      .select(col("probe_id"), (col("p") + 1).cast("long").as("mmr_rnk"),
+        col("s.doc_id").as("doc_id"), col("s.rel_micro").as("rel_micro"),
+        col("s.maxsim_micro").as("maxsim_micro"), col("s.score_pm").as("score_pm"))
+      .orderBy("probe_id", "mmr_rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rank" -> (hybridRank _),
     "q_hybrid_rank_ivf" -> (hybridRankIvf _),
     "q_hybrid_rank_pp" -> (hybridRankPp _),
-    "q_hybrid_rank_pp_ivf" -> (hybridRankPpIvf _))
+    "q_hybrid_rank_pp_ivf" -> (hybridRankPpIvf _),
+    "q_hybrid_mmr" -> (hybridMmr _))
 
   /** The shared oracle skeleton: BM25 lexical arm (the SAME
     * [[TextOps.sqlBm25Cte]] chain the registered q_bm25 mirror is
@@ -283,6 +345,66 @@ object HybridOps {
        |), ${fusionTailSql(vecCte)}""".stripMargin
   }
 
+  /** The MMR oracle: the ENTIRE q_hybrid_rank oracle embedded verbatim
+    * as the `fz` CTE (zero drift — the fused list the greedy re-ranks
+    * IS the registered fusion's oracle output), candidate-pair cosines
+    * in micro, then [[HybridTopK]] unrolled greedy steps: per step the
+    * not-yet-picked candidate maximizing λ·rel − (1−λ)·maxsim (maxsim
+    * clamped at 0, ties to the smaller doc_id) joins the picked set.
+    */
+  private def mmrSql: String = {
+    val lam = MmrLambdaMicro
+    val lam1 = 1000000L - MmrLambdaMicro
+    def step(i: Int): String = {
+      val prev = s"picks${i - 1}"
+      // every picks$i is referenced TWICE by step i+1 — without
+      // MATERIALIZED the chain re-evaluates exponentially (2^k copies
+      // of the fusion CTE by the last step)
+      s"""ms$i AS MATERIALIZED (
+         |  SELECT f.probe_id, f.doc_id, f.relm,
+         |         greatest(coalesce(max(s.simm), 0), 0) ms
+         |  FROM fm f
+         |  LEFT JOIN $prev p ON p.probe_id = f.probe_id AND p.doc_id = f.doc_id
+         |  LEFT JOIN $prev q ON q.probe_id = f.probe_id
+         |  LEFT JOIN sm s ON s.probe_id = f.probe_id
+         |       AND ((s.a = f.doc_id AND s.b = q.doc_id)
+         |         OR (s.a = q.doc_id AND s.b = f.doc_id))
+         |  WHERE p.doc_id IS NULL
+         |  GROUP BY f.probe_id, f.doc_id, f.relm
+         |), pick$i AS MATERIALIZED (
+         |  SELECT probe_id, doc_id, relm, ms, $lam * relm - $lam1 * ms score
+         |  FROM ms$i
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY ($lam * relm - $lam1 * ms) DESC, doc_id) = 1
+         |), picks$i AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT probe_id, doc_id, $i rnk, relm, ms, score FROM pick$i
+         |)""".stripMargin
+    }
+    s"""WITH fz AS MATERIALIZED (
+       |${fusionSql(exactVecCte)}
+       |), fm AS (SELECT probe_id, doc_id, CAST(round(rrf * 1e6) AS BIGINT) relm FROM fz),
+       |em2 AS (SELECT vec_id, embedding FROM embeddings),
+       |sm AS MATERIALIZED (
+       |  SELECT x.probe_id, x.doc_id a, y.doc_id b,
+       |         CAST(round(${AnnOps.sqlCos("ea.embedding", "eb.embedding")} * 1e6) AS BIGINT) simm
+       |  FROM fm x JOIN fm y ON x.probe_id = y.probe_id AND x.doc_id < y.doc_id
+       |  JOIN em2 ea ON ea.vec_id = x.doc_id
+       |  JOIN em2 eb ON eb.vec_id = y.doc_id
+       |), picks0 AS (
+       |  SELECT CAST(NULL AS BIGINT) probe_id, CAST(NULL AS BIGINT) doc_id,
+       |         CAST(NULL AS INT) rnk, CAST(NULL AS BIGINT) relm,
+       |         CAST(NULL AS BIGINT) ms, CAST(NULL AS BIGINT) score
+       |  WHERE false
+       |),
+       |${(1 to HybridTopK).map(step).mkString(",\n")}
+       |SELECT probe_id, CAST(rnk AS BIGINT) mmr_rnk, doc_id,
+       |       relm rel_micro, ms maxsim_micro, score score_pm
+       |FROM picks$HybridTopK
+       |ORDER BY probe_id, mmr_rnk""".stripMargin
+  }
+
   /** The exact-cosine vector-arm CTE (the registered q_ann_topk
     * mirror at arm depth) — shared by the shared-lex and per-probe
     * fusions.
@@ -308,7 +430,12 @@ object HybridOps {
     "q_hybrid_rank_pp_ivf" -> ppFusionSql(ivfVecCte),
     // IVF arm (the registered q_ann_ivf mirror at arm depth) — same
     // fusion, only the arm changes
-    "q_hybrid_rank_ivf" -> fusionSql(ivfVecCte))
+    "q_hybrid_rank_ivf" -> fusionSql(ivfVecCte),
+    // the MMR greedy recurrence replayed exactly: the fused oracle
+    // chain embedded VERBATIM as a CTE (zero drift from q_hybrid_rank),
+    // candidate-pair cosines in micro, and HybridTopK unrolled
+    // argmax steps with the same λ, clamp and tie-break
+    "q_hybrid_mmr" -> mmrSql)
 
   /** The IVF vector-arm CTE (the registered q_ann_ivf mirror at arm
     * depth) — shared by the shared-lex and per-probe fusions.

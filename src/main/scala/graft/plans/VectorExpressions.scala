@@ -375,4 +375,128 @@ object VectorExpressions {
 
   def cosineNative(a: Column, aNorm: Column, b: Column, bNorm: Column): Column =
     dotNative(a, b) / (aNorm * bNorm)
+
+  /** GREEDY MMR selection over one probe's BOUNDED candidate list —
+    * maximal marginal relevance (Carbonell & Goldstein 1998):
+    * repeatedly pick argmax_c λ·rel(c) − (1−λ)·max_{s∈sel} sim(c, s),
+    * ties to the smaller doc_id; the first pick (empty selection) is
+    * the pure-relevance argmax. All scores are integer micro-units
+    * (λ in micro, rel and sim in micro, the objective in micro²), so
+    * the recurrence replays exactly in the DuckDB oracle's unrolled
+    * step CTEs and in GopSpec-style driver replicas.
+    *
+    * Inputs: `cands` = array<struct<doc_id long, relm long>> (≤ k per
+    * probe — the fused top-k, corpus-free), `pairs` = array<struct<a
+    * long, b long, simm long>> with a < b covering every candidate
+    * pair. One interpreted node per PROBE row (≤ probes rows total —
+    * never a hot path; the k² loop is ~100 ops), the ChunkHashesExpr
+    * stance: a tight JVM loop beats a giant HOF tree whose plan alone
+    * would dwarf the work.
+    */
+  case class MmrSelectExpr(cands: Expression, pairs: Expression, lambdaMicro: Long)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"mmr lambda must be in micro-units [0, 1e6], got $lambdaMicro")
+
+    override def left: Expression = cands
+    override def right: Expression = pairs
+
+    private val itemType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rel_micro", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("maxsim_micro", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score_pm", LongType, nullable = false)))
+
+    override def dataType: DataType = ArrayType(itemType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = (cands.dataType, pairs.dataType) match {
+      case (ArrayType(c: org.apache.spark.sql.types.StructType, _),
+            ArrayType(p: org.apache.spark.sql.types.StructType, _))
+        if c.fields.length == 2 && p.fields.length == 3 &&
+          c.fields.forall(_.dataType == LongType) && p.fields.forall(_.dataType == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mmr_select expects (array<struct<long,long>>, array<struct<long,long,long>>), got $other")
+    }
+
+    // a probe with < 2 candidates legitimately has NO pair rows — a
+    // null pairs input means "no similarities", not "no answer"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val cv = cands.eval(input)
+      if (cv == null) null
+      else nullSafeEval(cv,
+        Option(pairs.eval(input)).getOrElse(new GenericArrayData(Array.empty[Any])))
+    }
+
+    override def nullSafeEval(cv: Any, pv: Any): Any = {
+      val cs = cv.asInstanceOf[ArrayData]
+      val ps = pv.asInstanceOf[ArrayData]
+      val n = cs.numElements()
+      val ids = new Array[Long](n)
+      val rel = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val r = cs.getStruct(i, 2)
+        ids(i) = r.getLong(0); rel(i) = r.getLong(1)
+        i += 1
+      }
+      val sim = new java.util.HashMap[Long, java.util.HashMap[Long, Long]]()
+      def put(x: Long, y: Long, s: Long): Unit = {
+        val m = sim.computeIfAbsent(x, _ => new java.util.HashMap[Long, Long]())
+        m.put(y, s)
+      }
+      i = 0
+      while (i < ps.numElements()) {
+        val r = ps.getStruct(i, 3)
+        put(r.getLong(0), r.getLong(1), r.getLong(2))
+        put(r.getLong(1), r.getLong(0), r.getLong(2))
+        i += 1
+      }
+      val lam1 = 1000000L - lambdaMicro
+      val taken = new Array[Boolean](n)
+      val out = new Array[Any](n)
+      var step = 0
+      while (step < n) {
+        var bestIdx = -1; var bestScore = 0L; var bestMs = 0L
+        var c = 0
+        while (c < n) {
+          if (!taken(c)) {
+            // maxsim is clamped at 0: a negatively-similar selected
+            // item exerts no diversity penalty (mirrored in the oracle)
+            var ms = 0L
+            val m = sim.get(ids(c))
+            var s = 0
+            while (s < n) {
+              if (taken(s) && m != null) {
+                val v = m.getOrDefault(ids(s), 0L)
+                if (v > ms) ms = v
+              }
+              s += 1
+            }
+            val score = lambdaMicro * rel(c) - lam1 * ms
+            if (bestIdx < 0 || score > bestScore ||
+              (score == bestScore && ids(c) < ids(bestIdx))) {
+              bestIdx = c; bestScore = score; bestMs = ms
+            }
+          }
+          c += 1
+        }
+        taken(bestIdx) = true
+        out(step) = org.apache.spark.sql.catalyst.InternalRow(
+          ids(bestIdx), rel(bestIdx), bestMs, bestScore)
+        step += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(cands = l, pairs = r)
+  }
+
+  /** `mmrSelect(cands, pairs, λ_micro)`: the greedy MMR pick order as
+    * array<struct<doc_id, rel_micro, maxsim_micro, score_pm>>. */
+  def mmrSelect(cands: Column, pairs: Column, lambdaMicro: Long): Column =
+    ColumnBridge.column(MmrSelectExpr(ColumnBridge.expression(cands),
+      ColumnBridge.expression(pairs), lambdaMicro))
 }

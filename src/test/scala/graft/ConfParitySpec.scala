@@ -54,7 +54,7 @@ class ConfParitySpec extends AnyFunSuite {
     // layout) and the 132-weight n-gram training loop (the LrGradAgg
     // gradient must be order/partition-free; retrained per variant)
     "q_gop_frames", "q_gop_seek", "q_quality_lr_ngram",
-    "q_quality_lr_ngram_score", "q_cdc_txn_snapshot")
+    "q_quality_lr_ngram_score", "q_cdc_txn_snapshot", "q_hybrid_mmr")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
