@@ -31,6 +31,12 @@ class AuditBaselineSpec extends AnyFunSuite {
     "q_minhash_est_error" -> Map("shinglesexpr" -> 2, "shinglepostingsgen" -> 2, "md5(" -> 6), // minhash baseline + est path
     "q_minhash_recall" -> Map("shinglepostingsgen" -> 2, "md5(" -> 4), // truth + found pipelines
     "q_scd2_incremental" -> Map("md5(" -> 2),              // base/delta op tags
+    // the shared-watermark slice feeds TWO per-table compactions
+    // (parent window on user_id, child window on user_id × type), so
+    // the per-row-cheap op tag evaluates once per table branch —
+    // re-running one md5 per row beats materializing the slice, the
+    // q_scd2_incremental two-branch adjudication shape
+    "q_cdc_txn_snapshot" -> Map("md5(" -> 2),
     // funnel readout: the flagged single-scan frame feeds TWO
     // consumers (the 5-stage count aggregation and the survivor-
     // bounded cap-count branch), so its two content hashes evaluate

@@ -12,7 +12,15 @@ ADD_OPENS=(
 )
 OPENS_FLAGS=()
 for p in "${ADD_OPENS[@]}"; do OPENS_FLAGS+=(--add-opens "$p=ALL-UNNAMED"); done
-exec java "${OPENS_FLAGS[@]}" \
+# GC telemetry for bench-outlier attribution (the round-17 verdict's
+# ask): SPARK_GRAFT_GC_LOG=<path> adds unified JVM GC logging, so an
+# anomalous bench reading carries evidence (GC pauses vs plan cost)
+# instead of needing a pure-weather adjudication after the fact.
+GC_FLAGS=()
+if [ -n "${SPARK_GRAFT_GC_LOG:-}" ]; then
+  GC_FLAGS+=("-Xlog:gc*:file=${SPARK_GRAFT_GC_LOG}:time,uptime")
+fi
+exec java "${OPENS_FLAGS[@]}" "${GC_FLAGS[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dlog4j2.level=warn \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
