@@ -19,7 +19,10 @@ for p in $(seq 1 "$PASSES"); do
   (cd "$REPO" && SPARK_GRAFT_SF_DIR=$SF \
     SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-4} \
     SPARK_GRAFT_GC_LOG=$TMP/gc_$p.log \
-    tools/run.sh graft.Bench "${QUERIES[@]}" > "$TMP/pass_$p.json")
+    tools/run.sh graft.Bench "${QUERIES[@]}" >/dev/null)
+  # Bench writes the per-query JSON to bench_queries.json (stdout can
+  # carry logger noise — the interleave.sh discipline)
+  cp "$REPO/bench_queries.json" "$TMP/pass_$p.json"
 done
 
 python3 - "$SF" "$PASSES" "$TMP" "$OUT" <<'EOF'
