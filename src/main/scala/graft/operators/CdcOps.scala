@@ -196,6 +196,67 @@ object CdcOps {
         expr(s"cut_ns DIV $NsPerSec").as("cut_s"))
   }
 
+  /** §2.F q_scd2_lookup — the everyday warehouse temporal join the
+    * history exists FOR: every fact row (here: every event) joined to
+    * the SCD2 dimension version valid at ITS OWN commit time —
+    * `valid_from ≤ T_fact < valid_to` per key, open intervals to ∞.
+    * [[scd2SnapshotAt]] answers one global cut; this answers each
+    * fact's own cut, which is what fact-table enrichment, training-
+    * snapshot reproduction and late-arriving-fact reprocessing all do.
+    *
+    * Tombstone gaps are REAL gaps: a fact inside a key's dead interval
+    * (after a delete, before any re-insert) gets NO version — the row
+    * stays (|facts| in, |facts| out, the audit-friendly shape) with
+    * NULL dim columns and `has_version` = false. A fact that is itself
+    * a non-delete change sees its OWN version (its change is the
+    * newest at ≤ its instant); a delete-fact sees none (the delete
+    * closed the prior interval AT its instant, `[from, to)`).
+    *
+    * Spark-first plan: [[AsOfJoin.backward]] — both sides tagged,
+    * unioned, ONE shuffle on user_id, a last-ignore-nulls carry — so
+    * the cost is a single keyed exchange+sort however many facts each
+    * version serves; there is NO interval-join pair blowup and no
+    * per-fact probe. The carried version's `valid_to` then decides
+    * liveness (the dead-interval null-out). The ORACLE is the
+    * per-event interval lookup in SQL (LEFT JOIN on the containment
+    * predicate), which ALSO re-proves interval disjointness
+    * corpus-wide: any overlapping pair of versions would match some
+    * fact twice, inflate the oracle's row count past |facts|, and
+    * diverge the gate. Scd2LookupSpec pins lookup(T_fact) ≡
+    * [[scd2SnapshotAt]]'s containment rule per fact on a planted
+    * delete/resurrect chain, dead-interval facts included.
+    *
+    * 100 TB shape: one user-keyed window shuffle (the [[scd2]] cost)
+    * + the as-of union shuffle. No range join, no broadcast of the
+    * (fact-sized) left or (history-sized) right side.
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame =
+    scd2LookupFrom(changeFeed(spark, dir), Tables.events(spark, dir))
+
+  private[graft] def scd2LookupFrom(feed: DataFrame, facts: DataFrame): DataFrame = {
+    val dim = histNs(feed).select(col("user_id"), col("ts_ns"),
+      col("event_id").as("dim_event_id"), col("event_type").as("dim_type"),
+      round(col("value"), 2).as("dim_value"), col("valid_to_ns"))
+    val f = facts.select(col("user_id"), col("event_id").as("fact_id"),
+      col("event_type").as("fact_type"), col("ts_ns"))
+    // payload tie-break = (ts, dim_event_id, …): same-instant versions
+    // resolve exactly as the history's lead() ordering (ts_ns, event_id)
+    val j = AsOfJoin.backward(f, dim, Seq("user_id"), "ts_ns", "ts_ns",
+      Seq("dim_event_id", "dim_type", "dim_value", "valid_to_ns"))
+    // the matched version must still be OPEN at the fact's instant:
+    // valid_to ≤ T means the fact sits in a dead (tombstoned) gap or
+    // an empty same-instant interval — no version, by the snapshot rule
+    val live = col("_asof_t").isNotNull &&
+      (col("_asof_valid_to_ns").isNull || col("_asof_valid_to_ns") > col("ts_ns"))
+    j.select(col("user_id"), col("fact_id"), col("fact_type"),
+      expr(s"ts_ns DIV $NsPerSec").as("fact_s"),
+      when(live, col("_asof_dim_event_id")).as("dim_event_id"),
+      when(live, col("_asof_dim_type")).as("dim_type"),
+      when(live, col("_asof_dim_value")).as("dim_value"),
+      when(live, expr(s"_asof_t DIV $NsPerSec")).as("valid_from_s"),
+      live.as("has_version"))
+  }
+
   /** The change feed carried through the JSON wire format and back —
     * the source-connector path end to end: envelope render
     * ([[graft.sources.CdcEnvelope.serialize]], the Kafka-shaped value
@@ -674,6 +735,7 @@ object CdcOps {
     "q_scd2" -> (scd2 _),
     "q_scd2_snapshot_at" -> (scd2SnapshotAt _),
     "q_scd2_incremental" -> (scd2Incremental _),
+    "q_scd2_lookup" -> (scd2Lookup _),
     "q_cdc_envelope" -> (cdcEnvelope _),
     "q_cdc_incremental_view" -> (cdcIncrementalView _),
     "q_cdc_txn_snapshot" -> (cdcTxnSnapshot _),
@@ -850,6 +912,39 @@ object CdcOps {
          |       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_bound
          |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_scd2_snapshot_at" -> sqlScd2SnapshotAt,
+    // the per-event interval lookup: every event LEFT-joined to the
+    // version whose [valid_from, valid_to) contains its instant. The
+    // containment join ALSO re-proves interval disjointness corpus-
+    // wide — an overlapping version pair would match some fact twice
+    // and inflate the row count past |events|, diverging the gate.
+    "q_scd2_lookup" ->
+      """WITH env AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+        |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 THEN 'd'
+        |         WHEN event_type = 'signup' THEN 'c'
+        |         ELSE 'u' END AS op
+        |  FROM events
+        |), h AS (
+        |  SELECT user_id, event_id, op, event_type, value, ts_ns,
+        |    lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS valid_to_ns
+        |  FROM env
+        |), f AS (
+        |  SELECT user_id, event_id AS fact_id, event_type AS fact_type,
+        |         epoch_ns(ts) AS ts_ns
+        |  FROM events
+        |)
+        |SELECT f.user_id, fact_id, fact_type,
+        |  f.ts_ns // 1000000000 AS fact_s,
+        |  h.event_id AS dim_event_id,
+        |  h.event_type AS dim_type,
+        |  round(h.value, 2) AS dim_value,
+        |  h.ts_ns // 1000000000 AS valid_from_s,
+        |  h.event_id IS NOT NULL AS has_version
+        |FROM f LEFT JOIN h
+        |  ON f.user_id = h.user_id AND h.op <> 'd'
+        | AND h.ts_ns <= f.ts_ns
+        | AND (h.valid_to_ns IS NULL OR h.valid_to_ns > f.ts_ns)
+        |ORDER BY f.user_id, fact_id""".stripMargin,
     "q_rate_anomaly" ->
       """WITH h AS (
         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour, count(*) n

@@ -200,7 +200,7 @@ object HybridOps {
     * so near-duplicate results are DEMOTED below less-relevant but
     * diverse ones — the de-dup a RAG context window needs. Everything
     * is integer micro-units (rel = the 6-decimal RRF × 1e6, sim = the
-    * 6-decimal candidate-pair cosine × 1e6, the objective in micro²,
+    * candidate-pair cosine rounded once to micro, the objective in micro²,
     * maxsim clamped at 0), so the oracle replays the greedy recurrence
     * exactly as [[HybridTopK]] unrolled step CTEs over the SAME fused
     * oracle chain. MmrSpec pins the recurrence against a driver
@@ -230,10 +230,13 @@ object HybridOps {
       col("embedding").as("ea"), col("nrm").as("na"))
     val rhs = cand.select(col("probe_id").as("pb"), col("doc_id").as("b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
+    // ONE round, identical to the oracle's CAST(round(cos * 1e6) AS
+    // BIGINT) — a 6-decimal pre-round here would double-round and
+    // could diverge the hash on a cosine near a half-micro boundary
     val pairs = lhs.join(rhs, lhs("probe_id") === rhs("pb") && col("a") < col("b"))
       .select(col("probe_id"), col("a"), col("b"),
-        round(round(VectorExpressions.cosineNative(
-          col("ea"), col("na"), col("eb"), col("nb")), 6) * lit(1e6))
+        round(VectorExpressions.cosineNative(
+          col("ea"), col("na"), col("eb"), col("nb")) * lit(1e6))
           .cast("long").as("simm"))
     val cs = fused.groupBy("probe_id")
       .agg(collect_list(struct(col("doc_id"), col("relm"))).as("cands"))

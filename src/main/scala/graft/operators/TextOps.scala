@@ -1008,7 +1008,7 @@ object TextOps {
     * vocabulary-free hashing is what makes the model 100 TB-shaped:
     * no feature dictionary ever exists, the feature frame is one
     * explode + two keyed aggregations, and the trained artifact is
-    * 129 longs.
+    * (1 + NgramDim) = 132 longs.
     */
   /** n-gram model dimensionality: the 3 scalar micro features PLUS the
     * 128 hashed buckets — a strict SUPERSET of the 4-feature model's
@@ -1080,7 +1080,7 @@ object TextOps {
   }
 
   /** The session's ONE n-gram training run per dir (the [[lrTrained]]
-    * memo discipline: only the 129-long weight vector is retained; the
+    * memo discipline: only the (1 + NgramDim)-long weight vector is retained; the
     * feature frame is persisted for the loop and released when
     * training ends). */
   private val lrNgramMemo =
@@ -1100,8 +1100,9 @@ object TextOps {
     * the q_dsir_weights 128-bucket hashed unigram+bigram space. Same
     * training discipline as q_quality_lr — micro-unit longs end to
     * end, the table sigmoid, round-half-up gradient averages, decimal
-    * sums — so the DuckDB oracle unrolls the SAME 20 GD steps over the
-    * SAME hashed features and must reproduce all 129 weights exactly.
+    * sums — so the DuckDB oracle unrolls the SAME [[NgramSteps]] (80) GD
+    * steps over the SAME hashed features and must reproduce all
+    * (1 + NgramDim) = 132 weights exactly.
     * The feature space is a strict SUPERSET of the 4-feature model
     * (the 3 scalar micro features plus the 128 hashed buckets), so the
     * n-gram model can only add signal to the baseline it extends.
@@ -1120,7 +1121,7 @@ object TextOps {
   }
 
   /** §2.I q_quality_lr_ngram_score — the SERVE side of the n-gram
-    * classifier (the q_quality_lr_score contract on the 129-weight
+    * classifier (the q_quality_lr_score contract on the 132-weight
     * model): every document scored by the codegen'd vector sigmoid,
     * per-doc probability + keep/drop decision + the rule label it
     * distills — accuracy is hash-gated PER DOCUMENT, not summarized.
@@ -1275,8 +1276,9 @@ object TextOps {
        |ws0 AS (SELECT 0::BIGINT w0, 0::BIGINT w1, 0::BIGINT w2, 0::BIGINT w3),
        |${(1 to LrSteps).map(sqlLrStep).mkString(",\n")}""".stripMargin
 
-  /** The VECTOR integer sigmoid in SQL: z from the in-scope 129-long
-    * weight LIST `w` (w[1] = bias, w[b+2] = bucket b) and the 128-long
+  /** The VECTOR integer sigmoid in SQL: z from the in-scope
+    * (1 + NgramDim) = 132-long weight LIST `w` (w[1] = bias,
+    * w[j+2] = feature j) and the NgramDim (131)-long
     * feature list `xs`, same pmod-then-divide floor division, clamp,
     * and table interpolation as [[sqlPmExpr]]. Magnitudes match the
     * Spark-side [[graft.plans.TextExpressions.lrSigmoidVecCompute]]
@@ -1410,10 +1412,10 @@ object TextOps {
          |  ($sqlPmExpr >= 500000) pred_keep,
          |  (y = 1.0) rule_keep
          |FROM f CROSS JOIN ws$LrSteps CROSS JOIN sig ORDER BY doc_id""".stripMargin,
-    // the 129-weight trained artifact recomputed end to end: the same
+    // the 132-weight trained artifact recomputed end to end: the same
     // hashed unigram+bigram features (the q_dsir_weights mirror), the
-    // same table sigmoid, the same 20 integer GD steps — the whole
-    // fastText-shaped training loop through the hash gate
+    // same table sigmoid, the same NgramSteps (80) integer GD steps —
+    // the whole fastText-shaped training loop through the hash gate
     "q_quality_lr_ngram" ->
       s"""WITH $sqlNgramPrefix
          |SELECT CAST(t.j - 1 AS BIGINT) feat, CAST(w[t.j + 1] AS BIGINT) w_micro

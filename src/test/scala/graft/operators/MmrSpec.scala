@@ -88,12 +88,13 @@ class MmrSpec extends AnyFunSuite {
     val e = graft.sources.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // ONE half-up round to micro — the query/oracle contract (a
+    // 6-decimal pre-round would double-round near half-micro edges)
     def cos6(a: Array[Double], b: Array[Double]): Long = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      val c = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      math.round(c * 1e6)
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
     out.foreach { case (_, rows) =>
       val cands = rows.map(r => (r.getLong(2), r.getLong(3))).toSeq
