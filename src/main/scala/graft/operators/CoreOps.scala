@@ -299,14 +299,28 @@ object CoreOps {
     * Used by [[approxDistinct]] (keyed by event_type) and
     * [[profileApprox]] (keyed by column name).
     */
-  private def hllEstimate(keyed: DataFrame, key: String): DataFrame = {
-    val regs = keyed
+  private def hllEstimate(keyed: DataFrame, key: String): DataFrame =
+    hllFromRegs(hllRegisters(keyed, Seq(key)), Seq(key))
+
+  /** The register build half of the pipeline: input (keys…, h),
+    * output (keys…, bucket, rho) — the sparse register table, ≤ m rows
+    * per key, mergeable across shards AND across keys by max (the
+    * property [[hllOverlap]]'s union sketch is built on).
+    */
+  private[operators] def hllRegisters(keyed: DataFrame, keys: Seq[String]): DataFrame =
+    keyed
       .withColumn("bucket", expr(s"h % $HllM"))
       .withColumn("w", expr(s"h DIV $HllM"))
       .withColumn("rho",
         when(col("w") === 0, HllRegBits).otherwise(lit(HllRegBits) - length(bin(col("w")))))
-      .groupBy(col(key), col("bucket")).agg(max("rho").as("rho"))
-    regs.groupBy(col(key))
+      .groupBy((keys :+ "bucket").map(col): _*).agg(max("rho").as("rho"))
+
+  /** The estimate half: a register table (keys…, bucket, rho) → one
+    * (keys…, est) row per key group — integer scaled sum, small-range
+    * correction, identical expressions on both engines.
+    */
+  private[operators] def hllFromRegs(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*)
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllRegBits - rho AS INT))")).as("s_present"),
         count(lit(1)).as("nb"))
       .withColumn("v", lit(HllM.toLong) - col("nb"))
@@ -316,8 +330,7 @@ object CoreOps {
         when(col("e_raw") <= lit(2.5 * HllM) && col("v") > 0,
           lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
           .otherwise(col("e_raw")))
-      .select(col(key), col("est"))
-  }
+      .select(keys.map(col) :+ col("est"): _*)
 
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -366,6 +379,75 @@ object CoreOps {
         round(col("est"), 2).as("hll_est"),
         round((col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
       .orderBy("column")
+  }
+
+  /** §2.E q_hll_overlap — HLL SET ALGEBRA over the per-type user
+    * sketches: for every event_type pair, the UNION distinct-user
+    * estimate from the pairwise register MAX (exact for HLL —
+    * merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B), the shard-merge
+    * property [[HllSketchSpec]] proves, applied across KEYS instead of
+    * shards) and the INTERSECTION estimate via inclusion–exclusion
+    * (est_a + est_b − est_union — signed: I–E over sketches can go
+    * negative on small overlaps, and the signed error vs exact is part
+    * of the output). The standard 100 TB segment-overlap workload:
+    * audience overlap, cross-surface reach, dedup planning — answered
+    * from sketches a thousandth the data size.
+    *
+    * The exact countDistinct columns ride along as the test-scale
+    * audit (the [[approxDistinct]] discipline): n per type, exact
+    * intersection from the deduped (type, user) self-join, exact union
+    * by |A|+|B|−|A∩B|.
+    *
+    * 100 TB shape: events stream ONCE into the register build (keyed
+    * groupBy max, map-side combined, ≤ m·|types| rows) and once into
+    * the exact audit (which a production run drops); every pair
+    * operation — the |types|² pair frame, the register-max union
+    * sketch, the I–E arithmetic — runs on SKETCH-sized frames, never
+    * on events. Adding a segment never reshuffles the corpus: its
+    * registers merge in.
+    */
+  def hllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val regs = hllRegisters(e.select(col("event_type"), h.as("h")), Seq("event_type"))
+    val perType = hllFromRegs(regs, Seq("event_type"))
+    val pairs = perType.select(col("event_type").as("type_a"), col("est").as("est_a"))
+      .crossJoin(perType.select(col("event_type").as("type_b"), col("est").as("est_b")))
+      .filter(col("type_a") < col("type_b"))
+    // union sketch per pair: each type's registers contribute to every
+    // pair they belong to; bucket-wise MAX is the HLL merge
+    val pairKeys = pairs.select("type_a", "type_b")
+    val uRegs = regs.join(broadcast(pairKeys),
+        regs("event_type") === pairKeys("type_a") ||
+          regs("event_type") === pairKeys("type_b"))
+      .groupBy("type_a", "type_b", "bucket").agg(max("rho").as("rho"))
+    val uEst = hllFromRegs(uRegs, Seq("type_a", "type_b"))
+      .withColumnRenamed("est", "est_u")
+    // exact audit: deduped (type, user) → per-type counts + pair
+    // intersections (absent pair = zero overlap)
+    val xt = e.select("event_type", "user_id").distinct()
+    val nx = xt.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ni = xt.select(col("event_type").as("type_a"), col("user_id"))
+      .join(xt.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter"))
+    val interEst = col("est_a") + col("est_b") - col("est_u")
+    val interExact = coalesce(col("n_inter"), lit(0L))
+    val unionExact = col("na") + col("nb") - interExact
+    pairs
+      .join(uEst, Seq("type_a", "type_b"))
+      .join(broadcast(nx.select(col("event_type").as("type_a"), col("n").as("na"))), "type_a")
+      .join(broadcast(nx.select(col("event_type").as("type_b"), col("n").as("nb"))), "type_b")
+      .join(ni, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        col("na").as("n_exact_a"), col("nb").as("n_exact_b"),
+        unionExact.as("n_union_exact"), interExact.as("n_inter_exact"),
+        round(col("est_u"), 2).as("hll_union"),
+        round(interEst, 2).as("hll_inter"),
+        round((col("est_u") - unionExact) / unionExact, 4).as("err_union"),
+        round(interEst - interExact, 2).as("err_inter"))
+      .orderBy("type_a", "type_b")
   }
 
   /** The skew mitigation [[skewProfile]] motivates, exercised end to
@@ -584,6 +666,7 @@ object CoreOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (approxDistinct _),
+    "q_hll_overlap" -> (hllOverlap _),
     "q_bloom_semi_join" -> (bloomSemiJoin _),
     "q_value_outliers" -> (valueOutliers _),
     "q_value_outliers_robust" -> (valueOutliersRobust _),
@@ -642,6 +725,72 @@ object CoreOps {
         |FROM events e JOIN s USING (event_type)
         |WHERE sd > 0 AND abs(round((value - mu) / sd, 6)) >= 3.0
         |ORDER BY event_type, event_id""".stripMargin,
+    // the whole set-algebra pipeline recomputed: per-type registers,
+    // pairwise register-MAX union sketches, inclusion–exclusion
+    // intersections, and the exact audits — the same named constants
+    "q_hll_overlap" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events
+         |), r AS (
+         |  SELECT event_type, h % $HllM AS bucket,
+         |         max(CASE WHEN h // $HllM = 0 THEN $HllRegBits
+         |                  ELSE $HllRegBits - length(bin(h // $HllM)) END) AS rho
+         |  FROM h GROUP BY event_type, bucket
+         |), e1 AS (
+         |  SELECT event_type,
+         |         CASE WHEN ($HllC / s) <= ${2.5 * HllM} AND v > 0
+         |              THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v)
+         |              ELSE $HllC / s END AS est
+         |  FROM (
+         |    SELECT event_type,
+         |           CAST(sum(1::BIGINT << ($HllRegBits - rho)) AS BIGINT)
+         |             + ($HllM - count(*)) * $HllTwoPow51 AS s,
+         |           $HllM - count(*) AS v
+         |    FROM r GROUP BY event_type)
+         |), pr AS (
+         |  SELECT a.event_type type_a, a.est est_a, b.event_type type_b, b.est est_b
+         |  FROM e1 a JOIN e1 b ON a.event_type < b.event_type
+         |), ur AS (
+         |  SELECT type_a, type_b, bucket, max(rho) rho
+         |  FROM r JOIN pr ON r.event_type = pr.type_a OR r.event_type = pr.type_b
+         |  GROUP BY type_a, type_b, bucket
+         |), ue AS (
+         |  SELECT type_a, type_b,
+         |         CASE WHEN ($HllC / s) <= ${2.5 * HllM} AND v > 0
+         |              THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v)
+         |              ELSE $HllC / s END AS est_u
+         |  FROM (
+         |    SELECT type_a, type_b,
+         |           CAST(sum(1::BIGINT << ($HllRegBits - rho)) AS BIGINT)
+         |             + ($HllM - count(*)) * $HllTwoPow51 AS s,
+         |           $HllM - count(*) AS v
+         |    FROM ur GROUP BY type_a, type_b)
+         |), xt AS (SELECT DISTINCT event_type, user_id FROM events),
+         |nx AS (SELECT event_type, count(*) n FROM xt GROUP BY event_type),
+         |ni AS (
+         |  SELECT a.event_type type_a, b.event_type type_b, count(*) n_inter
+         |  FROM xt a JOIN xt b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2
+         |)
+         |SELECT pr.type_a, pr.type_b,
+         |  CAST(na.n AS BIGINT) n_exact_a,
+         |  CAST(nb.n AS BIGINT) n_exact_b,
+         |  CAST(na.n + nb.n - coalesce(ni.n_inter, 0) AS BIGINT) n_union_exact,
+         |  CAST(coalesce(ni.n_inter, 0) AS BIGINT) n_inter_exact,
+         |  round(est_u, 2) hll_union,
+         |  round(est_a + est_b - est_u, 2) hll_inter,
+         |  round((est_u - (na.n + nb.n - coalesce(ni.n_inter, 0)))
+         |        / (na.n + nb.n - coalesce(ni.n_inter, 0)), 4) err_union,
+         |  round((est_a + est_b - est_u) - coalesce(ni.n_inter, 0), 2) err_inter
+         |FROM pr
+         |JOIN ue USING (type_a, type_b)
+         |JOIN nx na ON na.event_type = pr.type_a
+         |JOIN nx nb ON nb.event_type = pr.type_b
+         |LEFT JOIN ni ON ni.type_a = pr.type_a AND ni.type_b = pr.type_b
+         |ORDER BY type_a, type_b""".stripMargin,
     "q_approx_distinct" ->
       s"""WITH h AS (
          |  SELECT event_type,
