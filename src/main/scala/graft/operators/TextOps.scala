@@ -400,6 +400,97 @@ object TextOps {
         round(avg(-log(col("p"))), 6).as("xent2"))
   }
 
+  /** Interpolation weights for [[lmTrigram]] — λ₁ (trigram), λ₂
+    * (bigram backoff), λ₃ (unigram backoff): a fixed Jelinek–Mercer
+    * operating point (trigram-leaning, the standard hand-set mix when
+    * no held-out EM tuning is in the loop). One Scala double each,
+    * embedded identically in both engines.
+    */
+  private[operators] val Lm3L1 = 0.5
+  private[operators] val Lm3L2 = 0.3
+  private[operators] val Lm3L3 = 0.2
+
+  /** [[lmTrigram]]'s flag threshold on the corpus z-score — one-sided
+    * (only HIGH xent is unnatural), decided on the ROUNDED z (the
+    * q_rate_anomaly engine-portable decision discipline). 2σ, not 3:
+    * the per-doc xent distribution is tight (the mix's unigram floor
+    * compresses the right tail), so the anomaly bar sits lower than
+    * the volumetric monitor's.
+    */
+  private[operators] val Lm3FlagZ = 2.0
+
+  /** Trigram language-model scoring with interpolated backoff — the
+    * next rung of the LM-filter ladder above [[lmBigram]] (the
+    * direction of CCNet's 5-gram KenLM): per document, the
+    * cross-entropy of its trigram stream under the Jelinek–Mercer mix
+    * p = λ₁·p₃(t3|t1t2) + λ₂·p₂(t3|t2) + λ₃·p₁(t3). Pure-MLE trigram
+    * (lmBigram's in-corpus trick one order up) saturates — most
+    * trigrams are near-unique, p₃ ≈ 1, every doc scores alike; the
+    * backoff mix is what makes the order-3 signal usable: a RARE
+    * trigram made of COMMON parts (word salad from frequent words)
+    * keeps high backoff mass and scores unnatural, exactly the
+    * sequence defect MLE bigram under-weighs. All three distributions
+    * are counted over the SAME trigram-position stream, so each
+    * normalizes over identical events (Σp = 1 per context — the
+    * property a legal mixture needs). `flagged` z-scores each doc's
+    * round-6 xent against the corpus mean/population σ and fires at
+    * z ≥ [[Lm3FlagZ]] on the ROUNDED z (corpus-relative, so the flag
+    * keeps meaning at any scale; a fixed absolute bar would go
+    * degenerate the moment the corpus mix shifts).
+    *
+    * 100 TB shape: ONE stream aggregation (trigram counts, map-side
+    * combined) then all four backoff tables derive from the
+    * VOCABULARY-sized gram table (localCheckpoint'd once — without it
+    * every derived table re-runs the corpus explode); the model join
+    * back is token-keyed and corpus-derived on both sides, so nothing
+    * is broadcast-hinted (the [[lmScore]] discipline); no windows.
+    */
+  def lmTrigram(spark: SparkSession, dir: String): DataFrame =
+    lmTrigramFrom(Tables.documents(spark, dir))
+
+  /** Over an explicit documents frame — the spec plants a shuffled-
+    * token doc against its natural twin. */
+  private[graft] def lmTrigramFrom(docs: DataFrame): DataFrame = {
+    import graft.functions.Hashing
+    val toks = split(col("text"), " ")
+    def stream = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), explode(Hashing.shingles(toks, 3)).as("g"))
+    // the gram table: counts + the backoff keys derived from the gram
+    // STRING (vocabulary-sized; eager localCheckpoint because FIVE
+    // consumers below would each re-run the corpus explode+aggregate)
+    val grams = stream.groupBy("g").agg(count(lit(1)).as("ct"))
+      .withColumn("p12", substring_index(col("g"), " ", 2))
+      .withColumn("t3", substring_index(col("g"), " ", -1))
+      .withColumn("t2", substring_index(col("p12"), " ", -1))
+      .withColumn("b23", concat_ws(" ", col("t2"), col("t3")))
+      .localCheckpoint(true)
+    val cp = grams.groupBy("p12").agg(sum("ct").as("cp"))
+    val cb = grams.groupBy("b23").agg(sum("ct").as("cb"))
+    val c2 = grams.groupBy("t2").agg(sum("ct").as("c2"))
+    val cu = grams.groupBy("t3").agg(sum("ct").as("cu"))
+    val nn = grams.agg(sum("ct").as("nn"))
+    val model = grams
+      .join(cp, "p12").join(cb, "b23").join(c2, "t2").join(cu, "t3")
+      .crossJoin(broadcast(nn))
+      .withColumn("p",
+        lit(Lm3L1) * col("ct") / col("cp") +
+          lit(Lm3L2) * col("cb") / col("c2") +
+          lit(Lm3L3) * col("cu") / col("nn"))
+      .select("g", "p")
+    val perDoc = stream.join(model, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        round(avg(-log(col("p"))), 6).as("xent3"))
+    // corpus stats: one-row broadcast (σ = 0 pins z = 0 explicitly)
+    val stats = perDoc.agg(avg("xent3").as("mu"), stddev_pop("xent3").as("sigma"))
+    val z = when(col("sigma") > 0,
+      round((col("xent3") - col("mu")) / col("sigma"), 4)).otherwise(lit(0.0))
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_trigrams"), col("xent3"), z.as("z3"))
+      .withColumn("flagged", col("z3") >= Lm3FlagZ)
+  }
+
   /** Percentile-based quality cutoff — the corpus-statistics filter a
     * real curation pipeline runs ("keep the top half per language"),
     * composed from two existing primitives: [[qualityCol]] and the
@@ -1196,6 +1287,7 @@ object TextOps {
     "q_repetition" -> (repetition _),
     "q_lm_score" -> (lmScore _),
     "q_lm_bigram" -> (lmBigram _),
+    "q_lm_trigram" -> (lmTrigram _),
     "q_boilerplate" -> (boilerplate _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
@@ -1589,6 +1681,44 @@ object TextOps {
         |       round(avg(-ln(p)), 6) xent2
         |FROM bg JOIN model USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the interpolated-backoff model recomputed end to end: the same
+    // trigram-position stream feeds ALL counts (trigram, prefix,
+    // suffix-bigram, unigram, total), the same λ mix, the same round-6
+    // xent and the same integer-micro flag decision
+    "q_lm_trigram" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |tg AS (
+         |  SELECT doc_id, array_to_string(toks[i : i + 2], ' ') g
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)
+         |), gr AS (
+         |  SELECT g, count(*) ct,
+         |         array_to_string(string_split(g, ' ')[1:2], ' ') p12,
+         |         string_split(g, ' ')[2] t2,
+         |         string_split(g, ' ')[3] t3,
+         |         array_to_string(string_split(g, ' ')[2:3], ' ') b23
+         |  FROM tg GROUP BY g
+         |), cp AS (SELECT p12, sum(ct) cp FROM gr GROUP BY p12),
+         |cb AS (SELECT b23, sum(ct) cb FROM gr GROUP BY b23),
+         |c2 AS (SELECT t2, sum(ct) c2 FROM gr GROUP BY t2),
+         |cu AS (SELECT t3, sum(ct) cu FROM gr GROUP BY t3),
+         |nn AS (SELECT sum(ct) nn FROM gr),
+         |model AS (
+         |  SELECT g, $Lm3L1 * ct / cp + $Lm3L2 * cb / c2 + $Lm3L3 * cu / nn AS p
+         |  FROM gr JOIN cp USING (p12) JOIN cb USING (b23)
+         |       JOIN c2 USING (t2) JOIN cu USING (t3), nn
+         |)
+         |, pd AS (
+         |  SELECT doc_id,
+         |         CAST(count(*) AS BIGINT) n_trigrams,
+         |         round(avg(-ln(p)), 6) xent3
+         |  FROM tg JOIN model USING (g)
+         |  GROUP BY doc_id
+         |), st AS (SELECT avg(xent3) mu, stddev_pop(xent3) sigma FROM pd)
+         |SELECT doc_id, n_trigrams, xent3,
+         |  CASE WHEN sigma > 0 THEN round((xent3 - mu) / sigma, 4) ELSE 0.0 END z3,
+         |  (CASE WHEN sigma > 0 THEN round((xent3 - mu) / sigma, 4) ELSE 0.0 END)
+         |    >= $Lm3FlagZ flagged
+         |FROM pd, st ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH ex AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents
