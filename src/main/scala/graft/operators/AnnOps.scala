@@ -303,6 +303,19 @@ object AnnOps {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+    ivfSearchOver(e, assignFn, k)
+  }
+
+  /** The flat-IVF search core over an explicit (vec_id, embedding,
+    * nrm) corpus: deterministic lowest-id anchors FROM that corpus,
+    * assignment, probe-cell cut, candidate scoring, bounded per-probe
+    * top-k. Shared by [[annIvfAssigned]] and the compaction-composed
+    * [[annIvfCompacted]] (where the corpus is the post-compaction
+    * live set).
+    */
+  private def ivfSearchOver(e: DataFrame,
+      assignFn: (DataFrame, DataFrame) => DataFrame, k: Int = K): DataFrame = {
+    import graft.plans.VectorExpressions
     val cents = ivfAnchors(e)
     val assigned = assignFn(e, cents).join(e, "vec_id")
     val probeCells = nearestProbeCells(
@@ -315,6 +328,48 @@ object AnnOps {
         col("p_emb"), col("p_nrm"), col("embedding"), col("nrm")), 6))
     probeTopKDesc(scored, col("cos"), k, Seq("vec_id", "cos"))
       .orderBy("probe_id", "rnk")
+  }
+
+  /** §2.H q_ann_ivf_compacted — VECTOR-INDEX DELETE MAINTENANCE: the
+    * CDC family composed with ANN. The events change feed is read as
+    * the vector store's changelog (user_id = vec_id — the entity
+    * whose embedding the row upserts/deletes); op-aware compaction
+    * decides MEMBERSHIP: a key whose newest change at the head of the
+    * feed is a `d` tombstone LEAVES the index ([[CdcOps.cdcCompact]]'s
+    * newest-wins rule; a later re-insert resurrects it; base vectors
+    * with no change history stay — the base-snapshot + changelog
+    * shape). The IVF layout is then built over the LIVE corpus —
+    * anchors, assignment, probe set and candidates all
+    * post-compaction, so a tombstoned vector can neither be returned
+    * NOR serve as an anchor/probe: deletes change the layout, not
+    * just the result filter. The oracle recomputes cut+compact+search
+    * end to end; AnnIvfCompactedSpec plants a tombstoned nearest
+    * neighbor and pins its absence (and the naive uncompacted
+    * search's inclusion) plus resurrection.
+    *
+    * 100 TB shape: the tombstone head is ONE keyed window over the
+    * feed (the cdcLatest shuffle) and membership is ONE keyed
+    * anti-join on vec_id — the index never rebuilds more than the
+    * [[annIvf]] pipeline itself; no per-delete rescan, no post-filter
+    * that silently under-fills k.
+    */
+  def annIvfCompacted(spark: SparkSession, dir: String): DataFrame =
+    annIvfCompactedFrom(CdcOps.changeFeed(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  private[graft] def annIvfCompactedFrom(feed: DataFrame, emb: DataFrame): DataFrame = {
+    import graft.plans.VectorExpressions
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val dead = feed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "d")
+      .select(col("user_id").as("vec_id"))
+    val live = emb.select(col("vec_id"), col("embedding"))
+      .join(dead, Seq("vec_id"), "left_anti")
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    ivfSearchOver(live, assignCells)
   }
 
   /** [[annIvf]] with an externally supplied anchor table (cell,
@@ -1076,6 +1131,7 @@ object AnnOps {
     "q_ann_recall" -> (annRecall _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_compacted" -> (annIvfCompacted _),
     "q_ann_ivf_filtered" -> (annIvfFiltered _),
     "q_ann_filtered_recall" -> (annFilteredRecall _),
     "q_ann_ivf_filtered_preflight" -> (annIvfFilteredPreflight _),
@@ -1616,6 +1672,46 @@ object AnnOps {
          |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT e.vec_id, cell, ${sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), pc AS (
+         |  SELECT p.vec_id probe_id, cell, ${sqlCos("c_emb", "p.embedding")} ccos
+         |  FROM e p CROSS JOIN cents WHERE p.vec_id < $NProbes
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY ccos DESC, cell) <= $IvfProbeCells
+         |), cand AS (
+         |  SELECT pc.probe_id, asg.vec_id
+         |  FROM asg JOIN pc USING (cell)
+         |  WHERE asg.vec_id <> pc.probe_id
+         |), scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, ${sqlCos("pe.embedding", "ce.embedding")} cos
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |            JOIN e ce ON ce.vec_id = cand.vec_id
+         |)
+         |SELECT probe_id, vec_id, cos,
+         |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) rnk
+         |FROM scored QUALIFY rnk <= $K ORDER BY probe_id, rnk""".stripMargin,
+    // the cut+compact+search composition end to end: the SAME md5 op
+    // rule and newest-wins head window as the CDC oracles decide the
+    // dead set; the live corpus then runs the q_ann_ivf chain verbatim
+    // (anchors, probes and candidates all post-compaction)
+    "q_ann_ivf_compacted" ->
+      s"""WITH dead AS (
+         |  SELECT user_id AS vec_id FROM (
+         |    SELECT user_id,
+         |      CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0 THEN 'd'
+         |           WHEN event_type = 'signup' THEN 'c'
+         |           ELSE 'u' END AS op
+         |    FROM events
+         |    QUALIFY row_number() OVER (PARTITION BY user_id
+         |              ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1)
+         |  WHERE op = 'd'
+         |), e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM dead)
+         |),
          |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
          |asg AS (
          |  SELECT e.vec_id, cell, ${sqlCos("c_emb", "e.embedding")} ccos
