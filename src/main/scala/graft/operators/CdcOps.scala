@@ -626,9 +626,17 @@ object CdcOps {
   private[graft] def txnSnapshotFrom(feed: DataFrame): DataFrame = {
     // ONE shared watermark for BOTH tables: the consistent-cut
     // discipline (a per-table cut is exactly the fractured-read bug)
-    val sliced = feed
+    txnSnapshotUncut(feed
       .crossJoin(Ivm.midpointCutOn(feed, "ts_ns", "txn_cut_ns"))
-      .filter(col("ts_ns") <= col("txn_cut_ns"))
+      .filter(col("ts_ns") <= col("txn_cut_ns")))
+  }
+
+  /** The two-table compaction + audit over an ALREADY-CUT slice — the
+    * piece [[graft.streaming.TxnSnapshotStream]]'s parity spec equates
+    * the store against at every micro-batch prefix (a streaming
+    * consumer's cut is the batch boundary, not the midpoint).
+    */
+  private[graft] def txnSnapshotUncut(sliced: DataFrame): DataFrame = {
     val wP = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns").desc, col("event_id").desc)
     val parent = sliced

@@ -83,6 +83,33 @@ object UpsertSink {
     fs.create(marker, true).close() // marker AFTER data = the commit point
   }
 
+  /** [[applyBatch]] generalized to an arbitrary key-column set — the
+    * two-table snapshot store ([[TxnSnapshotStream]]) is keyed on
+    * (user_id, child line) rather than user_id alone. Same snapshot-
+    * versioned commit protocol, same idempotent replay; the caller's
+    * stateful operator must emit AT MOST ONE row per key per batch
+    * (flatMapGroupsWithState does by construction), so no defensive
+    * in-batch window is applied. Key columns must be non-null (a NULL
+    * key would silently survive the anti-join — encode absent key
+    * parts, e.g. `coalesce(child_type, '∅')`).
+    */
+  def applyKeyedBatch(spark: SparkSession, storeDir: String, keys: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val fs = fileSystem(spark, storeDir)
+    val marker = commitPath(storeDir, batchId)
+    if (fs.exists(marker)) return // replayed batch: already applied
+    val b = batch.localCheckpoint() // pin: the rewrite must not re-pull the stream batch
+    val next = read(spark, storeDir) match {
+      case Some(prev) =>
+        val carried = prev.join(b.select(keys.map(col): _*), keys, "left_anti")
+        carried.unionByName(b.filter(!col("deleted")).select(prev.columns.map(col): _*))
+      case None => b.filter(!col("deleted")).drop("deleted")
+    }
+    next.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close() // marker AFTER data = the commit point
+  }
+
   /** Drops all but the newest `keep` committed snapshot versions (and
     * any uncommitted leftovers older than the newest committed one).
     */
