@@ -7,9 +7,43 @@ import org.apache.spark.sql.SparkSession
   * Progress goes to stderr so stdout stays machine-parseable.
   */
 object Bench {
+
+  /** 1-minute load average, or -1 where /proc is unavailable. */
+  private def load1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** The bench must not RECORD a dirty window and adjudicate it
+    * afterward (rounds 17 and 18 both lost their raw headline to host
+    * load): sample the load BEFORE starting, auto-wait while it is
+    * above the limit, and stamp the telemetry into the artifact so it
+    * is self-certifying. If the window never clears, proceed (the
+    * driver's run must still produce a number) but mark the artifact
+    * `load_dirty` — the reader adjudicates from the stamp, not from
+    * forensics. Dials: SPARK_GRAFT_LOAD_LIMIT (default 1.0),
+    * SPARK_GRAFT_LOAD_WAIT_S (default 300; 0 disables the wait).
+    */
+  private def awaitQuietWindow(): (Double, Double, Long) = {
+    val limit = sys.env.getOrElse("SPARK_GRAFT_LOAD_LIMIT", "1.0").toDouble
+    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "300").toLong
+    val start = load1m()
+    var now = start
+    var waited = 0L
+    while (now > limit && waited < maxWaitS) {
+      System.err.println(f"[bench] 1-min load $now%.2f > $limit%.2f — waiting (${waited}s/${maxWaitS}s)")
+      Thread.sleep(10000)
+      waited += 10
+      now = load1m()
+    }
+    (start, now, waited)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val limit = sys.env.getOrElse("SPARK_GRAFT_LOAD_LIMIT", "1.0").toDouble
+    val (loadStart, loadAtRun, loadWaited) = awaitQuietWindow()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -99,8 +133,16 @@ object Bench {
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the self-certifying window stamp: load at invocation, at run
+    // start (post-wait), seconds waited, and at finish — a dirty
+    // artifact says so itself instead of needing a post-hoc interleave
+    val loadEnd = load1m()
+    val loadJson =
+      s""""load_start":${num(loadStart, 2)},"load_at_run":${num(loadAtRun, 2)},""" +
+        s""""load_waited_s":$loadWaited,"load_end":${num(loadEnd, 2)},""" +
+        s""""load_dirty":${loadAtRun > limit}"""
     val fullJson =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","passes":2,"n_queries":${results.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","passes":2,"n_queries":${results.size},"errors":$errJson,$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_queries.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] full per-query JSON written to bench_queries.json")
@@ -108,6 +150,6 @@ object Bench {
     // WARN lines to stdout, and the driver keeps only the last ~2000
     // chars — a shutdown warning after the JSON would displace it
     spark.stop()
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","passes":2,"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","passes":2,"n_queries":${results.size},"errors":$errJson,$loadJson,"sf":"$sfDir"}""")
   }
 }
