@@ -410,7 +410,13 @@ object CoreOps {
     val e = Tables.events(spark, dir)
     val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
+    // the register table is SKETCH-sized (≤ m·|types| rows) and has
+    // TWO consumers (per-type estimates + the pairwise union merge) —
+    // eager localCheckpoint pins it so the corpus md5/register scan
+    // runs ONCE, not once per consumer (the qualityPercentile
+    // discipline; also keeps the evaluation-site audit at one md5)
     val regs = hllRegisters(e.select(col("event_type"), h.as("h")), Seq("event_type"))
+      .localCheckpoint(true)
     val perType = hllFromRegs(regs, Seq("event_type"))
     val pairs = perType.select(col("event_type").as("type_a"), col("est").as("est_a"))
       .crossJoin(perType.select(col("event_type").as("type_b"), col("est").as("est_b")))

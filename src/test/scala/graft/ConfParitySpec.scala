@@ -54,7 +54,12 @@ class ConfParitySpec extends AnyFunSuite {
     // layout) and the 132-weight n-gram training loop (the LrGradAgg
     // gradient must be order/partition-free; retrained per variant)
     "q_gop_frames", "q_gop_seek", "q_quality_lr_ngram",
-    "q_quality_lr_ngram_score", "q_cdc_txn_snapshot", "q_hybrid_mmr")
+    "q_quality_lr_ngram_score", "q_cdc_txn_snapshot", "q_hybrid_mmr",
+    // round-19 hard cases: the as-of union-window carry (partition
+    // layout must not reorder the last-ignore-nulls pick), the
+    // register-max sketch algebra, the five-table backoff mixture
+    // with its corpus z-flag, and the compaction-composed IVF layout
+    "q_scd2_lookup", "q_hll_overlap", "q_lm_trigram", "q_ann_ivf_compacted")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
