@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Geo
@@ -146,6 +146,88 @@ object GeoOps {
         pmod(col("c_custkey") * 69427L, lit(1000L)).as("iy"))
       .withColumn("z", graft.sources.ZOrder.zValue(col("ix"), col("iy")))
       .orderBy("z", "c_custkey")
+
+  /** [[zorderSkipping]]'s z-range file model: file = z >> 14, i.e.
+    * the top 3 bits of each 10-bit grid axis interleaved — an 8×8
+    * grid of 128×128 bounding boxes, the file structure a z-ordered
+    * range-partitioned write ([[graft.sources.ZOrder.layout]])
+    * produces on this grid.
+    */
+  private[operators] val SkipZShift = 14
+
+  /** [[zorderSkipping]]'s lexicographic file model: file = ix div 16
+    * — the ~63 leading-column stripes an (ix, iy)-sorted write cuts,
+    * each spanning the FULL iy range (the pathology z-order fixes).
+    */
+  private[operators] val SkipStripe = 16
+
+  /** Deterministic 2-D range probes for [[zorderSkipping]]. */
+  private[operators] val SkipNQueries = 24
+
+  /** The data-skipping audit a lakehouse scan planner runs, executed
+    * INSIDE the hash gate: lay the synthetic customer grid out under
+    * two file models — z-range files ([[SkipZShift]]: the shape
+    * [[graft.sources.ZOrder.layout]] writes) and leading-column
+    * lexicographic stripes ([[SkipStripe]]) — compute each file's
+    * REAL footer statistics (min/max of both axes + row count, the
+    * parquet row-group stats), then for [[SkipNQueries]] deterministic
+    * 2-D range predicates count the files whose stats intersect the
+    * box and the rows those files force a stats-only scanner to read.
+    * The hash match proves the pruning DECISION — which files a
+    * min/max planner may skip — reproduces on any engine, so a layout
+    * choice made from this audit is portable. `rows_hit` (the true
+    * answer size) sits beside `rows_scan_*` as the perfect-index
+    * floor.
+    *
+    * 100 TB shape: one corpus scan per stats table (two tiny grouped
+    * aggregates — the file-stats tables are bounded by the LAYOUT
+    * (≤64 z files, ≤63 stripes), not the corpus), one broadcast of
+    * the 24-row probe frame for the true-hit count, and the
+    * stats×probe intersection join touches ≤64×24 rows — the whole
+    * planning step never shuffles corpus-sized data, exactly like a
+    * real footer-pruning planner reading only metadata.
+    */
+  def zorderSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        pmod(col("c_custkey") * 40503L, lit(1000L)).as("ix"),
+        pmod(col("c_custkey") * 69427L, lit(1000L)).as("iy"))
+      .withColumn("z", graft.sources.ZOrder.zValue(col("ix"), col("iy")))
+    val qs = spark.range(SkipNQueries).select(
+      col("id").as("q_id"),
+      (col("id") * 4243L % 900L).as("x0"),
+      (col("id") * 7919L % 900L).as("y0"),
+      (lit(50L) + col("id") * 37L % 200L).as("w"),
+      (lit(50L) + col("id") * 53L % 200L).as("h"))
+      .select(col("q_id"), col("x0"), least(col("x0") + col("w"), lit(999L)).as("x1"),
+        col("y0"), least(col("y0") + col("h"), lit(999L)).as("y1"))
+    def fileStats(fileId: Column) = g.groupBy(fileId.as("f"))
+      .agg(min("ix").as("min_ix"), max("ix").as("max_ix"),
+        min("iy").as("min_iy"), max("iy").as("max_iy"),
+        count(lit(1)).as("n_rows"))
+    // the planner's test: a file may hold matching rows iff its
+    // bounding box intersects the predicate box
+    def touched(stats: DataFrame, tag: String) = stats
+      .join(broadcast(qs),
+        col("min_ix") <= col("x1") && col("max_ix") >= col("x0") &&
+          col("min_iy") <= col("y1") && col("max_iy") >= col("y0"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as(s"files_$tag"), sum("n_rows").as(s"rows_scan_$tag"))
+    val zTouch = touched(fileStats(shiftright(col("z"), SkipZShift)), "z")
+    val linTouch = touched(fileStats(floor(col("ix") / SkipStripe).cast("long")), "lin")
+    val hits = g.join(broadcast(qs),
+        col("ix").between(col("x0"), col("x1")) && col("iy").between(col("y0"), col("y1")))
+      .groupBy("q_id").agg(count(lit(1)).as("rows_hit"))
+    qs.join(zTouch, Seq("q_id"), "left").join(linTouch, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("x0"), col("x1"), col("y0"), col("y1"),
+        coalesce(col("files_z"), lit(0L)).as("files_z"),
+        coalesce(col("rows_scan_z"), lit(0L)).as("rows_scan_z"),
+        coalesce(col("files_lin"), lit(0L)).as("files_lin"),
+        coalesce(col("rows_scan_lin"), lit(0L)).as("rows_scan_lin"),
+        coalesce(col("rows_hit"), lit(0L)).as("rows_hit"))
+      .orderBy("q_id")
+  }
 
   private[operators] val CellRadiusKm = 2.0
   // cell widths on the synthetic integer grid, sized so any pair
@@ -296,6 +378,7 @@ object GeoOps {
     "q_geo_knn" -> (geoKnn _),
     "q_format_distance" -> (formatDistance _),
     "q_zorder_cells" -> (zorderCells _),
+    "q_zorder_skipping" -> (zorderSkipping _),
     "q_geo_fallback" -> (geoFallback _))
 
   /** DuckDB mirror of the 10-bit Morton interleave (grid values are
@@ -386,6 +469,56 @@ object GeoOps {
          |SELECT cx, cy, n_points, n_probes, n_points * n_probes pair_bound
          |FROM cp JOIN sp USING (cx, cy)
          |ORDER BY cx, cy""".stripMargin,
+    // mirrors the layout models and the planner's intersection test
+    // verbatim: z-range files via z >> SkipZShift, stripes via
+    // ix // SkipStripe, footer stats as grouped min/max, probes from
+    // range(SkipNQueries)
+    "q_zorder_skipping" ->
+      s"""WITH g AS (
+         |  SELECT c_custkey,
+         |         (c_custkey * 40503) % 1000 AS ix,
+         |         (c_custkey * 69427) % 1000 AS iy
+         |  FROM customer
+         |), gz AS (
+         |  SELECT *, ($sqlZ) AS z FROM g
+         |), qs AS (
+         |  SELECT id q_id, (id * 4243) % 900 x0,
+         |         least((id * 4243) % 900 + 50 + (id * 37) % 200, 999) x1,
+         |         (id * 7919) % 900 y0,
+         |         least((id * 7919) % 900 + 50 + (id * 53) % 200, 999) y1
+         |  FROM range($SkipNQueries) t(id)
+         |), zstats AS (
+         |  SELECT z >> $SkipZShift f, min(ix) min_ix, max(ix) max_ix,
+         |         min(iy) min_iy, max(iy) max_iy, count(*) n_rows
+         |  FROM gz GROUP BY 1
+         |), lstats AS (
+         |  SELECT ix // $SkipStripe f, min(ix) min_ix, max(ix) max_ix,
+         |         min(iy) min_iy, max(iy) max_iy, count(*) n_rows
+         |  FROM g GROUP BY 1
+         |), zt AS (
+         |  SELECT q_id, count(*) files_z, sum(n_rows) rows_scan_z
+         |  FROM qs JOIN zstats ON min_ix <= x1 AND max_ix >= x0
+         |                     AND min_iy <= y1 AND max_iy >= y0
+         |  GROUP BY 1
+         |), lt AS (
+         |  SELECT q_id, count(*) files_lin, sum(n_rows) rows_scan_lin
+         |  FROM qs JOIN lstats ON min_ix <= x1 AND max_ix >= x0
+         |                     AND min_iy <= y1 AND max_iy >= y0
+         |  GROUP BY 1
+         |), hits AS (
+         |  SELECT q_id, count(*) rows_hit
+         |  FROM qs JOIN g ON ix BETWEEN x0 AND x1 AND iy BETWEEN y0 AND y1
+         |  GROUP BY 1
+         |)
+         |SELECT q_id, x0, x1, y0, y1,
+         |       coalesce(files_z, 0)::BIGINT files_z,
+         |       coalesce(rows_scan_z, 0)::BIGINT rows_scan_z,
+         |       coalesce(files_lin, 0)::BIGINT files_lin,
+         |       coalesce(rows_scan_lin, 0)::BIGINT rows_scan_lin,
+         |       coalesce(rows_hit, 0)::BIGINT rows_hit
+         |FROM qs LEFT JOIN zt USING (q_id) LEFT JOIN lt USING (q_id)
+         |        LEFT JOIN hits USING (q_id)
+         |ORDER BY q_id""".stripMargin,
     "q_zorder_cells" ->
       s"""WITH g AS (
          |  SELECT c_custkey,
