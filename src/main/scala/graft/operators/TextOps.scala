@@ -491,6 +491,71 @@ object TextOps {
       .withColumn("flagged", col("z3") >= Lm3FlagZ)
   }
 
+  /** Absolute discount for [[lmKneser]] — the standard 0.75 KenLM
+    * operating point, one Scala double embedded identically in both
+    * engines.
+    */
+  private[operators] val KnDiscount = 0.75
+
+  /** Kneser–Ney bigram scoring — the SMOOTHING rung of the LM-filter
+    * ladder ([[lmScore]] → [[lmBigram]] → [[lmTrigram]] → here), the
+    * discipline real KenLM models (CCNet's 5-gram) actually use:
+    * absolute discounting with CONTINUATION-probability backoff,
+    * p(t2|t1) = (c(t1 t2) − D)/c(t1) + λ(t1)·p_cont(t2), where
+    * λ(t1) = D·N1+(t1 ·)/c(t1) and p_cont(t2) = N1+(· t2)/N1+(· ·).
+    * The MLE and Jelinek–Mercer rungs back off to raw unigram
+    * FREQUENCY; Kneser–Ney backs off to how many distinct CONTEXTS a
+    * word follows — the "Francisco" effect: a word frequent only
+    * after one context ("San") gets low continuation mass, so
+    * sequences gluing it to new contexts score unnatural even though
+    * its raw frequency is high. Because the corpus scores itself,
+    * every scored bigram is observed (ct ≥ 1 > D), so the discounted
+    * term stays positive and no unseen-event branch is needed — yet
+    * the discount still redistributes exactly D per observed type to
+    * the continuation distribution, which is the ranking signal.
+    * LmKneserSpec pins the effect with surface-identical plants
+    * (equal bigram count, equal context count, equal unigram
+    * frequency — only context DIVERSITY differs, and only Kneser–Ney
+    * separates them; MLE scores them identical).
+    *
+    * 100 TB shape: ONE stream aggregation (bigram counts, map-side
+    * combined), then all three model tables derive from the
+    * VOCABULARY-sized gram table (localCheckpoint'd once — its four
+    * consumers would each re-run the corpus explode); the model join
+    * back is token-keyed and corpus-derived on both sides, so nothing
+    * is broadcast-hinted (the [[lmScore]] discipline); no windows.
+    */
+  def lmKneser(spark: SparkSession, dir: String): DataFrame =
+    lmKneserFrom(Tables.documents(spark, dir))
+
+  /** Over an explicit documents frame — the spec plants the
+    * context-diversity twins. */
+  private[graft] def lmKneserFrom(docs: DataFrame): DataFrame = {
+    import graft.functions.Hashing
+    def stream = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), explode(Hashing.shingles(split(col("text"), " "), 2)).as("b"))
+    val grams = stream.groupBy("b").agg(count(lit(1)).as("ct"))
+      .withColumn("t1", substring_index(col("b"), " ", 1))
+      .withColumn("t2", substring_index(col("b"), " ", -1))
+      .localCheckpoint(true)
+    // c1 = context token count; n1f = N1+(t1 ·) distinct continuations
+    val c1 = grams.groupBy("t1").agg(sum("ct").as("c1"), count(lit(1)).as("n1f"))
+    // n1b = N1+(· t2) distinct left contexts; nt = N1+(· ·) total types
+    val n1b = grams.groupBy("t2").agg(count(lit(1)).as("n1b"))
+    val nt = grams.agg(count(lit(1)).as("nt"))
+    val model = grams.join(c1, "t1").join(n1b, "t2")
+      .crossJoin(broadcast(nt))
+      .withColumn("p",
+        (col("ct") - lit(KnDiscount)) / col("c1") +
+          lit(KnDiscount) * col("n1f") / col("c1") * col("n1b") / col("nt"))
+      .select("b", "p")
+    stream.join(model, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(-log(col("p"))), 6).as("xent_kn"))
+  }
+
   /** Percentile-based quality cutoff — the corpus-statistics filter a
     * real curation pipeline runs ("keep the top half per language"),
     * composed from two existing primitives: [[qualityCol]] and the
@@ -1288,6 +1353,7 @@ object TextOps {
     "q_lm_score" -> (lmScore _),
     "q_lm_bigram" -> (lmBigram _),
     "q_lm_trigram" -> (lmTrigram _),
+    "q_lm_kneser" -> (lmKneser _),
     "q_boilerplate" -> (boilerplate _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
@@ -1719,6 +1785,33 @@ object TextOps {
          |  (CASE WHEN sigma > 0 THEN round((xent3 - mu) / sigma, 4) ELSE 0.0 END)
          |    >= $Lm3FlagZ flagged
          |FROM pd, st ORDER BY doc_id""".stripMargin,
+    // the Kneser–Ney model recomputed end to end: the same
+    // bigram-position stream feeds the gram-type table, context
+    // counts, continuation-type counts and the type total; the same
+    // discount, the same left-associative arithmetic, the same
+    // round-6 xent
+    "q_lm_kneser" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, array_to_string(toks[i : i + 1], ' ') b
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+         |), gr AS (
+         |  SELECT b, count(*) ct,
+         |         string_split(b, ' ')[1] t1,
+         |         string_split(b, ' ')[2] t2
+         |  FROM bg GROUP BY b
+         |), c1 AS (SELECT t1, sum(ct) c1, count(*) n1f FROM gr GROUP BY t1),
+         |nb AS (SELECT t2, count(*) n1b FROM gr GROUP BY t2),
+         |nt AS (SELECT count(*) nt FROM gr),
+         |model AS (
+         |  SELECT b, (ct - $KnDiscount) / c1 + $KnDiscount * n1f / c1 * n1b / nt AS p
+         |  FROM gr JOIN c1 USING (t1) JOIN nb USING (t2), nt
+         |)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) n_bigrams,
+         |       round(avg(-ln(p)), 6) xent_kn
+         |FROM bg JOIN model USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH ex AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents
