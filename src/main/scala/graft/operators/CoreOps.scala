@@ -270,13 +270,22 @@ object CoreOps {
     * Kept as named constants so the Spark plan and the DuckDB oracle
     * are generated from the SAME numbers.
     */
-  private val HllM = 1024
-  private val HllRegBits = 51 // 60-bit hash minus 10 bucket bits → ≤ 50-bit w, rho ∈ [1, 51]
-  private val HllTwoPow51 = 2251799813685248L
+  private[graft] val HllM = 1024
+  private[graft] val HllRegBits = 51 // 60-bit hash minus 10 bucket bits → ≤ 50-bit w, rho ∈ [1, 51]
+  private[graft] val HllTwoPow51 = 2251799813685248L
   /** alpha_m · m² · 2^51 — the estimate numerator, one Scala double whose
     * shortest-repr literal is embedded identically in both engines.
     */
-  private val HllC: Double =
+  /** The engine-portable 60-bit hash every HLL consumer feeds on
+    * (batch register builds here, the streaming fold in
+    * [[graft.streaming.HllStream]]): first 15 hex chars of the md5 of
+    * the value's binary rendering. Shared so stream ≡ batch is exact
+    * by construction.
+    */
+  private[graft] def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  private[graft] val HllC: Double =
     0.7213 / (1 + 1.079 / HllM) * HllM.toDouble * HllM * HllTwoPow51
 
   /** Approximate distinct count — the 100 TB cardinality operator: a
@@ -307,7 +316,7 @@ object CoreOps {
     * per key, mergeable across shards AND across keys by max (the
     * property [[hllOverlap]]'s union sketch is built on).
     */
-  private[operators] def hllRegisters(keyed: DataFrame, keys: Seq[String]): DataFrame =
+  private[graft] def hllRegisters(keyed: DataFrame, keys: Seq[String]): DataFrame =
     keyed
       .withColumn("bucket", expr(s"h % $HllM"))
       .withColumn("w", expr(s"h DIV $HllM"))
@@ -319,7 +328,7 @@ object CoreOps {
     * (keys…, est) row per key group — integer scaled sum, small-range
     * correction, identical expressions on both engines.
     */
-  private[operators] def hllFromRegs(regs: DataFrame, keys: Seq[String]): DataFrame =
+  private[graft] def hllFromRegs(regs: DataFrame, keys: Seq[String]): DataFrame =
     regs.groupBy(keys.map(col): _*)
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllRegBits - rho AS INT))")).as("s_present"),
         count(lit(1)).as("nb"))
@@ -334,8 +343,7 @@ object CoreOps {
 
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    val h = hash60(col("user_id").cast("string"))
     val sketch = hllEstimate(e.select(col("event_type"), h.as("h")), "event_type")
     val exact = e.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
     sketch.join(exact, "event_type")
@@ -371,7 +379,7 @@ object CoreOps {
         struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("x"))
       .select(col("x.column").as("column"), col("x.v").as("v"))
       .filter(col("v").isNotNull)
-    val h = conv(substring(md5(col("v").cast("binary")), 1, 15), 16, 10).cast("long")
+    val h = hash60(col("v"))
     val sketch = hllEstimate(unpiv.select(col("column"), h.as("h")), "column")
     val exact = unpiv.groupBy("column").agg(countDistinct(col("v")).as("n_exact"))
     sketch.join(exact, "column")
@@ -408,8 +416,7 @@ object CoreOps {
     */
   def hllOverlap(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    val h = hash60(col("user_id").cast("string"))
     // the register table is SKETCH-sized (≤ m·|types| rows) and has
     // TWO consumers (per-type estimates + the pairwise union merge) —
     // eager localCheckpoint pins it so the corpus md5/register scan
