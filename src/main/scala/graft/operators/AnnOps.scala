@@ -979,6 +979,83 @@ object AnnOps {
     sq8Rerank(scored, e, PqRerank)
   }
 
+  /** Number of heaviest cells [[ivfRebalance]] splits per maintenance
+    * pass. A production system gates the pass on a skew ratio; the
+    * registered query pins the MECHANISM with a fixed split count so
+    * the maintenance path executes (and hash-checks) at every SF —
+    * the gate corpus is near-balanced, so a ratio trigger would leave
+    * the split arm dead code at the gate scales.
+    */
+  private[operators] val RebalSplit = 2
+
+  /** §2.H q_ivf_rebalance — VECTOR-INDEX SKEW MAINTENANCE, the third
+    * leg of the index-lifecycle family (inserts: IvfAssignStream;
+    * deletes: [[annIvfCompacted]]; skew: here). A hot IVF cell
+    * degrades every probe that visits it — candidate volume is
+    * nprobe/k of the CORPUS only while cells stay balanced
+    * ([[ivfCellStats]] is the detector; this is the repair). The
+    * [[RebalSplit]] heaviest cells (ties to the lower cell id) are
+    * split in place: the member FARTHEST from the cell's anchor
+    * (lowest rounded cosine, ties to the lowest vec_id — the
+    * deterministic farthest-point heuristic) seeds a child cell
+    * (id = parent + [[IvfCells]]), and ONLY that cell's members
+    * re-decide between parent anchor and seed (same rounded-cosine
+    * decision discipline as [[assignCells]]; ties stay with the
+    * parent). Output is the post-maintenance layout — (cell, parent,
+    * n_before, n_after) for every parent and child — so the hash gate
+    * carries the repair decision itself: which cells split, who
+    * seeded them, and exactly how membership moved.
+    *
+    * 100 TB shape: the repair touches ONLY the hot cells' members —
+    * one keyed semi-join on [[RebalSplit]] cell ids, one broadcast of
+    * [[RebalSplit]] anchors + seeds — plus the keyed count profile
+    * the detector already maintains; members of cold cells are never
+    * read, and no corpus-wide reassignment happens (the locality that
+    * makes in-place split viable where a full re-cluster is not).
+    */
+  def ivfRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorExpressions
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
+      .repartition(col("vec_id"))
+    val cents = ivfAnchors(e)
+    val asg = assignCells(e, cents)
+    val counts = asg.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    // the RebalSplit heaviest cells — a 16-row frame, driver-bounded
+    val hot = counts.orderBy(col("n_before").desc, col("cell")).limit(RebalSplit)
+      .select(col("cell"))
+    // hot members with their anchor cosine (keyed semi-join — cold
+    // cells' embeddings are never touched)
+    val withA = asg.join(broadcast(hot), "cell").join(e, "vec_id")
+      .join(broadcast(cents.join(broadcast(hot), "cell")), "cell")
+      .withColumn("cos_a", round(VectorExpressions.cosineNative(
+        col("c_emb"), col("c_nrm"), col("embedding"), col("nrm")), 6))
+      .select("cell", "vec_id", "embedding", "nrm", "cos_a")
+    val seeds = withA.groupBy("cell")
+      .agg(min(struct(col("cos_a").as("ca"), col("vec_id").as("vec_id"))).as("s"))
+      .select(col("cell"), col("s.vec_id").as("seed_id"))
+    val seedEmb = seeds.join(
+      e.select(col("vec_id").as("seed_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm")),
+      "seed_id")
+    val moved = withA.join(broadcast(seedEmb), "cell")
+      .withColumn("cos_b", round(VectorExpressions.cosineNative(
+        col("b_emb"), col("b_nrm"), col("embedding"), col("nrm")), 6))
+      .groupBy("cell")
+      .agg(first(col("seed_id")).as("seed_id"),
+        sum(when(col("cos_b") > col("cos_a"), 1L).otherwise(0L)).as("n_moved"))
+    val parents = counts.join(broadcast(moved), Seq("cell"), "left")
+      .select(col("cell"), col("cell").as("parent"), lit(-1L).as("seed_id"),
+        col("n_before"),
+        (col("n_before") - coalesce(col("n_moved"), lit(0L))).as("n_after"))
+    val children = moved
+      .select((col("cell") + lit(IvfCells)).as("cell"), col("cell").as("parent"),
+        col("seed_id"), lit(0L).as("n_before"), col("n_moved").as("n_after"))
+    parents.unionByName(children)
+      .select(col("cell").cast("int").as("cell"), col("parent").cast("int").as("parent"),
+        col("seed_id"), col("n_before"), col("n_after"))
+      .orderBy("cell")
+  }
+
   /** Cell-occupancy profile of the IVF layout — the ANN counterpart of
     * [[CoreOps.skewProfile]]'s join-key pre-flight: per cell the member
     * count, corpus share, and balance factor (n·k/total; 1.0 = even).
@@ -1145,6 +1222,7 @@ object AnnOps {
     "q_ann_pq" -> (annPq _),
     "q_ann_pq_kmeans" -> (annPqKmeans _),
     "q_ivf_cell_stats" -> (ivfCellStats _),
+    "q_ivf_rebalance" -> (ivfRebalance _),
     "q_quant_stats" -> (quantStats _),
     "q_embedding_stats" -> (embeddingStats _))
 
@@ -1323,6 +1401,44 @@ object AnnOps {
          |       round(n_members / tot::DOUBLE, 6) AS "share",
          |       round(n_members * $IvfCells / tot::DOUBLE, 6) balance
          |FROM cz CROSS JOIN t ORDER BY cell""".stripMargin,
+    // the repair decision replayed end to end: assignment, heaviest-2
+    // pick, farthest-member seeds, the parent-vs-seed re-decision —
+    // same rounded-cosine discipline, same tie rules
+    "q_ivf_rebalance" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (SELECT vec_id cell, embedding c_emb FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT e.vec_id, cell, ${sqlCos("c_emb", "e.embedding")} ccos
+         |  FROM e CROSS JOIN cents
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cell) = 1
+         |), counts AS (SELECT cell, count(*) n_before FROM asg GROUP BY cell),
+         |hot AS (
+         |  SELECT cell FROM counts
+         |  QUALIFY row_number() OVER (ORDER BY n_before DESC, cell) <= $RebalSplit
+         |), wa AS (
+         |  SELECT asg.cell, asg.vec_id, me.embedding,
+         |         ${sqlCos("c_emb", "me.embedding")} cos_a
+         |  FROM asg JOIN hot USING (cell) JOIN cents USING (cell)
+         |       JOIN e me ON me.vec_id = asg.vec_id
+         |), seeds AS (
+         |  SELECT cell, vec_id seed_id FROM wa
+         |  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY cos_a, vec_id) = 1
+         |), moved AS (
+         |  SELECT wa.cell, any_value(seeds.seed_id) seed_id,
+         |         sum(CASE WHEN ${sqlCos("se.embedding", "wa.embedding")} > wa.cos_a
+         |             THEN 1 ELSE 0 END) n_moved
+         |  FROM wa JOIN seeds USING (cell) JOIN e se ON se.vec_id = seeds.seed_id
+         |  GROUP BY wa.cell
+         |)
+         |SELECT CAST(counts.cell AS INT) cell, CAST(counts.cell AS INT) parent,
+         |       CAST(-1 AS BIGINT) seed_id, CAST(n_before AS BIGINT) n_before,
+         |       CAST(n_before - coalesce(n_moved, 0) AS BIGINT) n_after
+         |FROM counts LEFT JOIN moved ON counts.cell = moved.cell
+         |UNION ALL
+         |SELECT CAST(cell + $IvfCells AS INT), CAST(cell AS INT),
+         |       CAST(seed_id AS BIGINT), CAST(0 AS BIGINT), CAST(n_moved AS BIGINT)
+         |FROM moved
+         |ORDER BY cell""".stripMargin,
     "q_ann_ivf_sq8" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (
