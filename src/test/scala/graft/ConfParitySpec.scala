@@ -59,7 +59,13 @@ class ConfParitySpec extends AnyFunSuite {
     // layout must not reorder the last-ignore-nulls pick), the
     // register-max sketch algebra, the five-table backoff mixture
     // with its corpus z-flag, and the compaction-composed IVF layout
-    "q_scd2_lookup", "q_hll_overlap", "q_lm_trigram", "q_ann_ivf_compacted")
+    "q_scd2_lookup", "q_hll_overlap", "q_lm_trigram", "q_ann_ivf_compacted",
+    // round-19 second wave: the heaviest-cell pick + locality-bounded
+    // reassignment (a count-derived in-plan maintenance decision),
+    // the continuation-count model (four derived tables off one gram
+    // aggregate), and the layout-model stats audit (min/max footer
+    // stats must not depend on how partitions deliver rows)
+    "q_ivf_rebalance", "q_lm_kneser", "q_zorder_skipping")
 
   private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
