@@ -28,14 +28,17 @@ object PlanTime {
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
     sel.foreach { case (name, fn) =>
       System.gc()
+      spark.sparkContext.setJobDescription(s"$name:construct")
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val t1 = System.nanoTime()
       // force analysis + optimization + physical planning (no execution)
       df.queryExecution.executedPlan
       val t2 = System.nanoTime()
+      spark.sparkContext.setJobDescription(s"$name:exec")
       df.write.format("noop").mode("overwrite").save()
       val t3 = System.nanoTime()
+      spark.sparkContext.setJobDescription(null)
       println(f"[plantime] $name%-28s construct ${(t1 - t0) / 1e9}%7.2f  plan ${(t2 - t1) / 1e9}%7.2f  exec ${(t3 - t2) / 1e9}%7.2f  total ${(t3 - t0) / 1e9}%7.2f")
     }
     spark.stop()

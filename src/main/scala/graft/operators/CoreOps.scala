@@ -508,7 +508,16 @@ object CoreOps {
         (if (num) lit(null).cast("string") else min(col(c))).as(s"${c}_mins"),
         (if (num) lit(null).cast("string") else max(col(c))).as(s"${c}_maxs"))
     }
-    val one = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    // parallelism barrier below the multi-distinct aggregation: the
+    // exact multi-countDistinct plans an Expand that multiplies every
+    // row |distinct-columns|+1 times, and the bench corpus is one row
+    // group = one scan task — without the barrier that single task ran
+    // the whole ×10 Expand + partial aggregation serially (r19 stage
+    // profile: 1.9 s of the query's 2.6 s in one task). The shuffle
+    // moves the table once, narrow; the Expand then runs at full width.
+    val one = Tables.orders(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("o_orderkey"))
+      .agg(aggs.head, aggs.tail: _*)
     val rows = ProfileCols.map { case (c, _) =>
       struct(
         lit(c).as("column"), col("n").as("n_rows"),

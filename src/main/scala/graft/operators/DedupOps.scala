@@ -503,8 +503,17 @@ object DedupOps {
     // which the ≥ threshold drops) and predicate pushdown would
     // substitute it below the semi join — re-evaluating the shingle
     // transform twice per row over the FULL corpus in the scan stage
+    // parallelism barrier BETWEEN the semi join and the shingle
+    // projection: the id set broadcasts, so the semi join folds into
+    // the text SCAN stage — and the bench corpus is one row group =
+    // one scan task, which made this single task shingle every
+    // surviving doc serially (r19 stage profile: a 1-task ~1.5 s stage
+    // inside every verify consumer). The survivors-only shuffle is
+    // tiny (the verification set is near-dup-density-bounded); the
+    // shingle work then runs at the session's full width.
     val d = docs.join(ids, Seq("doc_id"), "left_semi")
       .filter(col("doc_id").isNotNull)
+      .transform(repartByKey(_, col("doc_id")))
       .select(col("doc_id"), shingleSet(col("text")).as("sh"))
     pairs
       .join(d.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")

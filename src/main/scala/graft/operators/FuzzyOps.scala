@@ -140,6 +140,13 @@ object FuzzyOps {
     // their row multiplicity in `cnt`, so sum(cnt) per gram key is
     // exactly the row-level document frequency the cap contract (and
     // the oracle SQL) is defined over
+    // NOTE (r19 optimization round): a c-keyed barrier above this
+    // explode (the pairCoCounts discipline) was tried and MEASURED
+    // WORSE — paired interleave read q_token_jaccard_join at 1.22×.
+    // At the distinct-set altitude the gram stream is cheap to
+    // regenerate per consumer but expensive to exchange (C(t,3)
+    // concatenated trigram strings per set row), so the repeated
+    // generation beats one materializing shuffle of the grams.
     val bg = base.select(col(key).as("k"), explode(gramsOf(col("toks"))).as("c"),
       col("cnt"))
     val hot = bg.groupBy("c").agg(sum(col("cnt")).as("df"))

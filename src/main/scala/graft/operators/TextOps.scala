@@ -1182,24 +1182,28 @@ object TextOps {
   private[operators] val NgramSteps = 80
 
   private[operators] def lrNgramFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Hashing
     val nb = CorpusOps.DsirBuckets
     val toks = split(col("text"), " ")
-    val cnts = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(concat(toks, Hashing.shingles(toks, 2))).as("f"))
-      .select(col("doc_id"), CorpusOps.bucket(col("f"), nb).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-    val ng = cnts.groupBy("doc_id").agg(
-        sum(col("c")).as("nf"),
-        map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+    // r19 optimization: the whole hashed-n-gram histogram is a pure
+    // per-document function, so it evaluates as ONE codegen'd node
+    // (plans/TextExpressions.NgramBucketMicrosExpr) instead of the
+    // explode → groupBy(doc, bucket) → groupBy(doc) map rebuild → join
+    // pipeline — two corpus-wide shuffles of feature rows and a
+    // documents self-join gone; the md5-per-feature work is unchanged
+    // but never leaves the document's task. The explicit null filters
+    // mirror the old shape's inner join (a null doc_id or text never
+    // produced a joined feature row); the doc-keyed barrier spreads the
+    // per-doc md5 loop across the session width (the bench corpus is
+    // one row group = one scan task). Bit-identical output — the
+    // oracle's unrolled GD over these features is unchanged and the
+    // hash gate re-proves all 132 weights.
+    Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .transform(repartByKey(_, col("doc_id")))
       .select(col("doc_id"),
-        transform(sequence(lit(0L), lit(nb - 1L)),
-          i => rhuCol(coalesce(element_at(col("m"), i), lit(0L)) * lit(1000000L),
-            col("nf"))).as("ng"))
-    ng.join(Tables.documents(spark, dir).select(col("doc_id"),
-        array(lrX1m, lrX2m, lrX3m).as("sx"),
-        when(qualityCol >= LrThreshold, 1.0).otherwise(0.0).as("y")), "doc_id")
-      .select(col("doc_id"), concat(col("sx"), col("ng")).as("xs"), col("y"))
+        concat(array(lrX1m, lrX2m, lrX3m),
+          graft.plans.TextExpressions.ngramBucketMicrosNative(toks, nb)).as("xs"),
+        when(qualityCol >= LrThreshold, 1.0).otherwise(0.0).as("y"))
   }
 
   /** The generic integer-exact full-batch GD trainer over a dense

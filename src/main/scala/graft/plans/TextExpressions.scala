@@ -773,4 +773,79 @@ object TextExpressions {
   def lrSigmoidVecNative(xs: Column, w: Array[Long], tab: Array[Long],
       step: Int): Column =
     ColumnBridge.column(LrSigmoidVecExpr(ColumnBridge.expression(xs), w, tab, step))
+
+  /** Static entry point referenced from generated code. Null for an
+    * empty token array (no features — mirrors the explode/inner-join
+    * shape, which drops such a doc; a `split` output is never empty,
+    * so the branch is defensive).
+    */
+  def ngramBucketMicrosCompute(toks: ArrayData, nb: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val counts = new Array[Long](nb)
+    def bump(f: String): Unit = {
+      val h32 = java.lang.Long.parseLong(md5hex(md, f).substring(0, 8), 16)
+      counts((h32 % nb).toInt) += 1L
+    }
+    var prev: String = null
+    var i = 0
+    while (i < n) {
+      val t = tokenAt(toks, i, "ngram_bucket_micros")
+      bump(t)
+      if (prev != null) bump(prev + " " + t)
+      prev = t
+      i += 1
+    }
+    val nf = 2L * n - 1L // unigrams + adjacent bigrams
+    val out = new Array[Long](nb)
+    i = 0
+    while (i < nb) {
+      // round-half-up of counts(i)·1e6 / nf in exact integer arithmetic
+      // — identical to the rhuCol the aggregation pipeline applied
+      out(i) = (counts(i) * 2000000L + nf) / (2L * nf)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** The hashed-n-gram feature histogram of one document as ONE node:
+    * per token and per adjacent token bigram, the md5-hex32 % nb
+    * bucket, counted into an nb-long histogram and normalized to
+    * round-half-up micro-units of the feature total. Replaces the
+    * explode → groupBy(doc, bucket) → groupBy(doc) map-rebuild
+    * pipeline (two corpus shuffles plus a self-join of documents) the
+    * n-gram classifier's feature build used — the md5 work per feature
+    * is unchanged, but no feature row ever leaves its document's task.
+    * Bit-identical to the aggregation form: bucket = first 8 md5 hex
+    * chars as unsigned int mod nb (CorpusOps.bucket), value =
+    * rhu(count·1e6, total-features), absent buckets 0.
+    */
+  case class NgramBucketMicrosExpr(child: Expression, nb: Int) extends UnaryExpression {
+    require(nb >= 1, s"ngram_bucket_micros: nb must be >= 1, got $nb")
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ngram_bucket_micros expects array<string>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      ngramBucketMicrosCompute(a.asInstanceOf[ArrayData], nb)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        |  graft.plans.TextExpressions.ngramBucketMicrosCompute($a, $nb);
+        |${ev.isNull} = ${ev.value} == null;
+        |""".stripMargin)
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def ngramBucketMicrosNative(toks: Column, nb: Int): Column =
+    ColumnBridge.column(NgramBucketMicrosExpr(ColumnBridge.expression(toks), nb))
 }
