@@ -83,7 +83,7 @@ object AnnOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id")) // corpus side parallel despite single-row-group input
+      .transform(repartByKey(_, col("vec_id"))) // corpus side parallel despite single-row-group input
     val probes = e.filter(col("vec_id") < NProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"), col("nrm").as("probe_nrm"))
     val scored = e.crossJoin(broadcast(probes))
@@ -105,7 +105,7 @@ object AnnOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+      .transform(repartByKey(_, col("vec_id"))) // single-row-group input otherwise scans on one core
     val banded = e.select(col("vec_id"),
       posexplode(VectorExpressions.hyperplaneSigsNative(col("embedding"), LshBands, LshBits, Dim))
         .as(Seq("band", "sig")))
@@ -302,7 +302,7 @@ object AnnOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+      .transform(repartByKey(_, col("vec_id"))) // single-row-group input otherwise scans on one core
     ivfSearchOver(e, assignFn, k)
   }
 
@@ -368,7 +368,7 @@ object AnnOps {
     val live = emb.select(col("vec_id"), col("embedding"))
       .join(dead, Seq("vec_id"), "left_anti")
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     ivfSearchOver(live, assignCells)
   }
 
@@ -385,7 +385,7 @@ object AnnOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     // cosine against a unit-norm double anchor: dot / ‖x‖ through the
     // codegen'd widened dot (float corpus × double anchors — the
     // interpreted zip_with/aggregate form this replaces ran at
@@ -461,7 +461,7 @@ object AnnOps {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+      .transform(repartByKey(_, col("vec_id"))) // single-row-group input otherwise scans on one core
     val slim = e.select(col("vec_id"), col("embedding"), col("nrm"))
     val cents = ivfAnchors(slim)
     val assigned = assignCells(slim, cents).join(e, "vec_id")
@@ -501,7 +501,7 @@ object AnnOps {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     val slim = e.select(col("vec_id"), col("embedding"), col("nrm"))
     val counts = assignCells(slim, ivfAnchors(slim))
       .join(e.select(col("vec_id"), col("label")), "vec_id")
@@ -530,7 +530,7 @@ object AnnOps {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     val probes = e.filter(col("vec_id") < NProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nrm").as("p_nrm"), col("label").as("p_label"))
@@ -712,7 +712,7 @@ object AnnOps {
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
       .withColumn("qv", transform(col("embedding"),
         x => round(x.cast("double") / col("qs"), 0).cast("long")))
-      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+      .transform(repartByKey(_, col("vec_id"))) // single-row-group input otherwise scans on one core
   }
 
   /** Approximate cosine from the two quantized sides: integer dot
@@ -879,7 +879,7 @@ object AnnOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+      .transform(repartByKey(_, col("vec_id"))) // single-row-group input otherwise scans on one core
     // (id, m, sub): the M 8-dim subvectors, sliced once per row behind
     // the posexplode Generate barrier
     def subs(df: DataFrame, id: String): DataFrame = df.select(col(id),
@@ -1017,7 +1017,7 @@ object AnnOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     val cents = ivfAnchors(e)
     val asg = assignCells(e, cents)
     val counts = asg.groupBy("cell").agg(count(lit(1)).as("n_before"))
@@ -1071,7 +1071,7 @@ object AnnOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+      .transform(repartByKey(_, col("vec_id"))) // single-row-group input otherwise scans on one core
     val cents = ivfAnchors(e)
     val counts = assignCells(e, cents)
       .groupBy("cell").agg(count(lit(1)).as("n"))
@@ -1151,7 +1151,7 @@ object AnnOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     val probes = e.filter(col("vec_id") < NProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         col("nrm").as("probe_nrm"), col("label").as("true_label"))
@@ -1184,7 +1184,7 @@ object AnnOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     val asg = assignCells(e.select(col("vec_id"), col("embedding"), col("nrm")), ivfAnchors(e))
       .join(e.select(col("vec_id"), col("label")), "vec_id")
     val counts = asg.groupBy("cell", "label").agg(count(lit(1)).as("n"))

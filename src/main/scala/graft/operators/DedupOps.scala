@@ -331,7 +331,7 @@ object DedupOps {
   private[operators] def minhashSigs(docs: DataFrame): DataFrame = {
     val exploded = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
-      .repartition(col("doc_id"))
+      .transform(repartByKey(_, col("doc_id")))
       .select(col("doc_id"),
         graft.plans.TextExpressions
           .shinglePostingsNative(toks(col("text")), ShingleK).as("s"))
@@ -432,8 +432,13 @@ object DedupOps {
       .groupBy("d1", "d2") // per-band repeats carry identical sigs
       .agg(max(col("n_match")).as("n_match"))
     val ids = cand.select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    // the verifyPairs parallelism barrier (see there): the broadcast
+    // semi join folds into the single-row-group scan task, which
+    // otherwise shingles every candidate doc serially (r19 stage
+    // profile: two ~1.6 s single-task stages in this query)
     val d = docs.join(ids, Seq("doc_id"), "left_semi")
       .filter(col("doc_id").isNotNull)
+      .transform(repartByKey(_, col("doc_id")))
       .select(col("doc_id"), shingleSet(col("text")).as("sh"))
     cand
       .join(d.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
@@ -635,7 +640,7 @@ object DedupOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id")) // single-row-group input otherwise scans on one core
+      .transform(repartByKey(_, col("vec_id"))) // single-row-group input otherwise scans on one core
     // corpus-adaptive banding: the round-10 three-point curve caught
     // this query super-linear (e ≈ 1.5 over sf0.1 → sf1.0) — with
     // STATIC bits, bucket occupancy grows ∝ n and the bucket
@@ -744,7 +749,7 @@ object DedupOps {
       .filter(col("vec_id") % embRecallMod(n) === 0)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     val truth = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
       .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")),
         col("v1") < col("v2"))
@@ -775,7 +780,7 @@ object DedupOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(VectorExpressions.cosineNative(
         col("a.embedding"), col("a.nrm"), col("b.embedding"), col("b.nrm")), 6))
@@ -857,7 +862,7 @@ object DedupOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     semPairs(semAssign(spark, dir, e), e)
   }
 
@@ -873,7 +878,7 @@ object DedupOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     val cells = semCells(Tables.rowCount(spark, dir, "embeddings"))
     val cents = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
@@ -928,7 +933,7 @@ object DedupOps {
     import graft.plans.VectorExpressions
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     // codegen'd widened dot (float corpus × double anchors) — the
     // interpreted HOF form here was the r13 slice bench's 4.4×
     // overhead vs the deterministic-anchor twin; accumulation order
@@ -990,7 +995,7 @@ object DedupOps {
     import graft.plans.{TopKAgg, VectorExpressions}
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorExpressions.normNative(col("embedding")))
-      .repartition(col("vec_id"))
+      .transform(repartByKey(_, col("vec_id")))
     val asg = semAssign(spark, dir, e)
     // the mean over a DOUBLE column is summation-order-dependent at
     // the 6th decimal (partition merge order flips the rounded value
@@ -1042,12 +1047,28 @@ object DedupOps {
     * mislabel deep chains.
     */
   private[operators] def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // r19 optimization: LAZY checkpoints — the marked plan still
+    // truncates to the materialized RDD for every later consumer, but
+    // materialization now happens inside the FIRST action that needs
+    // it instead of a dedicated eager job, so each round pays ONE job
+    // (the convergence count materializes that round's checkpoint) and
+    // the init label table materializes inside round 1's count. The
+    // loop ran 2 jobs/round + 2 init jobs before; job-count telemetry
+    // and label equality are pinned by CheckpointModeSpec/DedupOps
+    // specs, and the reliable-checkpoint branch keeps the same
+    // laziness (checkpoint(false) marks, the next action persists).
     def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint(true)
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
     // materialize the (expensive) upstream pair query exactly once —
-    // every loop round reads this checkpointed RDD, never the lineage
-    val p = materialize(pairs.toDF("pa", "pb"))
+    // every loop round reads this checkpointed RDD, never the lineage.
+    // The pair input stays EAGER: both loop arms (edges, labels) read
+    // it, and the first lazy consumer would otherwise race the other
+    // into recomputing the whole pair pipeline.
+    val p =
+      if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        pairs.toDF("pa", "pb").checkpoint()
+      else pairs.toDF("pa", "pb").localCheckpoint(true)
     val edges = p.union(p.select(col("pb"), col("pa"))).toDF("ea", "eb")
     var labels = materialize(edges.select(col("ea").as("id")).distinct()
       .select(col("id"), col("id").as("lab")))
@@ -1065,9 +1086,9 @@ object DedupOps {
         .join(merged.select(col("id").as("jid"), col("lab").as("jlab")),
           col("lab") === col("jid"))
         .select(col("id"), col("jlab").as("lab"))
-      // ONE eager job per round: checkpoint (new lab, old lab)
-      // together, then the convergence check is a cheap count over
-      // the materialized RDD instead of a separate join job
+      // ONE job per round: the count both materializes the lazily
+      // checkpointed (new lab, old lab) table and reads the
+      // convergence delta from it
       val stepped = materialize(
         next.join(labels.select(col("id"), col("lab").as("old")), "id"))
       changed = stepped.filter(col("lab") =!= col("old")).count()

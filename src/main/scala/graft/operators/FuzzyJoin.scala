@@ -55,10 +55,18 @@ object FuzzyJoin {
     // shuffle instead of each re-running the cleanName regexp chain
     // over the full row set (measured ~0.5 s per re-execution per
     // side at sf0.1)
-    val l = left.select(col(leftKey).as("lk"), Text.cleanName(leftName).as("lcn"),
-      leftAux.as("laux")).transform(repartByKey(_, col("lcn")))
-    val r = right.select(col(rightKey).as("rk"), Text.cleanName(rightName).as("rcn"),
-      rightAux.as("raux")).transform(repartByKey(_, col("rcn")))
+    // r19: a conditional width barrier BELOW the cleanName projection —
+    // the regexp chain is the dominant per-row cost of each side and
+    // otherwise runs inside the single-row-group scan task (serial
+    // ~0.5 s per side); widen is a no-op on layouts with enough splits
+    val l = left.select(col(leftKey).as("lk"), leftName.as("_lnm"), leftAux.as("laux"))
+      .transform(widen(_, col("lk")))
+      .select(col("lk"), Text.cleanName(col("_lnm")).as("lcn"), col("laux"))
+      .transform(repartByKey(_, col("lcn")))
+    val r = right.select(col(rightKey).as("rk"), rightName.as("_rnm"), rightAux.as("raux"))
+      .transform(widen(_, col("rk")))
+      .select(col("rk"), Text.cleanName(col("_rnm")).as("rcn"), col("raux"))
+      .transform(repartByKey(_, col("rcn")))
 
     val lnames = l.groupBy(col("lcn")).agg(count(lit(1)).as("lgrp"))
       .withColumn("ltoks", array_distinct(split(col("lcn"), " ")))

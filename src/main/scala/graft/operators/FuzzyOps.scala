@@ -199,10 +199,15 @@ object FuzzyOps {
     // repartition barrier: consumers share one evaluation of the token
     // pipeline via exchange reuse (and the single-row-group local scan
     // stops serializing the plan on one core)
+    // r19: the token projection sits ABOVE the barrier — below it the
+    // single-row-group scan task ran lower/split/distinct/sort for the
+    // whole table serially (stage profile: a 1-task 1.5 s stage);
+    // the exchange payload is the raw name/type columns either way.
     val base = Tables.part(spark, dir)
       .select(col("p_partkey").as("k"),
-        tokensOf(concat(lower(col("p_name")), lit(" "), lower(col("p_type")))).as("toks"))
+        concat(lower(col("p_name")), lit(" "), lower(col("p_type"))).as("nm"))
       .transform(repartByKey(_, col("k")))
+      .select(col("k"), tokensOf(col("nm")).as("toks"))
     tokenJaccardFrame(base, BigramDfCap)
   }
 

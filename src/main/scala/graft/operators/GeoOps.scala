@@ -55,7 +55,7 @@ object GeoOps {
       .select(col("c_custkey"),
         Geo.synthLat(col("c_custkey")).as("c_lat"),
         Geo.synthLon(col("c_custkey")).as("c_lon"))
-      .repartition(col("c_custkey")) // parallelize the broadcast-probe scoring
+      .transform(repartByKey(_, col("c_custkey"))) // parallelize the broadcast-probe scoring
     val joined = c.crossJoin(broadcast(s))
       .withColumn("dist_km",
         round(Geo.haversineKm(col("s_lat"), col("s_lon"), col("c_lat"), col("c_lon")), 3))

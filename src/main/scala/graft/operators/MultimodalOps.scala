@@ -20,6 +20,18 @@ import graft.sources.Tables
   */
 object MultimodalOps {
 
+  /** (doc_id, text) payload frame for the codec walks, CONDITIONALLY
+    * widened (r19): the bench corpus is one parquet row group, so
+    * every per-blob byte walk (RIFF/JPEG/GIF/RLE/MC/GOP decode, Rice,
+    * WHT) otherwise runs in ONE scan task (~1-2 s serial per query in
+    * the r19 stage profile). `widen` is a no-op whenever the scan
+    * already has session-width splits, preserving the family's
+    * "blob bytes never shuffled" 100 TB contract on real layouts.
+    */
+  private def blobDocs(spark: SparkSession, dir: String): DataFrame =
+    widen(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+
   /** Byte-level feature extraction over the blob column: size, content
     * signature, sampled byte values (a stand-in for frame sampling).
     */
@@ -146,7 +158,7 @@ object MultimodalOps {
     */
   def wavFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Wav.features(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0))
       .toDF()
       .select(col("doc_id"), col("sample_rate"), col("n_channels"),
@@ -164,7 +176,7 @@ object MultimodalOps {
     */
   def bmpFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Bmp.features(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0))
       .toDF()
       .select(col("doc_id"), col("width"), col("height"), col("n_px"),
@@ -185,7 +197,7 @@ object MultimodalOps {
     */
   def pngFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Png.features(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0))
       .toDF()
       .select(col("doc_id"), col("width"), col("height"), col("n_px"),
@@ -203,7 +215,7 @@ object MultimodalOps {
     */
   def jpegFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Jpeg.features(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0))
       .toDF()
       .select(col("doc_id"), col("width"), col("height"), col("n_px"),
@@ -327,7 +339,7 @@ object MultimodalOps {
 
   def gifFrames(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Gif.features(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0)
           // same loud-ceiling discipline as guardFrameBound: the GIF
           // oracle enumerates at most GifOracleMaxFrames frames/blob
@@ -360,7 +372,7 @@ object MultimodalOps {
     */
   def aviFrames(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Avi.features(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0)
           // same loud-ceiling discipline as the GIF mirror: the AVI
           // oracle enumerates at most GifOracleMaxFrames frames/blob
@@ -393,7 +405,7 @@ object MultimodalOps {
     */
   def rleFrames(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Rle.features(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0)
           // same loud-ceiling discipline as the GIF/AVI mirrors
           .filter(assert_true(
@@ -423,7 +435,7 @@ object MultimodalOps {
     */
   def rleSeek(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Rle.seekLast(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0)
           // the oracle's arithmetic has no frame-count ceiling here,
           // but keep the suite-wide guard so all RLE mirrors share one
@@ -464,7 +476,7 @@ object MultimodalOps {
     */
   def mcFrames(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Mc.features(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0)
           // same loud-ceiling discipline: the MC mirror enumerates at
           // most McOracleMaxFrames scroll frames per blob
@@ -493,7 +505,7 @@ object MultimodalOps {
     */
   def mcSeek(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Mc.seekLast(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0)
           // keep the suite-wide blob ceiling (the oracle's arithmetic
           // has no frame-count ceiling on this one)
@@ -531,7 +543,7 @@ object MultimodalOps {
     */
   def whtFrames(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Xf.features(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0)
           // same loud-ceiling discipline as the GIF/AVI/RLE mirrors
           .filter(assert_true(
@@ -564,7 +576,7 @@ object MultimodalOps {
     */
   def riceFrames(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Xf.riceFeatures(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0)
           // same loud-ceiling discipline as the GIF/AVI/RLE mirrors
           .filter(assert_true(
@@ -598,7 +610,7 @@ object MultimodalOps {
     */
   def gopFrames(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Gop.features(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0)
           // same loud-ceiling discipline: the recursive mirror iterates
           // at most McOracleMaxFrames scroll frames per blob
@@ -624,7 +636,7 @@ object MultimodalOps {
     */
   def gopSeek(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Gop.seekLast(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0)
           .filter(assert_true(
             length(col("text")) <= GifOracleMaxFrames * graft.multimodal.Gif.FramePx,
@@ -650,7 +662,7 @@ object MultimodalOps {
     */
   def aviDemux(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Demux.features(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        blobDocs(spark, dir)
           .filter(length(col("text")) > 0)
           // same loud-ceiling discipline as the other frame mirrors
           .filter(assert_true(

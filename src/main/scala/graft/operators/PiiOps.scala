@@ -125,6 +125,10 @@ object PiiOps {
       (acc, c) => replace(acc, c, lit("<CARD>")))
     Tables.customer(spark, dir)
       .select(col("c_custkey"), decoratedRaw.as("raw"))
+      // conditional width barrier (r19): the single-row-group bench
+      // scan otherwise runs the whole single-pass scrub on one core
+      // (~0.9 s serial); a no-op on layouts with enough input splits
+      .transform(widen(_, col("c_custkey")))
       .withColumn("_cards", validCards(col("raw")))
       .withColumn("_scrub", graft.plans.TextExpressions.multiScrubNative(col("raw"), ScrubKinds))
       .select(col("c_custkey") +: col("raw") +:
@@ -145,6 +149,8 @@ object PiiOps {
     val total = counts.map(_._2).reduce(_ + _)
     Tables.customer(spark, dir)
       .select(col("c_nationkey"), decoratedRaw.as("raw"))
+      // same conditional width barrier as piiRedact (r19)
+      .transform(widen(_, col("c_nationkey")))
       .withColumn("_cards", validCards(col("raw")))
       .withColumn("_scrub", graft.plans.TextExpressions.multiScrubNative(col("raw"), ScrubKinds))
       .select(col("c_nationkey") +:

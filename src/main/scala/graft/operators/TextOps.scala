@@ -117,6 +117,9 @@ object TextOps {
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // conditional width barrier (r19): three tokenizer passes per
+      // row otherwise run inside the single-row-group scan task
+      .transform(widen(_, col("doc_id")))
       .select(col("lang"),
         Text.wsTokenCount(col("text")).as("ws"),
         Text.regexTokenCount(col("text")).as("re"),
@@ -198,6 +201,9 @@ object TextOps {
     val stopRatio = size(filter(toks, t => t.isInCollection(Stopwords))) /
       greatest(size(toks), lit(1)).cast("double")
     Tables.documents(spark, dir)
+      // conditional width barrier (r19): the tokenizer + stopword
+      // filter otherwise run inside the single-row-group scan task
+      .transform(widen(_, col("doc_id")))
       .select(col("doc_id"), col("n_chars"), round(stopRatio, 6).as("stop_ratio"))
       .withColumn("reason",
         when(col("n_chars") < 150, "too_short")
@@ -455,6 +461,9 @@ object TextOps {
     val toks = split(col("text"), " ")
     def stream = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      // conditional width barrier (r19): both evaluations of the gram
+      // stream otherwise explode inside the single-row-group scan task
+      .transform(widen(_, col("doc_id")))
       .select(col("doc_id"), explode(Hashing.shingles(toks, 3)).as("g"))
     // the gram table: counts + the backoff keys derived from the gram
     // STRING (vocabulary-sized; eager localCheckpoint because FIVE
@@ -534,6 +543,8 @@ object TextOps {
     import graft.functions.Hashing
     def stream = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      // conditional width barrier (r19) — the lmTrigramFrom note
+      .transform(widen(_, col("doc_id")))
       .select(col("doc_id"), explode(Hashing.shingles(split(col("text"), " "), 2)).as("b"))
     val grams = stream.groupBy("b").agg(count(lit(1)).as("ct"))
       .withColumn("t1", substring_index(col("b"), " ", 1))
@@ -683,6 +694,9 @@ object TextOps {
     */
   def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
+      // conditional width barrier (r19): the explode + distinct
+      // partials otherwise run inside the single-row-group scan task
+      .transform(widen(_, col("doc_id")))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     // the distinct (doc_id, term) presence frame feeds FOUR consumers
     // (df, the corpus count, both self-join sides) — materialized once
@@ -734,6 +748,9 @@ object TextOps {
   def ttr(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) > 0)
+      // conditional width barrier (r19): split+explode+partial-agg
+      // otherwise run inside the single-row-group scan task
+      .transform(widen(_, col("doc_id")))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t")
       .agg(count(lit(1)).as("cnt"))
@@ -994,10 +1011,14 @@ object TextOps {
     * features (bit-identical on any engine) + the rule label.
     */
   private def lrFeatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      lrX1m.as("x1m"), lrX2m.as("x2m"), lrX3m.as("x3m"),
-      when(qualityCol >= LrThreshold, 1.0).otherwise(0.0).as("y"))
+    // conditional width barrier (r19): the regex/token feature
+    // expressions otherwise run inside the single-row-group scan task
+    Tables.documents(spark, dir)
+      .transform(widen(_, col("doc_id")))
+      .select(
+        col("doc_id"),
+        lrX1m.as("x1m"), lrX2m.as("x2m"), lrX3m.as("x3m"),
+        when(qualityCol >= LrThreshold, 1.0).otherwise(0.0).as("y"))
 
   /** Spec window into the exact feature frame the trainer reads. */
   private[operators] def lrFeaturesForSpec(spark: SparkSession, dir: String): DataFrame =
